@@ -1,0 +1,111 @@
+"""pandas-parity ``resample``: the reference's core aggregation verb.
+
+gensor ``Timeseries.resample(freq, agg_func)`` delegates to
+``pd.Series.resample(freq).apply(agg_func)``
+(``/root/reference/gensor/core/base.py:147-170``). The semantics we must
+replicate exactly (verified empirically against pandas 2.2.2, SURVEY.md §2.4):
+
+- bins are **left-closed, left-labeled** for s/min/h/D frequencies;
+- the output is a **dense bin grid** from ``floor(min ts)`` to
+  ``floor(max ts)`` — empty bins are present with a null (NaN) value;
+- aggregates skip NaN (Spark aggregates skip null — same thing here since
+  the point view encodes gaps as null values).
+
+Spark realization: ``groupBy(keys, date_trunc-style bin)`` for the
+aggregation (one shuffle, with map-side partial aggregation), then the dense
+grid is synthesized with ``sequence(min_bin, max_bin, interval)`` + explode
+and left-joined back. The span aggregate groups by the same keys as the bin
+aggregate, so Catalyst reuses the exchange; the grid join is keys+bin equi
+(AQE picks broadcast when the grid is small). A naive ``groupBy(window(...))``
+would silently drop empty bins — that is the main parity trap.
+
+At 100 TB: the bin aggregate is the dominant shuffle and it is keyed on
+``(doc_id, source, bin)`` — high cardinality, well distributed; per-series
+skew (one huge doc) is handled upstream by salted two-phase aggregation
+(operators/rollup.py) since count/min/max/sum/last are all associative.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: canonical frequency aliases (pandas offset strings) → seconds
+FREQ_SECONDS = {
+    "s": 1,
+    "min": 60,
+    "t": 60,
+    "h": 3600,
+    "d": 86400,
+}
+
+_FREQ_RE = re.compile(r"^(\d*)\s*(s|min|t|h|d)$", re.IGNORECASE)
+
+#: aggregate name → builder over (value column). All skip nulls like pandas.
+_AGG_BUILDERS = {
+    "mean": lambda v, ts: F.avg(v),
+    "min": lambda v, ts: F.min(v),
+    "max": lambda v, ts: F.max(v),
+    "sum": lambda v, ts: F.sum(v),
+    "count": lambda v, ts: F.count(v),  # non-null count, like pd.Series.count
+    "median": lambda v, ts: F.median(v),
+    "std": lambda v, ts: F.stddev_samp(v),
+    "first": lambda v, ts: F.min_by(v, F.when(v.isNotNull(), ts)),
+    "last": lambda v, ts: F.max_by(v, F.when(v.isNotNull(), ts)),
+}
+
+
+def freq_to_seconds(freq: str) -> int:
+    """Parse a pandas-style offset alias ('h', '15min', '2D') to seconds."""
+    m = _FREQ_RE.match(freq.strip())
+    if not m:
+        raise ValueError(f"unsupported frequency: {freq!r}")
+    n = int(m.group(1) or 1)
+    return n * FREQ_SECONDS[m.group(2).lower()]
+
+
+def bin_ts(ts: Column, step_seconds: int) -> Column:
+    """Left-closed, left-labeled bin: floor the timestamp to the step."""
+    secs = F.unix_timestamp(ts)
+    return F.timestamp_seconds(F.floor(secs / F.lit(step_seconds)) * F.lit(step_seconds))
+
+
+def resample(
+    points: DataFrame,
+    freq: str,
+    aggs: str | list[str] = "mean",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    dense: bool = True,
+) -> DataFrame:
+    """Resample the point view to ``freq`` with one column per aggregate.
+
+    Output schema: ``keys..., bin_ts timestamp, <agg> double ...`` (single
+    agg keeps the name ``value`` aliased to the agg name). With
+    ``dense=True`` (pandas parity) empty interior bins appear as null rows.
+    """
+    if isinstance(aggs, str):
+        aggs = [aggs]
+    step = freq_to_seconds(freq)
+    v, t = F.col(value_col), F.col(ts_col)
+
+    binned = points.withColumn("bin_ts", bin_ts(t, step))
+    agg_cols = [_AGG_BUILDERS[a](v, t).alias(a) for a in aggs]
+    agged = binned.groupBy(*keys, "bin_ts").agg(*agg_cols)
+
+    if not dense:
+        return agged
+
+    spans = agged.groupBy(*keys).agg(
+        F.min("bin_ts").alias("_lo"), F.max("bin_ts").alias("_hi")
+    )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval {step} seconds"))
+        ).alias("bin_ts"),
+    )
+    return grid.join(agged, [*keys, "bin_ts"], "left")

@@ -1,0 +1,50 @@
+"""Readers for the driver's parquet testdata and (optionally) Iceberg tables.
+
+The gensor analogue is ``read_from_sql`` (``/root/reference/gensor/io/read.py:
+83-187``): catalog lookup + per-table SELECT with timestamp-range pushdown.
+Here the catalog is the filesystem (or an Iceberg catalog when its runtime
+jar is present); pushdown is Catalyst's job — callers express filters on the
+returned DataFrame and they reach the parquet scan (PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan; filters/projections applied by the caller push down."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql queries."""
+    for name in TESTDATA_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the iceberg-spark runtime jar is on the classpath.
+
+    The sandbox image has no Iceberg jar, so the incremental tier store
+    (plans/incremental.py) falls back to parquet with dynamic partition
+    overwrite; on a real cluster the same merge maps to ``MERGE INTO``.
+    """
+    try:
+        spark._jvm.org.apache.iceberg.Table  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
