@@ -84,11 +84,17 @@ def events_to_points(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return events.select(
-        F.col("user_id").cast("string").alias("doc_id"),
-        F.col("event_type").alias("source"),
-        F.col("ts"),
-        F.col("value").cast("double").alias("value"),
-        F.col("event_id"),
-    ).withColumn("seq", F.row_number().over(w) - F.lit(1)).drop("event_id")
+    w = W.partitionBy("doc_id", "source").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("event_type").alias("source"),
+            # testdata parquet timestamps arrive as TIMESTAMP_NTZ in Spark 4;
+            # with the session pinned to UTC this cast is wall-clock identity
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+            F.col("event_id"),
+        )
+        .withColumn("seq", F.row_number().over(w) - F.lit(1))
+        .drop("event_id")
+    )

@@ -1,0 +1,47 @@
+"""Validate every queries()/oracle_sql() pair exactly as the driver will."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import pytest
+
+from tests.driver_compare import compare, run_oracle
+
+SF = "/root/testdata/sf0.01"
+
+_spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+)
+_entry_mod = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("__spark_entry__", _entry_mod)
+_spec.loader.exec_module(_entry_mod)
+
+
+def _query_names():
+    return sorted(_entry_mod.queries().keys())
+
+
+def test_entry_smoke(spark):
+    df = _entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.schema is not None
+
+
+def test_every_query_has_callable_and_most_have_oracles(spark):
+    qs, os_ = _entry_mod.queries(), _entry_mod.oracle_sql()
+    assert qs
+    missing = set(os_) - set(qs)
+    assert not missing, f"oracle without query: {missing}"
+
+
+@pytest.mark.parametrize("name", _query_names())
+def test_query_matches_oracle(spark, name):
+    qs, oracles = _entry_mod.queries(), _entry_mod.oracle_sql()
+    df = qs[name](spark, SF)
+    if name not in oracles:
+        assert df.count() >= 0  # rows-only check, like the driver's weak mode
+        return
+    compare(df, run_oracle(oracles[name], SF), name)
