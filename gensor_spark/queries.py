@@ -48,7 +48,11 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _r6(c):
-    return F.round(c, 6)
+    # epsilon before rounding: Spark rounds doubles via BigDecimal of the
+    # shortest decimal repr (HALF_UP) while DuckDB multiplies+nearbyint —
+    # they disagree on exact .5 landings at the 6th decimal. +1e-9 on BOTH
+    # sides (same IEEE op) moves every such value off the boundary.
+    return F.round(c + F.lit(1e-9), 6)
 
 
 def _fmt_bin(df: DataFrame) -> DataFrame:
@@ -82,10 +86,10 @@ def _sql_rollup(unit: str) -> str:
     SELECT doc_id, source,
            strftime(date_trunc('{unit}', ts), '{TS_FMT_DUCK}') AS bin_ts,
            COUNT(value) AS cnt,
-           ROUND(MIN(value), 6) AS vmin,
-           ROUND(MAX(value), 6) AS vmax,
-           ROUND(AVG(value), 6) AS vmean,
-           ROUND(arg_max(value, ts) FILTER (WHERE value IS NOT NULL), 6) AS vlast
+           ROUND(MIN(value) + 1e-9, 6) AS vmin,
+           ROUND(MAX(value) + 1e-9, 6) AS vmax,
+           ROUND(AVG(value) + 1e-9, 6) AS vmean,
+           ROUND(arg_max(value, ts) FILTER (WHERE value IS NOT NULL) + 1e-9, 6) AS vlast
     FROM pts GROUP BY 1, 2, 3
     """
 
@@ -107,7 +111,7 @@ WITH pts AS ({_PTS_SQL}),
 b AS (
   SELECT doc_id, source,
          to_timestamp(floor(epoch(ts) / 900) * 900) AS bin,
-         ROUND(AVG(value), 6) AS vmean, COUNT(value) AS cnt
+         ROUND(AVG(value) + 1e-9, 6) AS vmean, COUNT(value) AS cnt
   FROM pts GROUP BY 1, 2, 3
 ),
 s AS (SELECT doc_id, source, MIN(bin) AS lo, MAX(bin) AS hi FROM b GROUP BY 1, 2),
@@ -164,9 +168,439 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TREND_OLS = f"""
 WITH pts AS ({_PTS_SQL})
 SELECT doc_id, source,
-       ROUND(regr_slope(value, seq), 6) AS slope,
-       ROUND(regr_intercept(value, seq), 6) AS intercept
+       ROUND(regr_slope(value, seq) + 1e-9, 6) AS slope,
+       ROUND(regr_intercept(value, seq) + 1e-9, 6) AS intercept
 FROM pts GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# transforms (gensor processing/transform.py; quirks preserved)
+# --------------------------------------------------------------------------
+
+def q_transform_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.transforms import difference
+
+    out = difference(_points(spark, sf_dir), periods=1)
+    return out.select("doc_id", "source", "seq", _r6(F.col("value")).alias("diff"))
+
+
+SQL_TRANSFORM_DIFFERENCE = f"""
+WITH pts AS ({_PTS_SQL}),
+d AS (
+  SELECT doc_id, source, seq,
+         value - lag(value) OVER (PARTITION BY doc_id, source ORDER BY seq) AS diff
+  FROM pts
+)
+SELECT doc_id, source, seq, ROUND(diff + 1e-9, 6) AS diff FROM d WHERE diff IS NOT NULL
+"""
+
+
+def q_transform_log_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.transforms import log_transform, sqrt_transform
+
+    pts = _points(spark, sf_dir)
+    # exercise both branches of the <=0 pass-through quirk: shift values down
+    shifted = (F.col("value") - F.lit(5.0)).alias("x")
+    return pts.select(
+        "doc_id", "source", "seq",
+        _r6(log_transform(F.col("value") - F.lit(5.0))).alias("logv"),
+        _r6(sqrt_transform(F.col("value") - F.lit(5.0))).alias("sqrtv"),
+    )
+
+
+SQL_TRANSFORM_LOG_SQRT = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT doc_id, source, seq,
+       ROUND(CASE WHEN value - 5.0 <= 0 THEN value - 5.0 ELSE ln(value - 5.0) END + 1e-9, 6) AS logv,
+       ROUND(CASE WHEN value - 5.0 <= 0 THEN value - 5.0 ELSE sqrt(value - 5.0) END + 1e-9, 6) AS sqrtv
+FROM pts
+"""
+
+
+def q_scalers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("doc_id", "source").rowsBetween(
+        W2.unboundedPreceding, W2.unboundedFollowing
+    )
+    v = F.col("value")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    q1 = F.expr("percentile(value, 0.25)").over(w)
+    q3 = F.expr("percentile(value, 0.75)").over(w)
+    return pts.select(
+        "doc_id", "source", "seq",
+        _r6((v - F.avg(v).over(w)) / F.stddev_pop(v).over(w)).alias("std_scaled"),
+        _r6((v - F.min(v).over(w)) / (F.max(v).over(w) - F.min(v).over(w))).alias("minmax_scaled"),
+        _r6(v / F.max(F.abs(v)).over(w)).alias("maxabs_scaled"),
+        _r6((v - med) / (q3 - q1)).alias("robust_scaled"),
+    )
+
+
+SQL_SCALERS = f"""
+WITH pts AS ({_PTS_SQL}),
+stats AS (
+  SELECT doc_id, source,
+         avg(value) AS mu, stddev_pop(value) AS sigma,
+         min(value) AS lo, max(value) AS hi, max(abs(value)) AS mx,
+         CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med,
+         CAST(quantile_cont(value, 0.25) AS DOUBLE) AS q1,
+         CAST(quantile_cont(value, 0.75) AS DOUBLE) AS q3
+  FROM pts GROUP BY 1, 2
+)
+SELECT p.doc_id, p.source, p.seq,
+       ROUND((p.value - s.mu) / s.sigma + 1e-9, 6) AS std_scaled,
+       ROUND((p.value - s.lo) / (s.hi - s.lo) + 1e-9, 6) AS minmax_scaled,
+       ROUND(p.value / s.mx + 1e-9, 6) AS maxabs_scaled,
+       ROUND((p.value - s.med) / (s.q3 - s.q1) + 1e-9, 6) AS robust_scaled
+FROM pts p JOIN stats s USING (doc_id, source)
+"""
+
+
+# --------------------------------------------------------------------------
+# outlier masks (gensor analysis/outliers.py)
+# --------------------------------------------------------------------------
+
+def q_outliers_zscore_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.outliers import zscore_global
+
+    flagged = zscore_global(_points(spark, sf_dir), threshold=2.0)
+    return flagged.filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    )
+
+
+SQL_OUTLIERS_ZSCORE_GLOBAL = f"""
+WITH pts AS ({_PTS_SQL}),
+s AS (SELECT doc_id, source, avg(value) mu, stddev_pop(value) sigma
+      FROM pts GROUP BY 1,2)
+SELECT p.doc_id, p.source, p.seq, ROUND(p.value + 1e-9, 6) AS v
+FROM pts p JOIN s USING (doc_id, source)
+WHERE abs(p.value - s.mu) / s.sigma > 2.0
+"""
+
+
+def q_outliers_iqr_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.outliers import iqr_global
+
+    flagged = iqr_global(_points(spark, sf_dir), k=1.5)
+    return flagged.filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    )
+
+
+SQL_OUTLIERS_IQR_GLOBAL = f"""
+WITH pts AS ({_PTS_SQL}),
+s AS (SELECT doc_id, source,
+             CAST(quantile_cont(value, 0.25) AS DOUBLE) q1,
+             CAST(quantile_cont(value, 0.75) AS DOUBLE) q3
+      FROM pts GROUP BY 1,2)
+SELECT p.doc_id, p.source, p.seq, ROUND(p.value + 1e-9, 6) AS v
+FROM pts p JOIN s USING (doc_id, source)
+WHERE p.value < s.q1 - 1.5 * (s.q3 - s.q1) OR p.value > s.q3 + 1.5 * (s.q3 - s.q1)
+"""
+
+
+def q_outliers_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.outliers import zscore_rolling
+
+    flagged = zscore_rolling(_points(spark, sf_dir), window=20, threshold=2.0)
+    return flagged.filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    )
+
+
+SQL_OUTLIERS_ZSCORE_ROLLING = f"""
+WITH pts AS ({_PTS_SQL}),
+r AS (
+  SELECT doc_id, source, seq, value,
+         count(*) OVER w AS n,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sigma
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, source, seq, ROUND(value + 1e-9, 6) AS v
+FROM r WHERE n = 20 AND abs(value - mu) / sigma > 2.0
+"""
+
+
+# --------------------------------------------------------------------------
+# smoothing (gensor processing/smoothing.py:10-66)
+# --------------------------------------------------------------------------
+
+def q_smooth_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.masking import smooth
+
+    out = smooth(_points(spark, sf_dir), window=5, method="rolling_mean")
+    return out.select("doc_id", "source", "seq", _r6(F.col("value")).alias("smoothed"))
+
+
+SQL_SMOOTH_ROLLING_MEAN = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT doc_id, source, seq,
+       ROUND(CASE WHEN count(*) OVER w = 5 THEN avg(value) OVER w END + 1e-9, 6) AS smoothed
+FROM pts
+WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+# --------------------------------------------------------------------------
+# gap-fill over the dense 15-minute grid (LOCF + time interpolation)
+# --------------------------------------------------------------------------
+
+def _dense_15min_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = resample(_points(spark, sf_dir), "15min", aggs="mean")
+    return out.select(
+        "doc_id", "source", "bin_ts", F.col("mean").alias("value")
+    )
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    dense = _dense_15min_mean(spark, sf_dir)
+    w = W2.partitionBy("doc_id", "source").orderBy("bin_ts").rowsBetween(
+        W2.unboundedPreceding, 0
+    )
+    filled = F.last("value", ignorenulls=True).over(w)
+    return dense.select(
+        "doc_id", "source",
+        F.date_format("bin_ts", TS_FMT_SPARK).alias("bin_ts"),
+        _r6(filled).alias("filled"),
+    )
+
+
+_SQL_DENSE_15 = f"""
+pts AS ({_PTS_SQL}),
+b AS (
+  SELECT doc_id, source, to_timestamp(floor(epoch(ts) / 900) * 900) AS bin,
+         AVG(value) AS v
+  FROM pts GROUP BY 1, 2, 3
+),
+s AS (SELECT doc_id, source, MIN(bin) AS lo, MAX(bin) AS hi FROM b GROUP BY 1, 2),
+grid AS (
+  SELECT s.doc_id, s.source, g.g AS bin
+  FROM s, LATERAL (SELECT unnest(generate_series(s.lo::TIMESTAMP, s.hi::TIMESTAMP,
+                                                 INTERVAL 15 MINUTE)) AS g) g
+),
+dense AS (
+  SELECT grid.doc_id, grid.source, grid.bin, b.v
+  FROM grid LEFT JOIN b
+    ON b.doc_id = grid.doc_id AND b.source = grid.source AND b.bin = grid.bin
+)
+"""
+
+SQL_GAPFILL_LOCF = f"""
+WITH {_SQL_DENSE_15}
+SELECT doc_id, source, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts,
+       ROUND(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY doc_id, source ORDER BY bin
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS filled
+FROM dense
+"""
+
+
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from gensor_spark.operators import gapfill
+
+    dense = _dense_15min_mean(spark, sf_dir).withColumnRenamed("bin_ts", "ts")
+    dense = dense.withColumn(
+        "seq", F.row_number().over(W2.partitionBy("doc_id", "source").orderBy("ts")) - 1
+    )
+    filled = gapfill.interpolate(dense, method="time")
+    return filled.select(
+        "doc_id", "source",
+        F.date_format("ts", TS_FMT_SPARK).alias("bin_ts"),
+        _r6(F.col("value")).alias("filled"),
+    )
+
+
+SQL_GAPFILL_INTERPOLATE = f"""
+WITH {_SQL_DENSE_15},
+x AS (
+  SELECT doc_id, source, bin, v, epoch(bin) AS pos,
+         last_value(v IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN epoch(bin) END IGNORE NULLS) OVER wb AS prev_x,
+         first_value(v IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN epoch(bin) END IGNORE NULLS) OVER wf AS next_x
+  FROM dense
+  WINDOW wb AS (PARTITION BY doc_id, source ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY doc_id, source ORDER BY bin
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id, source, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN prev_v IS NULL THEN NULL
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v) * (pos - prev_x) / (next_x - prev_x)
+       END + 1e-9, 6) AS filled
+FROM x
+"""
+
+
+# --------------------------------------------------------------------------
+# masking + concatenate (gensor core/base.py:239-267, :134-145)
+# --------------------------------------------------------------------------
+
+def _minute_binned(spark: SparkSession, sf_dir: str, src: str) -> DataFrame:
+    pts = _points(spark, sf_dir).filter(F.col("source") == src)
+    out = resample(pts, "min", aggs="mean", dense=False)
+    return out.select("doc_id", "source", F.col("bin_ts").alias("ts"),
+                      F.col("mean").alias("value"))
+
+
+def _q_mask(mode: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gensor_spark.operators.masking import mask_with
+
+        clicks = _minute_binned(spark, sf_dir, "click")
+        errors = _minute_binned(spark, sf_dir, "error").select("ts")
+        out = mask_with(clicks, errors, mode=mode)
+        return out.select(
+            "doc_id", "source",
+            F.date_format("ts", TS_FMT_SPARK).alias("bin_ts"),
+            _r6(F.col("value")).alias("v"),
+        )
+
+    return q
+
+
+def _sql_mask(op: str) -> str:
+    return f"""
+    WITH pts AS ({_PTS_SQL}),
+    clicks AS (
+      SELECT doc_id, source, date_trunc('minute', ts) AS bin, AVG(value) AS v
+      FROM pts WHERE source = 'click' GROUP BY 1, 2, 3
+    ),
+    errs AS (SELECT DISTINCT date_trunc('minute', ts) AS bin FROM pts WHERE source = 'error')
+    SELECT doc_id, source, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts, ROUND(v + 1e-9, 6) AS v
+    FROM clicks WHERE bin {op} (SELECT bin FROM errs)
+    """
+
+
+def q_concat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.masking import concatenate
+
+    clicks = _minute_binned(spark, sf_dir, "click").drop("source")
+    views = _minute_binned(spark, sf_dir, "view").drop("source")
+    out = concatenate(clicks, views, keys=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("bin_ts"),
+        _r6(F.col("value")).alias("v"),
+    )
+
+
+SQL_CONCAT_DEDUP = f"""
+WITH pts AS ({_PTS_SQL}),
+u AS (
+  SELECT doc_id, date_trunc('minute', ts) AS bin, AVG(value) AS v, 0 AS prio
+  FROM pts WHERE source = 'click' GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id, date_trunc('minute', ts) AS bin, AVG(value) AS v, 1 AS prio
+  FROM pts WHERE source = 'view' GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, bin ORDER BY prio) AS rn FROM u
+)
+SELECT doc_id, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts, ROUND(v + 1e-9, 6) AS v
+FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization: coverage gap segments (gensor dataset.py:645-661)
+# --------------------------------------------------------------------------
+
+def q_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    pts = _points(spark, sf_dir)
+    w = W2.partitionBy("doc_id", "source").orderBy("ts")
+    gap_flag = (
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > 3600 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = pts.withColumn("session_id", F.sum(gap_flag).over(
+        w.rowsBetween(W2.unboundedPreceding, 0)
+    ))
+    return sess.groupBy("doc_id", "source", "session_id").agg(
+        F.count("*").alias("n"),
+        F.date_format(F.min("ts"), TS_FMT_SPARK_US).alias("start_ts"),
+        F.date_format(F.max("ts"), TS_FMT_SPARK_US).alias("end_ts"),
+    )
+
+
+SQL_GAP_SESSIONS = f"""
+WITH pts AS ({_PTS_SQL}),
+g AS (
+  SELECT doc_id, source, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY doc_id, source ORDER BY ts))
+                   > 3600000000::BIGINT THEN 1 ELSE 0 END AS flag
+  FROM pts
+),
+s AS (
+  SELECT doc_id, source, ts,
+         SUM(flag) OVER (PARTITION BY doc_id, source ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT doc_id, source, session_id, COUNT(*) AS n,
+       strftime(MIN(ts), '{TS_FMT_DUCK_US}') AS start_ts,
+       strftime(MAX(ts), '{TS_FMT_DUCK_US}') AS end_ts
+FROM s GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# the compensation pipeline end-to-end (gensor processing/compensation.py)
+# --------------------------------------------------------------------------
+
+def q_compensation_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.compensation import compensate
+
+    pts = _points(spark, sf_dir)
+    raw = pts.filter(F.col("source") == "click")
+    baro = pts.filter(F.col("source") == "view")  # one global reference series
+    out = compensate(raw, baro.withColumn("doc_id", F.lit("baro")),
+                     sensor_alt=100.0, alignment_period="h")
+    return out.select(
+        "doc_id",
+        F.date_format("bin_ts", TS_FMT_SPARK).alias("bin_ts"),
+        _r6(F.col("head")).alias("head"),
+    )
+
+
+SQL_COMPENSATION_HEADS = f"""
+WITH pts AS ({_PTS_SQL}),
+raw AS (
+  SELECT doc_id, date_trunc('hour', ts) AS bin, AVG(value) AS v
+  FROM pts WHERE source = 'click' GROUP BY 1, 2
+),
+baro AS (
+  SELECT date_trunc('hour', ts) AS bin, AVG(value) AS v
+  FROM pts WHERE source = 'view' GROUP BY 1
+),
+wc AS (
+  SELECT raw.doc_id, raw.bin, (raw.v - baro.v) / 100.0 AS water_column
+  FROM raw JOIN baro USING (bin)
+)
+SELECT doc_id, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts,
+       ROUND(water_column + 100.0 + 1e-9, 6) AS head
+FROM wc
+WHERE NOT (water_column < 0 OR water_column <= 0.0)
 """
 
 
@@ -181,6 +615,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_15min_dense": q_resample_15min_dense,
     "coverage_info": q_coverage_info,
     "trend_ols": q_trend_ols,
+    "transform_difference": q_transform_difference,
+    "transform_log_sqrt": q_transform_log_sqrt,
+    "scalers": q_scalers,
+    "outliers_zscore_global": q_outliers_zscore_global,
+    "outliers_iqr_global": q_outliers_iqr_global,
+    "outliers_zscore_rolling": q_outliers_zscore_rolling,
+    "smooth_rolling_mean": q_smooth_rolling_mean,
+    "gapfill_locf": q_gapfill_locf,
+    "gapfill_interpolate": q_gapfill_interpolate,
+    "mask_keep": _q_mask("keep"),
+    "mask_remove": _q_mask("remove"),
+    "concat_dedup": q_concat_dedup,
+    "gap_sessions": q_gap_sessions,
+    "compensation_heads": q_compensation_heads,
 }
 
 ORACLES: dict[str, str] = {
@@ -190,4 +638,18 @@ ORACLES: dict[str, str] = {
     "resample_15min_dense": SQL_RESAMPLE_15MIN,
     "coverage_info": SQL_COVERAGE_INFO,
     "trend_ols": SQL_TREND_OLS,
+    "transform_difference": SQL_TRANSFORM_DIFFERENCE,
+    "transform_log_sqrt": SQL_TRANSFORM_LOG_SQRT,
+    "scalers": SQL_SCALERS,
+    "outliers_zscore_global": SQL_OUTLIERS_ZSCORE_GLOBAL,
+    "outliers_iqr_global": SQL_OUTLIERS_IQR_GLOBAL,
+    "outliers_zscore_rolling": SQL_OUTLIERS_ZSCORE_ROLLING,
+    "smooth_rolling_mean": SQL_SMOOTH_ROLLING_MEAN,
+    "gapfill_locf": SQL_GAPFILL_LOCF,
+    "gapfill_interpolate": SQL_GAPFILL_INTERPOLATE,
+    "mask_keep": _sql_mask("IN"),
+    "mask_remove": _sql_mask("NOT IN"),
+    "concat_dedup": SQL_CONCAT_DEDUP,
+    "gap_sessions": SQL_GAP_SESSIONS,
+    "compensation_heads": SQL_COMPENSATION_HEADS,
 }
