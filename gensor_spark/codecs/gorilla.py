@@ -1,0 +1,276 @@
+"""Delta-of-delta timestamp + Gorilla-style XOR value compression, vectorized.
+
+Based on the public Gorilla paper (Pelkonen et al., "Gorilla: A Fast,
+Scalable, In-Memory Time Series Database", VLDB 2015). One deliberate
+deviation for full numpy vectorization (encode AND decode, no per-row
+Python): control bits, fixed-width metadata, and variable-width payloads are
+stored as three *separate* packed bit streams instead of one interleaved
+stream. Interleaving (as in the paper) makes decoding inherently sequential
+— each control decides how many bits to read next; splitting the streams
+lets widths be computed up-front (cumsum) and every bit gathered with one
+vectorized scatter/gather. The same columnar-split idea appears in later
+public formats (e.g. Chimp128, ALP).
+
+Streams per series
+------------------
+timestamps (int64 microseconds):
+  - ctrl: 3 bits/point — bucket of zigzag(delta-of-delta):
+      0→0 bits (dod=0), 1→7, 2→9, 3→12, 4→32, 5→64
+  - payload: zigzag(dod) in the bucket width, MSB first
+  (first two "dod" slots carry ts[0] and delta[0], both bucketed normally)
+values (float64, XOR of consecutive raw bit patterns):
+  - ctrl: 1 bit/point — 0: xor == 0 (repeat), 1: payload present
+  - meta: 12 bits per ctrl=1 point — 6b leading-zero count, 6b (siglen-1)
+  - payload: the significant bits (xor >> trailing_zeros), siglen wide
+  (Gorilla's "reuse previous leading/length window" mode is dropped: it
+  creates a sequential dependency; the meta costs ≤12 extra bits/point.)
+
+Round-trip is bit-exact — the token-array-equality gate of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_U64 = np.uint64
+_DOD_WIDTHS = np.array([0, 7, 9, 12, 32, 64], dtype=np.int64)
+
+
+# ---------------------------------------------------------------- bit kernels
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (binary search, 6 steps)."""
+    x = x.astype(_U64)
+    n = np.full(x.shape, 64, dtype=np.int64)
+    shift = 32
+    cur = x.copy()
+    while shift:
+        hi = cur >> _U64(shift)
+        has = hi != 0
+        n = np.where(has, n - shift, n)
+        cur = np.where(has, hi, cur)
+        shift //= 2
+    return n - (cur != 0).astype(np.int64)  # cur is 0 or 1 here
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros (via isolate-lowest-set-bit + clz)."""
+    x = x.astype(_U64)
+    low = x & (~x + _U64(1))
+    out = np.where(x == 0, 64, 63 - _clz64(low))
+    return out.astype(np.int64)
+
+
+def _pack_bits(codes: np.ndarray, widths: np.ndarray) -> bytes:
+    """Pack each codes[i]'s low widths[i] bits, MSB first, into bytes."""
+    codes = codes.astype(_U64)
+    widths = widths.astype(np.int64)
+    total = int(widths.sum())
+    if total == 0:
+        return b""
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    idx = np.repeat(np.arange(len(codes)), widths)
+    k = np.arange(total) - offsets[idx]
+    shift = (widths[idx] - 1 - k).astype(_U64)
+    bits = ((codes[idx] >> shift) & _U64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes()
+
+
+def _unpack_bits(buf: bytes, widths: np.ndarray) -> np.ndarray:
+    """Inverse of _pack_bits: recover one uint64 per width entry."""
+    widths = widths.astype(np.int64)
+    n = len(widths)
+    out = np.zeros(n, dtype=_U64)
+    total = int(widths.sum())
+    if total == 0:
+        return out
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=total).astype(_U64)
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    idx = np.repeat(np.arange(n), widths)
+    k = np.arange(total) - offsets[idx]
+    shift = (widths[idx] - 1 - k).astype(_U64)
+    contrib = bits << shift
+    nz = widths > 0
+    # segment-sum per element; reduceat can't express empty segments, so only
+    # nonzero-width elements participate
+    out[nz] = np.add.reduceat(contrib, offsets[nz])
+    return out
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(_U64)
+
+
+def _unzigzag(z: np.ndarray) -> np.ndarray:
+    z = z.astype(_U64)
+    return ((z >> _U64(1)).astype(np.int64)) ^ -(z & _U64(1)).astype(np.int64)
+
+
+# ------------------------------------------------------------------ timestamps
+
+def _encode_ts(ts_us: np.ndarray) -> bytes:
+    ts = ts_us.astype(np.int64)
+    n = ts.size
+    if n == 0:
+        return struct.pack("<I", 0)
+    delta = np.diff(ts, prepend=0)
+    dod = np.diff(delta, prepend=0)
+    dod[0] = ts[0]  # slot 0 carries the absolute start
+    if n > 1:
+        dod[1] = delta[1]  # slot 1 carries the first real delta
+    z = _zigzag(dod)
+    nbits = 64 - _clz64(z)
+    ctrl = np.searchsorted(_DOD_WIDTHS, nbits)  # smallest bucket that fits
+    ctrl = np.where(z == 0, 0, ctrl)
+    widths = _DOD_WIDTHS[ctrl]
+    return (
+        struct.pack("<I", n)
+        + _pack_bits(ctrl.astype(_U64), np.full(n, 3))
+        + _pack_bits(z, widths)
+    )
+
+
+def _decode_ts(buf: bytes, off: int = 0) -> tuple[np.ndarray, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    if n == 0:
+        return np.empty(0, dtype=np.int64), off
+    ctrl_bytes = (3 * n + 7) // 8
+    ctrl = _unpack_bits(buf[off : off + ctrl_bytes], np.full(n, 3)).astype(np.int64)
+    off += ctrl_bytes
+    widths = _DOD_WIDTHS[ctrl]
+    pay_bytes = (int(widths.sum()) + 7) // 8
+    z = _unpack_bits(buf[off : off + pay_bytes], widths)
+    off += pay_bytes
+    dod = _unzigzag(z)
+    delta = np.cumsum(dod)
+    delta[0] = 0  # slot 0 was the absolute start, not a dod
+    if n > 1:
+        delta[1:] = np.cumsum(dod[1:])
+    ts = dod[0] + np.concatenate([[0], np.cumsum(delta[1:])])
+    return ts.astype(np.int64), off
+
+
+# --------------------------------------------------------------------- values
+
+def _encode_vals(values: np.ndarray) -> bytes:
+    x = np.ascontiguousarray(values, dtype=np.float64).view(_U64)
+    n = x.size
+    if n == 0:
+        return struct.pack("<I", 0)
+    xor = x ^ np.concatenate([[_U64(0)], x[:-1]])
+    ctrl = (xor != 0).astype(_U64)
+    lz = np.minimum(_clz64(xor), 63)  # Gorilla caps LZ at 6 bits
+    tz = _ctz64(xor)
+    siglen = np.where(xor == 0, 0, 64 - lz - tz).astype(np.int64)
+    sig = xor >> tz.astype(_U64)
+
+    nz = ctrl == 1
+    meta = (lz[nz].astype(_U64) << _U64(6)) | (siglen[nz] - 1).astype(_U64)
+    return (
+        struct.pack("<I", n)
+        + _pack_bits(ctrl, np.full(n, 1))
+        + _pack_bits(meta, np.full(int(nz.sum()), 12))
+        + _pack_bits(sig[nz], siglen[nz])
+    )
+
+
+def _decode_vals(buf: bytes, off: int = 0) -> tuple[np.ndarray, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    if n == 0:
+        return np.empty(0, dtype=np.float64), off
+    ctrl_bytes = (n + 7) // 8
+    ctrl = _unpack_bits(buf[off : off + ctrl_bytes], np.full(n, 1)).astype(bool)
+    off += ctrl_bytes
+    n1 = int(ctrl.sum())
+    meta_bytes = (12 * n1 + 7) // 8
+    meta = _unpack_bits(buf[off : off + meta_bytes], np.full(n1, 12))
+    off += meta_bytes
+    lz = (meta >> _U64(6)).astype(np.int64)
+    siglen = (meta & _U64(0x3F)).astype(np.int64) + 1
+    sig_bytes = (int(siglen.sum()) + 7) // 8
+    sig = _unpack_bits(buf[off : off + sig_bytes], siglen)
+    off += sig_bytes
+
+    xor = np.zeros(n, dtype=_U64)
+    tz = (64 - lz - siglen).astype(_U64)
+    xor[ctrl] = sig << tz
+    x = np.bitwise_xor.accumulate(xor)
+    return x.view(np.float64).copy(), off
+
+
+# ----------------------------------------------------------------- series API
+
+def encode_series(ts_us: np.ndarray, values: np.ndarray) -> bytes:
+    """One series' points → one binary blob (timestamps + values streams)."""
+    return _encode_ts(np.asarray(ts_us)) + _encode_vals(np.asarray(values))
+
+
+def decode_series(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    ts, off = _decode_ts(blob, 0)
+    vals, off = _decode_vals(blob, off)
+    return ts, vals
+
+
+# ---------------------------------------------------------------- Spark layer
+
+EPOCH0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+TICK_US = 60_000_000
+
+
+def encode_docs(docs, tick_us: int = TICK_US, epoch0_us: int = EPOCH0_US):
+    """docs(doc_id, tokens, n_tok, source) → (doc_id, source, n_tok, blob).
+
+    mapInPandas: Arrow batches in, vectorized numpy codec per series. The
+    per-batch loop is over *series* (rows), never points — identical shape to
+    Spark's own grouped processing.
+    """
+    import pandas as pd
+
+    def enc(batches):
+        for pdf in batches:
+            blobs = []
+            for toks in pdf["tokens"]:
+                t = np.asarray(toks, dtype=np.int64)
+                ts = epoch0_us + np.arange(t.size, dtype=np.int64) * tick_us
+                blobs.append(encode_series(ts, t.astype(np.float64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_tok": pdf["n_tok"],
+                    "blob": blobs,
+                }
+            )
+
+    return docs.mapInPandas(
+        enc, schema="doc_id string, source string, n_tok int, blob binary"
+    )
+
+
+def decode_docs(encoded):
+    """Inverse of encode_docs; reconstructs the exact token arrays."""
+    import pandas as pd
+
+    def dec(batches):
+        for pdf in batches:
+            toks = []
+            for blob in pdf["blob"]:
+                _, vals = decode_series(bytes(blob))
+                toks.append(vals.astype(np.int32))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "source": pdf["source"],
+                    "n_tok": pdf["n_tok"],
+                    "tokens": toks,
+                }
+            )
+
+    return encoded.mapInPandas(
+        dec, schema="doc_id string, source string, n_tok int, tokens array<int>"
+    )
