@@ -1,0 +1,97 @@
+"""Resumability / idempotency of the incremental tier pipeline (FIXTURES.md §6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gensor_spark.operators.points import docs_to_points
+from gensor_spark.operators.rollup import finalize_tier, rollup_tier
+from gensor_spark.plans.incremental import TierPipeline
+from gensor_spark.sources.synth import synth_docs
+
+
+@pytest.fixture()
+def docs(spark):
+    # ~20 docs × up to 3 days of 1-minute points
+    return synth_docs(spark, n_docs=20, seed=3, min_tok=100, max_tok=4320).cache()
+
+
+def _tier_pdf(df):
+    key = ["doc_id", "source", "bin_ts"]
+    return df.toPandas().sort_values(key).reset_index(drop=True)
+
+
+def _assert_tiers_equal(a: pd.DataFrame, b: pd.DataFrame):
+    assert len(a) == len(b)
+    for col in ["doc_id", "source", "bin_ts", "count", "min", "max", "last"]:
+        pd.testing.assert_series_equal(a[col], b[col], check_names=False)
+    np.testing.assert_allclose(a["mean"].to_numpy(float), b["mean"].to_numpy(float), rtol=1e-12)
+
+
+def test_resume_from_checkpoint(spark, docs, tmp_path):
+    store = str(tmp_path / "tiers")
+    pipe = TierPipeline(spark, store, n_batches=4)
+
+    # process half, "crash", resume
+    s1 = pipe.run(docs, batches=[0, 1])
+    assert s1["processed"] == [0, 1]
+
+    pipe2 = TierPipeline(spark, store, n_batches=4)  # fresh process
+    s2 = pipe2.run(docs)
+    assert s2["processed"] == [2, 3]
+    assert s2["skipped"] == [0, 1]
+
+    # tiers == direct non-incremental computation, no dupes
+    points = docs_to_points(docs)
+    for tier in ("1m", "1h", "1d"):
+        direct = _tier_pdf(finalize_tier(rollup_tier(points, tier)))
+        incr = _tier_pdf(pipe2.read_tier(tier))
+        _assert_tiers_equal(direct, incr)
+
+    # lineage: one row per processed batch with per-tier counts
+    lin = pipe2.lineage()
+    assert sorted(r["batch"] for r in lin) == [0, 1, 2, 3]
+    assert all(set(r["rows"]) == {"1m", "1h", "1d"} for r in lin)
+
+
+def test_rerun_is_noop_and_idempotent(spark, docs, tmp_path):
+    store = str(tmp_path / "tiers")
+    pipe = TierPipeline(spark, store, n_batches=2)
+    pipe.run(docs)
+    before = _tier_pdf(pipe.read_tier("1h"))
+    stats = pipe.run(docs)  # everything checkpointed → no-op
+    assert stats["processed"] == []
+    after = _tier_pdf(pipe.read_tier("1h"))
+    _assert_tiers_equal(before, after)
+
+
+def test_crash_between_write_and_checkpoint(spark, docs, tmp_path):
+    """Simulate dying after data write but before the ledger commit."""
+    store = str(tmp_path / "tiers")
+    pipe = TierPipeline(spark, store, n_batches=2)
+    pipe.run(docs, batches=[0])
+    # forge the crash: remove batch 1 from ledger after processing it
+    pipe.run(docs, batches=[1])
+    led = pipe.ledger()
+    led["processed"].remove(1)
+    pipe._ledger_path.write_text(__import__("json").dumps(led))
+
+    pipe3 = TierPipeline(spark, store, n_batches=2)
+    s = pipe3.run(docs)
+    assert s["processed"] == [1]  # reprocessed, overwriting its own dir
+
+    points = docs_to_points(docs)
+    direct = _tier_pdf(finalize_tier(rollup_tier(points, "1d")))
+    _assert_tiers_equal(direct, _tier_pdf(pipe3.read_tier("1d")))
+
+
+def test_compact_preserves_results(spark, docs, tmp_path):
+    store = str(tmp_path / "tiers")
+    pipe = TierPipeline(spark, store, n_batches=4)
+    pipe.run(docs)
+    before = _tier_pdf(pipe.read_tier("1m"))
+    pipe.compact("1m")
+    after = _tier_pdf(pipe.read_tier("1m"))
+    _assert_tiers_equal(before, after)
