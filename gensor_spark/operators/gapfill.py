@@ -17,6 +17,14 @@ gensor exposes these through pandas delegation —
 Spark realization: pure window functions — a forward frame carrying
 ``(last non-null value, its ts/seq)`` and a reverse frame carrying the next
 ones, then the affine blend. No UDFs, single shuffle on the series key.
+
+Performance note: the "next non-null" lookup is expressed as a DESCENDING
+sort with an unbounded-PRECEDING frame, never ``rowsBetween(0,
+unboundedFollowing)`` — Spark's UnboundedFollowingWindowFunctionFrame
+re-aggregates the remaining frame for every row (O(n²) per partition; 100×
+slowdown measured on month-long 15-min dense grids), while the preceding
+frame is maintained incrementally (O(n)). Both sorts share one shuffle on
+the series key.
 """
 
 from __future__ import annotations
@@ -27,23 +35,31 @@ from pyspark.sql import functions as F
 KEYS = ("doc_id", "source")
 
 
-def _fwd(keys):
-    return W.partitionBy(*keys).orderBy("seq").rowsBetween(W.unboundedPreceding, 0)
+def _fwd(keys, seq_col: str = "seq"):
+    return W.partitionBy(*keys).orderBy(seq_col).rowsBetween(W.unboundedPreceding, 0)
 
 
-def _bwd(keys):
-    return W.partitionBy(*keys).orderBy("seq").rowsBetween(0, W.unboundedFollowing)
+def _bwd(keys, seq_col: str = "seq"):
+    # descending order + preceding frame == "current row to end" in ascending
+    # order, but incremental instead of quadratic (see module docstring)
+    return (
+        W.partitionBy(*keys)
+        .orderBy(F.desc(seq_col))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
 
 
-def locf(points: DataFrame, keys=KEYS, value_col: str = "value") -> DataFrame:
+def locf(points: DataFrame, keys=KEYS, value_col: str = "value",
+         seq_col: str = "seq") -> DataFrame:
     """Last observation carried forward (pandas ffill parity)."""
-    filled = F.last(value_col, ignorenulls=True).over(_fwd(keys))
+    filled = F.last(value_col, ignorenulls=True).over(_fwd(keys, seq_col))
     return points.withColumn(value_col, filled)
 
 
-def nocb(points: DataFrame, keys=KEYS, value_col: str = "value") -> DataFrame:
+def nocb(points: DataFrame, keys=KEYS, value_col: str = "value",
+         seq_col: str = "seq") -> DataFrame:
     """Next observation carried backward (pandas bfill parity)."""
-    filled = F.first(value_col, ignorenulls=True).over(_bwd(keys))
+    filled = F.last(value_col, ignorenulls=True).over(_bwd(keys, seq_col))
     return points.withColumn(value_col, filled)
 
 
@@ -67,12 +83,12 @@ def interpolate(
         F.unix_micros(F.col(ts_col)).cast("double")
     )
     v = F.col(value_col)
-    fwd, bwd = _fwd(keys), _bwd(keys)
+    fwd, bwd = _fwd(keys, seq_col), _bwd(keys, seq_col)
 
     prev_v = F.last(v, ignorenulls=True).over(fwd)
     prev_x = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(fwd)
-    next_v = F.first(v, ignorenulls=True).over(bwd)
-    next_x = F.first(F.when(v.isNotNull(), x), ignorenulls=True).over(bwd)
+    next_v = F.last(v, ignorenulls=True).over(bwd)
+    next_x = F.last(F.when(v.isNotNull(), x), ignorenulls=True).over(bwd)
 
     blended = prev_v + (next_v - prev_v) * (x - prev_x) / (next_x - prev_x)
     filled = (

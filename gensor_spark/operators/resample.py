@@ -108,4 +108,12 @@ def resample(
             F.sequence("_lo", "_hi", F.expr(f"interval {step} seconds"))
         ).alias("bin_ts"),
     )
-    return grid.join(agged, [*keys, "bin_ts"], "left")
+    # Force a sort-merge join here. The span aggregate is tiny pre-explode,
+    # so Catalyst (mis)estimates the grid side as small, AQE coalesces its
+    # exchange to 1 partition, and the planner broadcasts `agged` — which is
+    # the SAME cardinality as the grid. Net effect: the explode, the join,
+    # and every downstream per-series window run in a single task (measured
+    # 40× slowdown on a month of 15-min bins). The merge hint makes both
+    # sides exchange on (keys, bin_ts) at real parallelism; at 100 TB this
+    # join could never be broadcast anyway.
+    return grid.join(agged.hint("merge"), [*keys, "bin_ts"], "left")
