@@ -1,0 +1,65 @@
+"""spark-submit job entrypoint (north rule: ships as --py-files package).
+
+Usage (cluster)::
+
+    python scripts/make_package.py dist/
+    spark-submit --py-files dist/gensor_spark.zip dist/job.py \
+        --docs /path/to/docs_parquet --store /path/to/tier_store
+
+Usage (sandbox)::
+
+    python -m gensor_spark --synth-docs 1000 --store /tmp/tiers --master 'local[8]'
+
+Runs the incremental tier pipeline (1m→1h→1d continuous aggregates with
+checkpoint ledger + lineage) over a docs table of the mandated shape
+``(doc_id string, tokens array<int>, n_tok int, source string)``, then
+prints per-tier row counts and the lineage tail as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="gensor_spark")
+    ap.add_argument("--docs", help="parquet path of the docs table")
+    ap.add_argument("--synth-docs", type=int, default=0,
+                    help="synthesize N deterministic docs instead of --docs")
+    ap.add_argument("--store", required=True, help="tier store directory")
+    ap.add_argument("--master", default="cluster",
+                    help="'cluster' (default, spark-submit decides) or local[N]")
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--tick", type=int, default=60,
+                    help="seconds per token tick in the point view")
+    args = ap.parse_args(argv)
+
+    from gensor_spark.plans.incremental import TIERS, TierPipeline
+    from gensor_spark.session import get_spark
+
+    spark = get_spark(app_name="gensor_spark_job", master=args.master)
+    if args.synth_docs:
+        from gensor_spark.sources.synth import synth_docs
+
+        docs = synth_docs(spark, n_docs=args.synth_docs, seed=42)
+    elif args.docs:
+        docs = spark.read.parquet(args.docs)
+    else:
+        ap.error("one of --docs or --synth-docs is required")
+
+    pipe = TierPipeline(spark, args.store, n_batches=args.batches,
+                        tick_seconds=args.tick)
+    stats = pipe.run(docs)
+    result = {
+        "stats": stats,
+        "tiers": {t: pipe.read_tier(t).count() for t in TIERS},
+        "lineage_tail": pipe.lineage()[-3:],
+    }
+    json.dump(result, sys.stdout)
+    print()
+
+
+if __name__ == "__main__":
+    main()

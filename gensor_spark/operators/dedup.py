@@ -1,0 +1,250 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline extension (no gensor analogue — the reference's only
+dedup is per-series duplicate-timestamp removal, ``gensor/core/base.py:141``).
+All operators are pure DataFrame plans:
+
+- **exact**: hash-groupBy on ``md5(text)`` — one shuffle on the digest, the
+  keeper is ``min(doc_id)`` per group (deterministic).
+- **MinHash + LSH**: per-row signatures via higher-order functions (no
+  explode of the permutation axis — one narrow projection, stays in
+  whole-stage codegen), then banding → bucket self-join → exact-Jaccard
+  verification. Candidate generation is the only quadratic-risk step and it
+  is bounded per bucket; the verify step is an inverted-index join on
+  shingles, never an array crunch over collected docs.
+- **SimHash**: 32-bit signature per row, near-pairs via banded pigeonhole
+  (any pair within Hamming distance ``bands-1`` shares ≥ 1 exact band) and
+  ``bit_count(a XOR b)`` verification.
+- **n-gram Jaccard**: the exact all-pairs baseline via a shingle
+  inverted-index join — correct at any scale that survives its output size,
+  and the oracle for the LSH path's recall.
+
+Scale notes (100 TB): signatures are O(row) work; the bucket self-join is
+the shuffle to watch — degenerate buckets (boilerplate docs) are capped via
+``max_bucket`` below, the standard guard in web-scale dedup. Hashes are
+md5-derived for cross-engine verifiability (see functions/text.py); swap
+``seeded_hash`` for xxhash64 in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from gensor_spark.functions.text import md5int, seeded_hash, shingles, tokens
+
+DEFAULT_NUM_PERM = 32
+DEFAULT_BANDS = 8  # 8 bands x 4 rows; s-curve threshold ~ (1/8)^(1/4) ≈ 0.59
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # exact for Hamming distance <= 3
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicates: ``(doc_id, keeper_id)`` for every non-keeper row.
+
+    One shuffle keyed on the text digest; keeper = min(doc_id) per digest.
+    """
+    digest = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_digest"))
+    w = W.partitionBy("_digest")
+    flagged = digest.withColumn("keeper_id", F.min(id_col).over(w))
+    return (
+        flagged.filter(F.col(id_col) != F.col("keeper_id"))
+        .select(F.col(id_col).alias("dup_id"), "keeper_id")
+    )
+
+
+def shingle_rows(docs: DataFrame, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct ``(doc_id, shingle)`` rows — the inverted-index base."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(shingles(tokens(F.col(text_col)), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature(docs: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
+                      k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature as ``array<long>`` of length ``num_perm``.
+
+    Computed row-local with higher-order functions: for permutation ``p``,
+    ``sig[p] = min over shingles of hash(p || ':' || shingle)``. Min is
+    duplicate-insensitive, so the shingle array needs no distinct. Docs with
+    no shingles (< k tokens) get a null signature and drop out of LSH.
+    """
+    sh = shingles(tokens(F.col(text_col)), k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda p: F.array_min(F.transform(sh, lambda s: seeded_hash(p, s))),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(sh) > 0, sig).alias("sig"),
+    )
+
+
+def lsh_bands(sigs: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame:
+    """Band the signature: ``(doc_id, band, band_hash)`` rows.
+
+    ``band_hash = md5int(band || ':' || csv of that band's signature slice)``
+    — one 32-bit key per band, identical in the SQL oracle.
+    """
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: md5int(
+            F.concat(
+                b.cast("string"), F.lit(":"),
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", b * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+        ),
+    )
+    return (
+        sigs.filter(F.col("sig").isNotNull())
+        .select("doc_id", F.posexplode(band_arr).alias("band", "band_hash"))
+    )
+
+
+def lsh_candidates(band_rows: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Distinct candidate pairs ``(id_a < id_b)`` sharing any band bucket.
+
+    ``max_bucket`` drops degenerate buckets (near-constant boilerplate) that
+    would otherwise square the join output — the standard web-scale guard.
+    Dropped buckets are a recall trade documented to the caller, not a
+    silent cap: count them via ``band_rows.groupBy('band','band_hash')``.
+    """
+    sized = band_rows.withColumn(
+        "_n", F.count("*").over(W.partitionBy("band", "band_hash"))
+    ).filter(F.col("_n") <= max_bucket)
+    a = sized.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+    b = sized.select("band", "band_hash", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, sh_rows: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for given pairs, via inverted-index joins.
+
+    ``|A ∩ B|`` from a two-hop join on the shingle rows; ``|A ∪ B| =
+    |A| + |B| - |A ∩ B|``. No arrays are shuffled — only (id, shingle) rows.
+    """
+    sizes = sh_rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh_rows.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh_rows.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a")
+                    .withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n", "n_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("common").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("common"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
+                        num_perm: int = DEFAULT_NUM_PERM,
+                        bands: int = DEFAULT_BANDS, k: int = 3) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard verification."""
+    sigs = minhash_signature(docs, num_perm=num_perm, k=k)
+    cands = lsh_candidates(lsh_bands(sigs, bands=bands))
+    sh = shingle_rows(docs, k=k)
+    return jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        k: int = 3) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold (inverted-index join).
+
+    The recall oracle for the LSH path. Pair generation touches only pairs
+    that share ≥ 1 shingle; at web scale add prefix filtering before this.
+    """
+    sh = shingle_rows(docs, k=k)
+    pairs = (
+        sh.withColumnRenamed("doc_id", "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_col(text_col, bits: int = SIMHASH_BITS):
+    """SimHash of the token stream as a non-negative ``bits``-wide long.
+
+    Per bit ``b``: sum over tokens (with multiplicity) of ±1 according to
+    bit ``b`` of the token hash; bit set iff the sum is strictly positive.
+    Row-local higher-order functions only; the bit loop is unrolled in
+    Python because Spark's shiftleft/shiftright take a literal int shift.
+    """
+    toks = tokens(text_col)
+    th = F.transform(toks, lambda t: md5int(t))
+    def vote(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    val = F.lit(0).cast("long")
+    for b in range(bits):
+        votes = F.aggregate(th, F.lit(0), vote(1 << b))
+        val = val + F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return val
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  bits: int = SIMHASH_BITS, bands: int = SIMHASH_BANDS,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs within ``max_hamming`` SimHash bits, via banded pigeonhole.
+
+    Splitting ``bits`` into ``bands`` byte-bands: a pair with Hamming
+    distance ≤ bands-1 must agree exactly on ≥ 1 band (pigeonhole), so the
+    bucket join is lossless for ``max_hamming ≤ bands - 1`` — this is exact,
+    not approximate. Verification is ``bit_count(a XOR b)``.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("banded join is only exact for max_hamming <= bands-1")
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     simhash_col(F.col(text_col), bits).alias("simhash"))
+    band_arr = F.array(*[
+        F.expr(f"shiftright(simhash, {b * band_bits}) & {mask}")
+        for b in range(bands)
+    ])
+    banded = sh.select("doc_id", "simhash",
+                       F.posexplode(band_arr).alias("band", "band_val"))
+    a = banded.select("band", "band_val", F.col("doc_id").alias("id_a"),
+                      F.col("simhash").alias("sim_a"))
+    b = banded.select("band", "band_val", F.col("doc_id").alias("id_b"),
+                      F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

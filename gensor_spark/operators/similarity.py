@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns: brute-force and LSH-bucketed.
+
+Training-data-pipeline extension (no gensor analogue). Two tiers:
+
+- **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, one narrow projection per pair,
+  ``row_number`` window for the top-k cut. O(corpus × queries); right answer
+  at any corpus size as long as the query set broadcasts.
+- **random-hyperplane LSH** — the scale path for corpus×corpus near-dup:
+  sign-pattern signatures bucket the corpus so only same-bucket pairs are
+  scored. Recall is tunable via planes count; candidates are verified with
+  exact cosine, so precision is 1.
+
+Determinism contract: embeddings are quantized to integers
+(``floor(x * SCALE + 0.5)``) before any arithmetic. Products and sums of
+small integers are exact in IEEE double regardless of association order, so
+cosine values — and therefore bucket assignments and rankings — are
+bit-identical between Spark and the DuckDB oracle. Hyperplanes are ±1
+Rademacher vectors derived from md5 (`_plane`), generated once in Python and
+inlined as literals in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point quantization scale for cross-engine exactness
+SCALE = 1000
+
+#: multi-table LSH layout: L tables × m planes each. Candidate recall for a
+#: pair at angle θ is 1 - (1 - p^m)^L with p = 1 - θ/π; at cosine 0.45
+#: (p ≈ 0.65) this is ≈ 0.79 — one signature of L·m planes would be ≈ 0.006.
+LSH_TABLES = 8
+LSH_PLANES_PER_TABLE = 4
+DEFAULT_DIMS = 64
+
+
+def _plane(p: int, dims: int) -> list[int]:
+    """Deterministic ±1 hyperplane ``p``: parity of md5("p:d")."""
+    out = []
+    for d in range(dims):
+        h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+        out.append(1 if int(h[:8], 16) & 1 else -1)
+    return out
+
+
+def planes(n_planes: int, dims: int = DEFAULT_DIMS) -> list[list[int]]:
+    return [_plane(p, dims) for p in range(n_planes)]
+
+
+def quantize(vec) -> "F.Column":
+    """Fixed-point quantization, round-half-up in every IEEE engine."""
+    return F.transform(vec, lambda x: F.floor(x * SCALE + F.lit(0.5)).cast("long"))
+
+
+def dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b) -> "F.Column":
+    """Cosine over quantized integer vectors — exact across engines."""
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def hyperplane_bucket(vec, plane_lits: list[list[int]]) -> "F.Column":
+    """LSH bucket id for one table: bit ``j`` set iff ``planes[j] · vec >= 0``."""
+    sig = F.lit(0).cast("long")
+    for j, w in enumerate(plane_lits):
+        wcol = F.array(*[F.lit(x) for x in w])
+        bit = F.when(dot(vec, wcol) >= 0,
+                     F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit
+    return sig
+
+
+def brute_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k of the first ``n_queries`` vectors vs the corpus.
+
+    The query side is broadcast — at 100 TB the corpus side streams through
+    one projection stage with no shuffle until the per-query top-k, which
+    aggregates to ``n_queries × k`` rows (partial top-k per partition via
+    the window's sort is the dominant cost; for large k switch to
+    ``top_k``-style aggregation).
+    """
+    from pyspark.sql import Window as W
+
+    q = (
+        emb.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"),
+                quantize(F.col(vec_col)).alias("qv"))
+    )
+    c = emb.select(F.col(id_col).alias("cand_id"),
+                   quantize(F.col(vec_col)).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cosine("qv", "cv").alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def neardup_pairs_brute(emb: DataFrame, threshold: float = 0.45,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """All-pairs cosine ≥ threshold — O(n²) exactness baseline."""
+    a = emb.select(F.col(id_col).alias("id_a"), quantize(F.col(vec_col)).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), quantize(F.col(vec_col)).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
+                      tables: int = LSH_TABLES,
+                      planes_per_table: int = LSH_PLANES_PER_TABLE,
+                      dims: int = DEFAULT_DIMS, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Multi-table LSH near-dup pairs: candidates agree on ≥ 1 full table.
+
+    ``tables × planes_per_table`` hyperplanes; table ``t`` uses planes
+    ``[t·m, (t+1)·m)``. Candidates are pairs sharing any table's bucket
+    (OR-amplification — see LSH_TABLES for the recall curve), then verified
+    with exact cosine, so precision is 1. The bucket join shuffles
+    ``rows × tables`` narrow rows — linear, no quadratic blow-up outside a
+    bucket. Skewed buckets (near-zero vectors) are the thing to watch at
+    scale; cap them like dedup.lsh_candidates does for MinHash.
+    """
+    all_planes = planes(tables * planes_per_table, dims)
+    sigs = emb.select(
+        F.col(id_col).alias("vid"),
+        quantize(F.col(vec_col)).alias("qv"),
+    )
+    bucket_arr = F.array(*[
+        hyperplane_bucket(F.col("qv"),
+                          all_planes[t * planes_per_table:(t + 1) * planes_per_table])
+        for t in range(tables)
+    ])
+    banded = sigs.select("vid", "qv", F.posexplode(bucket_arr).alias("tbl", "bucket"))
+    a = banded.select("tbl", "bucket", F.col("vid").alias("id_a"),
+                      F.col("qv").alias("va"))
+    b = banded.select("tbl", "bucket", F.col("vid").alias("id_b"),
+                      F.col("qv").alias("vb"))
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
+        .distinct()
+        .filter(F.col("sim") >= threshold)
+    )

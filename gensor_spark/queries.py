@@ -554,7 +554,7 @@ g AS (
 s AS (
   SELECT doc_id, source, ts,
          SUM(flag) OVER (PARTITION BY doc_id, source ORDER BY ts
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
   FROM g
 )
 SELECT doc_id, source, session_id, COUNT(*) AS n,
@@ -631,6 +631,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compensation_heads": q_compensation_heads,
 }
 
+from gensor_spark.queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
+
+QUERIES.update(TEXT_QUERIES)
+
 ORACLES: dict[str, str] = {
     "rollup_1m": _sql_rollup("minute"),
     "rollup_1h": _sql_rollup("hour"),
@@ -653,3 +657,5 @@ ORACLES: dict[str, str] = {
     "gap_sessions": SQL_GAP_SESSIONS,
     "compensation_heads": SQL_COMPENSATION_HEADS,
 }
+
+ORACLES.update(TEXT_ORACLES)

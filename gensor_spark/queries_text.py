@@ -1,0 +1,502 @@
+"""Training-data-pipeline queries (documents/embeddings) + DuckDB oracles.
+
+Dedup (exact / fingerprint / MinHash-LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force and multi-table LSH), text analysis
+(language-ID, quality features, BPE-ish token stats).
+
+Single-source-of-truth oracles: every constant the Spark plan uses —
+stopword lists, hash seeds, LSH band layout, hyperplane matrices, the
+fixed-point embedding scale — is defined once in Python and **interpolated
+into the generated SQL**, so both engines compute bit-identical values
+(hashes via md5-prefix ints, embedding math via integer quantization; see
+operators/similarity.py for the exactness argument).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gensor_spark.functions import text as T
+from gensor_spark.operators import dedup as D
+from gensor_spark.operators import similarity as S
+from gensor_spark.sources.tables import load_table
+
+
+def _r6(c):
+    # same epsilon-then-round convention as queries.py (half-up boundary fix)
+    return F.round(c + F.lit(1e-9), 6)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- shared SQL fragments (DuckDB dialect) --------------------------------
+
+_TOKS_SQL = """
+  SELECT doc_id, text, lang, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS toks
+  FROM documents
+"""
+
+
+def _md5int_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def _shingle_sql(k: int) -> str:
+    """list of k-token shingles from `toks` (DuckDB 1-based inclusive slices)."""
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(toks[i:i + {k - 1}], ' '))"
+    )
+
+
+_QV_SQL = "list_transform(embedding, x -> floor(x::DOUBLE * 1000 + 0.5)::BIGINT)"
+
+
+def _dot_sql(a: str, b: str, dims: int = S.DEFAULT_DIMS) -> str:
+    return f"list_sum(list_transform(range(1, {dims + 1}), i -> {a}[i] * {b}[i]))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)}::DOUBLE / "
+        f"(sqrt({_dot_sql(a, a)}::DOUBLE) * sqrt({_dot_sql(b, b)}::DOUBLE)))"
+    )
+
+
+def _plane_dot_sql(qv: str, plane: list[int]) -> str:
+    terms = " + ".join(f"{qv}[{i + 1}] * ({w})" for i, w in enumerate(plane))
+    return f"({terms})"
+
+
+# --------------------------------------------------------------------------
+# exact + fingerprint dedup
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents),
+k AS (SELECT dg, min(doc_id) AS keeper_id FROM d GROUP BY 1)
+SELECT d.doc_id AS dup_id, k.keeper_id
+FROM d JOIN k USING (dg) WHERE d.doc_id != k.keeper_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", T.doc_fingerprint(F.col("text"), k=5).alias("fp"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH toks AS ({_TOKS_SQL}),
+s AS (SELECT doc_id, {_shingle_sql(5)} AS sh, array_to_string(toks, ' ') AS joined
+      FROM toks)
+SELECT doc_id,
+       CASE WHEN len(sh) > 0
+            THEN list_min(list_transform(sh, x -> {_md5int_sql('x')}))
+            ELSE {_md5int_sql('joined')} END AS fp
+FROM s
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-collision groups — the cheap near-dup prefilter."""
+    fp = q_doc_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DEDUP_FINGERPRINT = f"""
+WITH fp_t AS ({SQL_DOC_FINGERPRINT})
+SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM fp_t GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup (num_perm=32, 8 bands x 4 rows, 3-token shingles)
+# --------------------------------------------------------------------------
+
+_NP, _NB, _K = D.DEFAULT_NUM_PERM, D.DEFAULT_BANDS, 3
+_RPB = _NP // _NB
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5,
+                                num_perm=_NP, bands=_NB, k=_K)
+    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS (SELECT DISTINCT doc_id, s
+       FROM toks, LATERAL (SELECT unnest({_shingle_sql(_K)}) AS s) u),
+mh AS (SELECT doc_id, p,
+              min({_md5int_sql("p::VARCHAR || ':' || s")}) AS h
+       FROM sh CROSS JOIN (SELECT unnest(range({_NP})) AS p) GROUP BY 1, 2),
+bands AS (SELECT doc_id, (p // {_RPB}) AS band,
+                 {_md5int_sql(f"(p // {_RPB})::VARCHAR || ':' || string_agg(h::VARCHAR, ',' ORDER BY p)")} AS band_hash
+          FROM mh GROUP BY doc_id, (p // {_RPB})),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (SELECT c.id_a, c.id_b, count(*) AS cnt
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.id_a
+           JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(cnt::DOUBLE / (na.n + nb.n - cnt) + 1e-9, 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE cnt::DOUBLE / (na.n + nb.n - cnt) >= 0.5
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=_K)
+    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS (SELECT DISTINCT doc_id, s
+       FROM toks, LATERAL (SELECT unnest({_shingle_sql(_K)}) AS s) u),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (SELECT c.id_a, c.id_b, count(*) AS cnt
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.id_a
+           JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+           GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(cnt::DOUBLE / (na.n + nb.n - cnt) + 1e-9, 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE cnt::DOUBLE / (na.n + nb.n - cnt) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash (32 bits, 4 byte-bands, exact for Hamming <= 3)
+# --------------------------------------------------------------------------
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", D.simhash_col(F.col("text")).alias("simhash"))
+
+
+SQL_SIMHASH_SIGNATURES = f"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (SELECT doc_id, t FROM toks, LATERAL (SELECT unnest(toks) AS t) u),
+th AS (SELECT doc_id, {_md5int_sql('t')} AS h FROM tok),
+bits AS (SELECT doc_id, b,
+                CASE WHEN sum(((h >> b) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+         FROM th CROSS JOIN (SELECT unnest(range({D.SIMHASH_BITS})) AS b)
+         GROUP BY 1, 2),
+sig AS (SELECT doc_id, sum(bit * (1::BIGINT << b))::BIGINT AS simhash
+        FROM bits GROUP BY 1)
+SELECT d.doc_id, coalesce(sig.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+_SH_BB = D.SIMHASH_BITS // D.SIMHASH_BANDS
+_SH_MASK = (1 << _SH_BB) - 1
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sig AS ({SQL_SIMHASH_SIGNATURES}),
+banded AS (SELECT doc_id, simhash, band, (simhash >> (band * {_SH_BB})) & {_SH_MASK} AS band_val
+           FROM sig CROSS JOIN (SELECT unnest(range({D.SIMHASH_BANDS})) AS band)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding similarity
+# --------------------------------------------------------------------------
+
+def q_emb_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.neardup_pairs_brute(_emb(spark, sf_dir), threshold=0.45)
+    return out.select("id_a", "id_b", _r6(F.col("sim")).alias("sim"))
+
+
+SQL_EMB_NEARDUP_BRUTE = f"""
+WITH q AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.qv', 'b.qv')} + 1e-9, 6) AS sim
+FROM q a JOIN q b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.qv', 'b.qv')} >= 0.45
+"""
+
+
+def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
+    return out.select("id_a", "id_b", _r6(F.col("sim")).alias("sim"))
+
+
+def _sql_emb_neardup_lsh() -> str:
+    all_planes = S.planes(S.LSH_TABLES * S.LSH_PLANES_PER_TABLE, S.DEFAULT_DIMS)
+    m = S.LSH_PLANES_PER_TABLE
+    bucket_exprs = []
+    for t in range(S.LSH_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN {_plane_dot_sql('qv', all_planes[t * m + j])} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(m)
+        )
+        bucket_exprs.append(f"({bits}) AS bucket_{t}")
+    union = "\n  UNION ALL ".join(
+        f"SELECT vec_id, qv, {t} AS tbl, bucket_{t} AS bucket FROM sigs"
+        for t in range(S.LSH_TABLES)
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+sigs AS (SELECT vec_id, qv, {', '.join(bucket_exprs)} FROM q),
+buckets AS ({union}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, a.qv AS va, b.vec_id AS id_b, b.qv AS vb
+         FROM buckets a JOIN buckets b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round({_cos_sql('va', 'vb')} + 1e-9, 6) AS sim
+FROM cand WHERE {_cos_sql('va', 'vb')} >= 0.45
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.brute_topk(_emb(spark, sf_dir), k=5, n_queries=10)
+    return out.select("query_id", "cand_id", "rank", _r6(F.col("sim")).alias("sim"))
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH c AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+q AS (SELECT vec_id AS query_id, qv AS qq FROM c WHERE vec_id < 10),
+scored AS (SELECT q.query_id, c.vec_id AS cand_id,
+                  {_cos_sql('qq', 'qv')} AS sim
+           FROM c CROSS JOIN q WHERE c.vec_id != q.query_id),
+ranked AS (SELECT query_id, cand_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, cand_id) AS rank
+           FROM scored)
+SELECT query_id, cand_id, rank, round(sim + 1e-9, 6) AS sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis: language-ID, quality features, token stats
+# --------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", "lang",
+                       T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    langs = list(T.STOPWORDS)
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in T.STOPWORDS[lg])
+        + f"], x))) AS s_{lg}"
+        for lg in langs
+    )
+    # replicate the strict-> fold from functions/text.py exactly
+    cur_lang, cur_score = f"'{langs[0]}'", f"s_{langs[0]}"
+    for lg in langs[1:]:
+        cur_lang = f"CASE WHEN s_{lg} > ({cur_score}) THEN '{lg}' ELSE {cur_lang} END"
+        cur_score = f"CASE WHEN s_{lg} > ({cur_score}) THEN s_{lg} ELSE ({cur_score}) END"
+    return f"""
+WITH toks AS ({_TOKS_SQL}),
+sc AS (SELECT doc_id, lang,
+              length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+              greatest(length(text), 1) AS n_chars,
+              {score_cols}
+       FROM toks)
+SELECT doc_id, lang,
+       CASE WHEN cjk >= {T.CJK_RATIO} * n_chars THEN 'zh'
+            WHEN ({cur_score}) >= {T.LANGID_MIN_HITS} THEN {cur_lang}
+            ELSE 'unknown' END AS lang_pred
+FROM sc
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        _r6(feats["punct_ratio"]).alias("punct_ratio"),
+        _r6(feats["alnum_ratio"]).alias("alnum_ratio"),
+        _r6(feats["digit_ratio"]).alias("digit_ratio"),
+        _r6(feats["stopword_ratio"]).alias("stopword_ratio"),
+        _r6(feats["mean_token_len"]).alias("mean_token_len"),
+    )
+
+
+def _sql_doc_quality() -> str:
+    en_stop = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+    return f"""
+WITH toks AS ({_TOKS_SQL})
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(toks) AS n_tokens,
+       round(length(regexp_replace(text, '[^\\.,;:!?''"()\\[\\]{{}}-]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) + 1e-9, 6) AS punct_ratio,
+       round(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) + 1e-9, 6) AS alnum_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) + 1e-9, 6) AS digit_ratio,
+       round(len(list_filter(toks, x -> list_contains([{en_stop}], x)))::DOUBLE
+             / greatest(len(toks), 1) + 1e-9, 6) AS stopword_ratio,
+       round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
+             / greatest(len(toks), 1) + 1e-9, 6) AS mean_token_len
+FROM toks
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        T.bpeish_token_count(F.col("text")).alias("n_bpe"),
+        F.size(T.tokens(F.col("text"))).alias("n_ws"),
+        F.length("text").alias("n_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        _r6(F.avg(F.col("n_chars").cast("double") / F.greatest(F.col("n_bpe"), F.lit(1))))
+        .alias("chars_per_token"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+WITH toks AS ({_TOKS_SQL}),
+per AS (SELECT source,
+               len(regexp_extract_all(lower(text), '{T.BPEISH_RE}')) AS n_bpe,
+               len(toks) AS n_ws,
+               length(text) AS n_chars
+        FROM toks)
+SELECT source, count(*) AS n_docs,
+       sum(n_bpe)::BIGINT AS total_bpe_tokens,
+       sum(n_ws)::BIGINT AS total_ws_tokens,
+       round(avg(n_chars::DOUBLE / greatest(n_bpe, 1)) + 1e-9, 6) AS chars_per_token
+FROM per GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal: binary payload plumbing (operators/multimodal.py)
+# --------------------------------------------------------------------------
+
+def q_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata catalog over the derived media table (oracle-checked)."""
+    from gensor_spark.operators.multimodal import media_from_documents
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.min("media_id").alias("min_id"),
+        F.max("media_id").alias("max_id"),
+    )
+
+
+SQL_MEDIA_CATALOG = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS kind,
+         encode(text) AS payload
+  FROM documents)
+SELECT kind, count(*) AS n_media,
+       sum(octet_length(payload))::BIGINT AS total_bytes,
+       min(media_id) AS min_id, max(media_id) AS max_id
+FROM media GROUP BY 1
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-UDF byte-feature extraction — rows-only check (decode is the
+    non-SQL-expressible stage; real codecs stubbed, see operators/multimodal)."""
+    from gensor_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    out = extract_features(media, decoder="fake")
+    return out.select("media_id", "kind", "n_bytes", "first_byte", "last_byte",
+                      _r6(F.col("byte_mean")).alias("byte_mean"), "checksum")
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "simhash_signatures": q_simhash_signatures,
+    "simhash_pairs": q_simhash_pairs,
+    "emb_neardup_brute": q_emb_neardup_brute,
+    "emb_neardup_lsh": q_emb_neardup_lsh,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lang_id": q_lang_id,
+    "doc_quality": q_doc_quality,
+    "token_stats": q_token_stats,
+    "media_catalog": q_media_catalog,
+    "media_features": q_media_features,
+}
+
+TEXT_ORACLES: dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "simhash_signatures": SQL_SIMHASH_SIGNATURES,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "emb_neardup_brute": SQL_EMB_NEARDUP_BRUTE,
+    "emb_neardup_lsh": _sql_emb_neardup_lsh(),
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "lang_id": _sql_lang_id(),
+    "doc_quality": _sql_doc_quality(),
+    "token_stats": SQL_TOKEN_STATS,
+    "media_catalog": SQL_MEDIA_CATALOG,
+    # media_features: intentionally no oracle — the decode stage is a pandas
+    # UDF over binary payloads (rows-only driver check)
+}

@@ -25,8 +25,8 @@ def get_spark(
     """Build (or fetch) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
-    ``local[*]``). On a real cluster, pass ``master=None`` from spark-submit
-    and these configs ride along unchanged.
+    ``local[*]``). Pass ``master='cluster'`` from a spark-submit job to leave
+    the master to the launcher (these configs ride along unchanged).
     """
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
@@ -39,9 +39,11 @@ def get_spark(
         else:
             shuffle_partitions = 32
 
+    builder = SparkSession.builder
+    if master != "cluster":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

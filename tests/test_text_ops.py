@@ -1,0 +1,128 @@
+"""Unit tests for the training-data-pipeline operators (dedup/similarity/text).
+
+Oracle-grade checking happens in the driver comparison (queries_text.py SQL
+vs Spark at sf0.01); these tests pin the semantic invariants on small
+hand-built inputs: planted duplicates are found, LSH candidates are a subset
+of the exact-pair baseline with full recall on high-similarity pairs, and
+text features behave at the edges (empty docs, short docs, CJK).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gensor_spark.functions import text as T
+from gensor_spark.operators import dedup as D
+from gensor_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    near = base.replace("lazy", "sleepy")  # one token differs -> high jaccard
+    rows = [
+        (0, base),
+        (1, base),             # exact dup of 0
+        (2, near),             # near dup of 0
+        (3, "completely different words about spark window aggregates here"),
+        (4, ""),               # empty doc
+        (5, "one two"),        # shorter than shingle width
+        (6, "der die das und der die das und der die das und nicht ein"),
+        (7, "中文文本测试中文文本测试"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted_pair(docs):
+    out = D.exact_dedup(docs).collect()
+    assert [(r.dup_id, r.keeper_id) for r in out] == [(1, 0)]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and 0.3 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_recall_and_precision(docs):
+    lsh = {(r.id_a, r.id_b) for r in
+           D.minhash_dedup_pairs(docs, threshold=0.3).collect()}
+    exact = {(r.id_a, r.id_b) for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    # precision 1 by construction (verified with exact jaccard)
+    assert lsh <= exact
+    # the planted high-sim pairs must survive banding
+    assert (0, 1) in lsh and (0, 2) in lsh
+
+
+def test_simhash_invariants(spark, docs):
+    out = {r.doc_id: r.simhash for r in docs.select(
+        "doc_id", D.simhash_col(F.col("text")).alias("simhash")).collect()}
+    assert out[0] == out[1]            # identical text -> identical simhash
+    assert out[4] == 0                 # empty doc -> zero signature
+    assert all(v >= 0 for v in out.values())
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in D.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame([("a b",), ("",), ("x y z w",)], "text string")
+    out = df.select(T.shingles(T.tokens(F.col("text")), 3).alias("s")).collect()
+    assert out[0].s == [] and out[1].s == []
+    assert out[2].s == ["x y z", "y z w"]
+
+
+def test_lang_id_edges(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and it is big",),
+         ("der hund und die katze und das haus",),
+         ("中文文本测试中文文本测试",),
+         ("zzz qqq xxx",)],
+        "text string")
+    out = [r.p for r in df.select(T.lang_id(F.col("text")).alias("p")).collect()]
+    assert out == ["en", "de", "zh", "unknown"]
+
+
+def test_quality_features_empty_doc(spark):
+    df = spark.createDataFrame([("",)], "text string")
+    feats = T.quality_features(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in feats.items()]).collect()[0]
+    assert row.n_chars == 0 and row.n_tokens == 0
+    assert row.punct_ratio == 0.0 and row.mean_token_len == 0.0
+
+
+def test_embedding_lsh_subset_of_brute(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(30):
+        v = rng.normal(size=8)
+        if i % 10 == 0:
+            v = base + rng.normal(scale=0.01, size=8)  # planted near-dups
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {(r.id_a, r.id_b): r.sim for r in
+             S.neardup_pairs_brute(emb, threshold=0.9).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           S.neardup_pairs_lsh(emb, threshold=0.9, dims=8).collect()}
+    assert lsh <= set(brute)
+    assert (0, 10) in brute and (0, 20) in brute and (10, 20) in brute
+    # near-identical vectors agree on every hyperplane -> always candidates
+    assert (0, 10) in lsh
+
+
+def test_brute_topk_rank_order(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.brute_topk(emb, k=3, n_queries=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cand_id, r.sim))
+    # orthonormal vectors: all sims 0, rank breaks ties by cand_id
+    assert [c for _, c, _ in sorted(by_q[0])] == [1, 2, 3]
