@@ -605,6 +605,255 @@ WHERE NOT (water_column < 0 OR water_column <= 0.0)
 
 
 # --------------------------------------------------------------------------
+# rolling IQR + Hampel + LOF outliers (gensor analysis/outliers.py)
+# --------------------------------------------------------------------------
+
+def q_outliers_iqr_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.outliers import iqr_rolling
+
+    flagged = iqr_rolling(_points(spark, sf_dir), window=20, k=1.5)
+    return flagged.filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    )
+
+
+SQL_OUTLIERS_IQR_ROLLING = f"""
+WITH pts AS ({_PTS_SQL}),
+r AS (
+  SELECT doc_id, source, seq, value,
+         count(*) OVER w AS n,
+         CAST(quantile_cont(value, 0.25) OVER w AS DOUBLE) AS q1,
+         CAST(quantile_cont(value, 0.75) OVER w AS DOUBLE) AS q3
+  FROM pts
+  WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT doc_id, source, seq, ROUND(value + 1e-9, 6) AS v
+FROM r
+WHERE n = 20 AND (value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1))
+"""
+
+
+def q_outliers_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.outliers import hampel
+
+    flagged = hampel(_points(spark, sf_dir), window=5, n_sigma=3.0)
+    return flagged.filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    )
+
+
+# centered frame for window=5, min_periods=1: rows [i-2, i+2]; events data has
+# no in-band null values at sf0.01 so the MAD NaN-poisoning path is moot here
+# (it is pinned by tests/test_operators.py against the pandas reference)
+SQL_OUTLIERS_HAMPEL = f"""
+WITH pts AS ({_PTS_SQL}),
+m AS (
+  SELECT i.doc_id, i.source, i.seq, i.value,
+         CAST(quantile_cont(j.value, 0.5) AS DOUBLE) AS med
+  FROM pts i JOIN pts j
+    ON j.doc_id = i.doc_id AND j.source = i.source
+   AND j.seq BETWEEN i.seq - 2 AND i.seq + 2
+  GROUP BY 1, 2, 3, 4
+),
+d AS (
+  SELECT m.doc_id, m.source, m.seq, m.value, m.med,
+         CAST(quantile_cont(abs(j.value - m.med), 0.5) AS DOUBLE) AS mad
+  FROM m JOIN pts j
+    ON j.doc_id = m.doc_id AND j.source = m.source
+   AND j.seq BETWEEN m.seq - 2 AND m.seq + 2
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT doc_id, source, seq, ROUND(value + 1e-9, 6) AS v
+FROM d WHERE abs(value - med) > (3.0 * 1.4826) * mad
+"""
+
+
+def q_outliers_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOF mask — rows-only driver check (numpy kNN kernel in an Arrow UDF
+    is not SQL-expressible; semantics pinned vs sklearn in tests)."""
+    from gensor_spark.operators.outliers import lof
+
+    flagged = lof(_points(spark, sf_dir), n_neighbors=20)
+    return flagged.filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    )
+
+
+# --------------------------------------------------------------------------
+# Box-Cox (gensor processing/transform.py:86-112), rolling median smoothing
+# --------------------------------------------------------------------------
+
+def q_transform_boxcox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.transforms import box_cox_fixed
+
+    pts = _points(spark, sf_dir)
+    x = F.abs(F.col("value")) + F.lit(1.0)  # strictly positive input
+    return pts.select(
+        "doc_id", "source", "seq",
+        _r6(box_cox_fixed(x, 2.0)).alias("bc2"),
+        _r6(box_cox_fixed(x, 0.0)).alias("bc0"),
+    )
+
+
+SQL_TRANSFORM_BOXCOX = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT doc_id, source, seq,
+       ROUND(((abs(value) + 1.0) * (abs(value) + 1.0) - 1.0) / 2.0 + 1e-9, 6) AS bc2,
+       ROUND(ln(abs(value) + 1.0) + 1e-9, 6) AS bc0
+FROM pts
+"""
+
+
+def q_smooth_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.masking import smooth
+
+    out = smooth(_points(spark, sf_dir), window=5, method="rolling_median")
+    return out.select("doc_id", "source", "seq", _r6(F.col("value")).alias("smoothed"))
+
+
+SQL_SMOOTH_ROLLING_MEDIAN = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT doc_id, source, seq,
+       ROUND(CASE WHEN count(*) OVER w = 5
+                  THEN CAST(quantile_cont(value, 0.5) OVER w AS DOUBLE) END + 1e-9,
+             6) AS smoothed
+FROM pts
+WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+# --------------------------------------------------------------------------
+# multi-agg resample (gensor resample(agg_func=...) custom aggregators)
+# --------------------------------------------------------------------------
+
+def q_resample_1h_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = resample(_points(spark, sf_dir), "h",
+                   aggs=["median", "std", "first", "last"], dense=False)
+    return _fmt_bin(out).select(
+        "doc_id", "source", "bin_ts",
+        _r6(F.col("median")).alias("vmedian"),
+        _r6(F.col("std")).alias("vstd"),
+        _r6(F.col("first")).alias("vfirst"),
+        _r6(F.col("last")).alias("vlast"),
+    )
+
+
+SQL_RESAMPLE_1H_MULTI = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT doc_id, source,
+       strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS bin_ts,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE) + 1e-9, 6) AS vmedian,
+       ROUND(stddev_samp(value) + 1e-9, 6) AS vstd,
+       ROUND(arg_min(value, ts) FILTER (WHERE value IS NOT NULL) + 1e-9, 6) AS vfirst,
+       ROUND(arg_max(value, ts) FILTER (WHERE value IS NOT NULL) + 1e-9, 6) AS vlast
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# coverage diff (gensor CoverageDiff dataset.py:747-944)
+# --------------------------------------------------------------------------
+
+_COVERAGE_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def q_coverage_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dataset coverage comparison: first vs second half of the month.
+
+    Status vocabulary mirrors gensor (dataset.py:819-831): identical /
+    span differs / records differ / only A / only B — evaluated in that
+    order on the outer-joined per-series summaries.
+    """
+    pts = _points(spark, sf_dir)
+    split = F.lit(_COVERAGE_SPLIT_TS).cast("timestamp")
+
+    def summary(df):
+        return df.groupBy("doc_id", "source").agg(
+            F.count("value").alias("cnt"),
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("start_ts"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("end_ts"),
+        )
+
+    a = summary(pts.filter(F.col("ts") < split)).withColumnsRenamed(
+        {"cnt": "cnt_a", "start_ts": "start_a", "end_ts": "end_a"})
+    b = summary(pts.filter(F.col("ts") >= split)).withColumnsRenamed(
+        {"cnt": "cnt_b", "start_ts": "start_b", "end_ts": "end_b"})
+    j = a.join(b, ["doc_id", "source"], "full_outer")
+    status = (
+        F.when(F.col("cnt_a").isNull(), F.lit("only B"))
+        .when(F.col("cnt_b").isNull(), F.lit("only A"))
+        .when((F.col("cnt_a") == F.col("cnt_b"))
+              & (F.col("start_a") == F.col("start_b"))
+              & (F.col("end_a") == F.col("end_b")), F.lit("identical"))
+        .when(F.col("cnt_a") != F.col("cnt_b"), F.lit("records differ"))
+        .otherwise(F.lit("span differs"))
+    )
+    return j.select("doc_id", "source",
+                    F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                    F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+                    status.alias("status"))
+
+
+SQL_COVERAGE_DIFF = f"""
+WITH pts AS ({_PTS_SQL}),
+a AS (SELECT doc_id, source, count(value) AS cnt_a,
+             strftime(min(ts), '{TS_FMT_DUCK}') AS start_a,
+             strftime(max(ts), '{TS_FMT_DUCK}') AS end_a
+      FROM pts WHERE ts < TIMESTAMP '{_COVERAGE_SPLIT_TS}' GROUP BY 1, 2),
+b AS (SELECT doc_id, source, count(value) AS cnt_b,
+             strftime(min(ts), '{TS_FMT_DUCK}') AS start_b,
+             strftime(max(ts), '{TS_FMT_DUCK}') AS end_b
+      FROM pts WHERE ts >= TIMESTAMP '{_COVERAGE_SPLIT_TS}' GROUP BY 1, 2)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       coalesce(a.source, b.source) AS source,
+       coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b,
+       CASE WHEN cnt_a IS NULL THEN 'only B'
+            WHEN cnt_b IS NULL THEN 'only A'
+            WHEN cnt_a = cnt_b AND start_a = start_b AND end_a = end_b
+                 THEN 'identical'
+            WHEN cnt_a != cnt_b THEN 'records differ'
+            ELSE 'span differs' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id AND a.source = b.source
+"""
+
+
+# --------------------------------------------------------------------------
+# token-array round-trip (north-rule per-row invariant, over documents)
+# --------------------------------------------------------------------------
+
+def q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode→collapse equality: collect_list ordered by position must
+    reconstruct every token array bit-exactly (BASELINE.json input_hint)."""
+    from gensor_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    pts = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    rt = pts.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+        ).alias("rt_toks")
+    )
+    j = toks.join(rt, "doc_id", "left")
+    ok = F.when(F.size("toks") == 0, F.col("rt_toks").isNull()).otherwise(
+        F.col("toks") == F.col("rt_toks")
+    )
+    return j.select("doc_id", F.size("toks").alias("n_tok"),
+                    ok.alias("roundtrip_ok"))
+
+
+SQL_TOKENS_ROUNDTRIP = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x != '')) AS n_tok,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -629,6 +878,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "concat_dedup": q_concat_dedup,
     "gap_sessions": q_gap_sessions,
     "compensation_heads": q_compensation_heads,
+    "outliers_iqr_rolling": q_outliers_iqr_rolling,
+    "outliers_hampel": q_outliers_hampel,
+    "outliers_lof": q_outliers_lof,
+    "transform_boxcox": q_transform_boxcox,
+    "smooth_rolling_median": q_smooth_rolling_median,
+    "resample_1h_multi": q_resample_1h_multi,
+    "coverage_diff": q_coverage_diff,
+    "tokens_roundtrip": q_tokens_roundtrip,
 }
 
 from gensor_spark.queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
@@ -656,6 +913,14 @@ ORACLES: dict[str, str] = {
     "concat_dedup": SQL_CONCAT_DEDUP,
     "gap_sessions": SQL_GAP_SESSIONS,
     "compensation_heads": SQL_COMPENSATION_HEADS,
+    "outliers_iqr_rolling": SQL_OUTLIERS_IQR_ROLLING,
+    "outliers_hampel": SQL_OUTLIERS_HAMPEL,
+    # outliers_lof: intentionally no oracle (Arrow-UDF kNN; rows-only check)
+    "transform_boxcox": SQL_TRANSFORM_BOXCOX,
+    "smooth_rolling_median": SQL_SMOOTH_ROLLING_MEDIAN,
+    "resample_1h_multi": SQL_RESAMPLE_1H_MULTI,
+    "coverage_diff": SQL_COVERAGE_DIFF,
+    "tokens_roundtrip": SQL_TOKENS_ROUNDTRIP,
 }
 
 ORACLES.update(TEXT_ORACLES)
