@@ -68,6 +68,7 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
         else:
             _materialize(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     tier_sec = sum(timings[n] for n in TIER_QUERIES if n in timings)
     total_sec = sum(timings.values())

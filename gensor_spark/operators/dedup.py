@@ -64,6 +64,24 @@ def shingle_rows(docs: DataFrame, k: int = 3, text_col: str = "text",
     )
 
 
+def fingerprint_docs(docs: DataFrame, k: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, fp)`` rolling-hash fingerprint (1-perm MinHash over
+    k-shingles; whole-token-stream hash for short docs), with the token and
+    shingle arrays staged as columns (see minhash_signature on why)."""
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id", "_toks", shingles(F.col("_toks"), k).alias("_sh")
+    )
+    fp = F.when(
+        F.size("_sh") > 0,
+        F.array_min(F.transform(F.col("_sh"), lambda s: md5int(s))),
+    ).otherwise(md5int(F.array_join("_toks", " ")))
+    return staged.select("doc_id", fp.alias("fp"))
+
+
 def minhash_signature(docs: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
                       k: int = 3, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
@@ -73,15 +91,24 @@ def minhash_signature(docs: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
     ``sig[p] = min over shingles of hash(p || ':' || shingle)``. Min is
     duplicate-insensitive, so the shingle array needs no distinct. Docs with
     no shingles (< k tokens) get a null signature and drop out of LSH.
+
+    The shingle array is STAGED as its own projection before the permutation
+    loop: referenced as a bound attribute it is computed once per row;
+    inlined as an expression it would be recomputed once per permutation
+    (measured 10×+ slowdown; CollapseProject keeps the stage because the
+    alias is multi-referenced and non-cheap).
     """
-    sh = shingles(tokens(F.col(text_col)), k)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(tokens(F.col(text_col)), k).alias("_sh"),
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(F.transform(sh, lambda s: seeded_hash(p, s))),
+        lambda p: F.array_min(F.transform(F.col("_sh"), lambda s: seeded_hash(p, s))),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.when(F.size(sh) > 0, sig).alias("sig"),
+    return staged.select(
+        "doc_id",
+        F.when(F.size("_sh") > 0, sig).alias("sig"),
     )
 
 
@@ -165,10 +192,17 @@ def jaccard_on_pairs(pairs: DataFrame, sh_rows: DataFrame) -> DataFrame:
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                         num_perm: int = DEFAULT_NUM_PERM,
                         bands: int = DEFAULT_BANDS, k: int = 3) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard verification."""
+    """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard verification.
+
+    The band table and shingle index are cached: each feeds both sides of a
+    self-join, and without materialization the full tokenize→hash pipeline
+    would run once per join side (production at scale writes them to tables
+    — the cache is the single-job analogue).
+    """
     sigs = minhash_signature(docs, num_perm=num_perm, k=k)
-    cands = lsh_candidates(lsh_bands(sigs, bands=bands))
-    sh = shingle_rows(docs, k=k)
+    bands_df = lsh_bands(sigs, bands=bands).cache()
+    cands = lsh_candidates(bands_df)
+    sh = shingle_rows(docs, k=k).cache()
     return jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -179,7 +213,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     The recall oracle for the LSH path. Pair generation touches only pairs
     that share ≥ 1 shingle; at web scale add prefix filtering before this.
     """
-    sh = shingle_rows(docs, k=k)
+    sh = shingle_rows(docs, k=k).cache()
     pairs = (
         sh.withColumnRenamed("doc_id", "id_a")
         .join(sh.withColumnRenamed("doc_id", "id_b"), "shingle")
@@ -190,16 +224,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= threshold)
 
 
-def simhash_col(text_col, bits: int = SIMHASH_BITS):
-    """SimHash of the token stream as a non-negative ``bits``-wide long.
+def _simhash_from_hashes(th, bits: int):
+    """SimHash value from a (bound-attribute) array of token hashes.
 
     Per bit ``b``: sum over tokens (with multiplicity) of ±1 according to
     bit ``b`` of the token hash; bit set iff the sum is strictly positive.
-    Row-local higher-order functions only; the bit loop is unrolled in
-    Python because Spark's shiftleft/shiftright take a literal int shift.
+    The bit loop is unrolled in Python (Spark's shift functions take a
+    literal int); bits are tested with AND masks to stay lambda-safe.
     """
-    toks = tokens(text_col)
-    th = F.transform(toks, lambda t: md5int(t))
+
     def vote(mask: int):
         return lambda acc, h: acc + F.when(
             h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
@@ -212,6 +245,30 @@ def simhash_col(text_col, bits: int = SIMHASH_BITS):
             F.lit(0).cast("long")
         )
     return val
+
+
+def simhash_docs(docs: DataFrame, bits: int = SIMHASH_BITS,
+                 text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """``(doc_id, simhash)`` with the token-hash array staged once per row.
+
+    The 32 per-bit aggregates all read the same ``_th`` attribute; inlining
+    the tokenize+md5 expression into each aggregate would recompute it
+    ``bits`` times per row (measured ~10× slowdown).
+    """
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(tokens(F.col(text_col)), lambda t: md5int(t)).alias("_th"),
+    )
+    return staged.select(
+        "doc_id", _simhash_from_hashes(F.col("_th"), bits).alias("simhash")
+    )
+
+
+def simhash_col(text_col, bits: int = SIMHASH_BITS):
+    """Column-level SimHash (composable; prefer simhash_docs in pipelines —
+    this inline form recomputes the token hashes once per bit)."""
+    th = F.transform(tokens(text_col), lambda t: md5int(t))
+    return _simhash_from_hashes(th, bits)
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
@@ -228,8 +285,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         raise ValueError("banded join is only exact for max_hamming <= bands-1")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = docs.select(F.col(id_col).alias("doc_id"),
-                     simhash_col(F.col(text_col), bits).alias("simhash"))
+    sh = simhash_docs(docs, bits, text_col=text_col, id_col=id_col).cache()
     band_arr = F.array(*[
         F.expr(f"shiftright(simhash, {b * band_bits}) & {mask}")
         for b in range(bands)

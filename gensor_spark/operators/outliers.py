@@ -137,18 +137,24 @@ def _hampel_mask(x: np.ndarray, window: int, n_sigma: float) -> np.ndarray:
 
 
 def hampel(points: DataFrame, window: int = 5, n_sigma: float = 3.0, keys=KEYS) -> DataFrame:
-    """Centered-window median/MAD filter (gensor outliers.py:128-160)."""
+    """Centered-window median/MAD filter (gensor outliers.py:128-160).
+
+    Runs through the batched per-series kernel runner (udfkernel.py) — one
+    Arrow crossing per ~10k rows instead of per series, which matters when
+    series are short and numerous.
+    """
+    from gensor_spark.operators.udfkernel import per_series_map
+
     schema = T.StructType(points.schema.fields + [T.StructField("is_outlier", T.BooleanType())])
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq").reset_index(drop=True)
-        out = pdf.copy()
+        out = pdf.reset_index(drop=True)
         out["is_outlier"] = _hampel_mask(
-            pdf["value"].to_numpy(dtype=float), window, n_sigma
+            out["value"].to_numpy(dtype=float), window, n_sigma
         )
         return out
 
-    return points.groupBy(*keys).applyInPandas(per_series, schema=schema)
+    return per_series_map(points, per_series, schema, keys=keys)
 
 
 # ---------------------------------------------------------------------------
@@ -185,13 +191,15 @@ def lof(
 
     contamination='auto' flags scores < -1.5 (sklearn's offset_); a float c
     flags the lowest 100·c % of scores (sklearn's percentile rule).
+    Batched per-series kernel (udfkernel.py) — see hampel().
     """
+    from gensor_spark.operators.udfkernel import per_series_map
+
     schema = T.StructType(points.schema.fields + [T.StructField("is_outlier", T.BooleanType())])
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("seq").reset_index(drop=True)
-        out = pdf.copy()
-        x = pdf["value"].to_numpy(dtype=float)
+        out = pdf.reset_index(drop=True)
+        x = out["value"].to_numpy(dtype=float)
         ok = ~np.isnan(x)
         flags = np.zeros(len(x), dtype=bool)
         if ok.sum() > n_neighbors:
@@ -204,7 +212,7 @@ def lof(
         out["is_outlier"] = flags
         return out
 
-    return points.groupBy(*keys).applyInPandas(per_series, schema=schema)
+    return per_series_map(points, per_series, schema, keys=keys)
 
 
 def isolation_forest(points: DataFrame, keys=KEYS, **kwargs) -> DataFrame:

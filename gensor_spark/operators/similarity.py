@@ -80,6 +80,19 @@ def hyperplane_bucket(vec, plane_lits: list[list[int]]) -> "F.Column":
     return sig
 
 
+def _quantized_with_norm(emb: DataFrame, id_col: str, vec_col: str,
+                         id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
+    """Stage ``(id, quantized vec, norm)`` — norms computed once per vector,
+    not once per pair (3× fewer HOF dot products in all-pairs scoring)."""
+    staged = emb.select(
+        F.col(id_col).alias(id_alias), quantize(F.col(vec_col)).alias(vec_alias)
+    )
+    return staged.select(
+        id_alias, vec_alias,
+        F.sqrt(dot(F.col(vec_alias), F.col(vec_alias))).alias(norm_alias),
+    )
+
+
 def brute_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k of the first ``n_queries`` vectors vs the corpus.
@@ -92,17 +105,15 @@ def brute_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
     """
     from pyspark.sql import Window as W
 
-    q = (
-        emb.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("query_id"),
-                quantize(F.col(vec_col)).alias("qv"))
-    )
-    c = emb.select(F.col(id_col).alias("cand_id"),
-                   quantize(F.col(vec_col)).alias("cv"))
+    q = _quantized_with_norm(
+        emb.filter(F.col(id_col) < n_queries), id_col, vec_col,
+        "query_id", "qv", "qn")
+    c = _quantized_with_norm(emb, id_col, vec_col, "cand_id", "cv", "cn")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cosine("qv", "cv").alias("sim"))
+        .select("query_id", "cand_id",
+                (dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cand_id"))
     return (
@@ -115,12 +126,13 @@ def neardup_pairs_brute(emb: DataFrame, threshold: float = 0.45,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """All-pairs cosine ≥ threshold — O(n²) exactness baseline."""
-    a = emb.select(F.col(id_col).alias("id_a"), quantize(F.col(vec_col)).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), quantize(F.col(vec_col)).alias("vb"))
+    a = _quantized_with_norm(emb, id_col, vec_col, "id_a", "va", "na")
+    b = _quantized_with_norm(emb, id_col, vec_col, "id_b", "vb", "nb")
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
+        .select("id_a", "id_b",
+                (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -141,24 +153,24 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
     scale; cap them like dedup.lsh_candidates does for MinHash.
     """
     all_planes = planes(tables * planes_per_table, dims)
-    sigs = emb.select(
-        F.col(id_col).alias("vid"),
-        quantize(F.col(vec_col)).alias("qv"),
-    )
+    sigs = _quantized_with_norm(emb, id_col, vec_col, "vid", "qv", "qn")
     bucket_arr = F.array(*[
         hyperplane_bucket(F.col("qv"),
                           all_planes[t * planes_per_table:(t + 1) * planes_per_table])
         for t in range(tables)
     ])
-    banded = sigs.select("vid", "qv", F.posexplode(bucket_arr).alias("tbl", "bucket"))
+    banded = sigs.select(
+        "vid", "qv", "qn", F.posexplode(bucket_arr).alias("tbl", "bucket")
+    ).cache()  # both sides of the bucket self-join read this once
     a = banded.select("tbl", "bucket", F.col("vid").alias("id_a"),
-                      F.col("qv").alias("va"))
+                      F.col("qv").alias("va"), F.col("qn").alias("na"))
     b = banded.select("tbl", "bucket", F.col("vid").alias("id_b"),
-                      F.col("qv").alias("vb"))
+                      F.col("qv").alias("vb"), F.col("qn").alias("nb"))
     return (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine("va", "vb").alias("sim"))
+        .select("id_a", "id_b",
+                (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("sim"))
         .distinct()
         .filter(F.col("sim") >= threshold)
     )

@@ -96,8 +96,7 @@ FROM d JOIN k USING (dg) WHERE d.doc_id != k.keeper_id
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", T.doc_fingerprint(F.col("text"), k=5).alias("fp"))
+    return D.fingerprint_docs(_docs(spark, sf_dir), k=5)
 
 
 SQL_DOC_FINGERPRINT = f"""
@@ -205,8 +204,7 @@ WHERE cnt::DOUBLE / (na.n + nb.n - cnt) >= 0.5
 # --------------------------------------------------------------------------
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", D.simhash_col(F.col("text")).alias("simhash"))
+    return D.simhash_docs(_docs(spark, sf_dir))
 
 
 SQL_SIMHASH_SIGNATURES = f"""
