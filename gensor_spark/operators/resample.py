@@ -67,9 +67,15 @@ def freq_to_seconds(freq: str) -> int:
 
 
 def bin_ts(ts: Column, step_seconds: int) -> Column:
-    """Left-closed, left-labeled bin: floor the timestamp to the step."""
+    """Left-closed, left-labeled bin: floor the timestamp to the step.
+
+    Integer division, not floor(double/double): identical values for
+    non-negative epochs, but long-only arithmetic — no double boxing in the
+    hot rollup projection.
+    """
     secs = F.unix_timestamp(ts)
-    return F.timestamp_seconds(F.floor(secs / F.lit(step_seconds)) * F.lit(step_seconds))
+    binned = (secs - F.pmod(secs, F.lit(step_seconds)))
+    return F.timestamp_seconds(binned)
 
 
 def resample(

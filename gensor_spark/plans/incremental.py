@@ -44,12 +44,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gensor_spark.operators.points import docs_to_points
 from gensor_spark.operators.rollup import (
     _merge_partials,
     cascade_tier,
     finalize_tier,
-    rollup_tier,
+    rollup_docs_arrow,
 )
 
 TIERS = ("1m", "1h", "1d")
@@ -63,12 +62,16 @@ class TierPipeline:
         keys: tuple[str, ...] = ("doc_id", "source"),
         n_batches: int = 8,
         tick_seconds: int = 60,
+        encode_blobs: bool = False,
     ) -> None:
         self.spark = spark
         self.store = Path(store_dir)
         self.keys = keys
         self.n_batches = n_batches
         self.tick_seconds = tick_seconds
+        #: north-star compression stage: also write each batch's series as
+        #: Gorilla/delta-of-delta blobs (codecs/gorilla.py, Arrow UDF)
+        self.encode_blobs = encode_blobs
         self.store.mkdir(parents=True, exist_ok=True)
 
     # ------------------------------------------------------------- checkpoint
@@ -122,24 +125,46 @@ class TierPipeline:
         if not todo:
             return stats
 
-        points_all = docs_to_points(docs, tick_seconds=self.tick_seconds).withColumn(
-            "_batch", self._batch_col()
-        )
+        # batch identity is doc-level (hash of the series keys), so filter
+        # BEFORE the explode: each batch pass then explodes only its own
+        # docs instead of all points (n_batches× less explode work per pass)
+        docs_batched = docs.withColumn("_batch", self._batch_col())
 
         for b in todo:
             t0 = time.monotonic()
-            pts = points_all.filter(F.col("_batch") == b).drop("_batch")
+            batch_docs = docs_batched.filter(F.col("_batch") == b).drop("_batch")
             counts = {}
+            if self.encode_blobs:
+                from gensor_spark.codecs.gorilla import EPOCH0_US, encode_docs
+
+                blob_dir = str(self.store / "blobs" / f"batch={b}")
+                encode_docs(
+                    batch_docs,
+                    tick_us=self.tick_seconds * 1_000_000,
+                    epoch0_us=EPOCH0_US,
+                ).write.mode("overwrite").parquet(blob_dir)
+                counts["blobs"] = self.spark.read.parquet(blob_dir).count()
             prev: DataFrame | None = None
             for tier in TIERS:
                 if prev is None:
-                    tier_df = rollup_tier(pts, "1m", keys=self.keys)
+                    # affine-ts fast path: 1m partials straight from the
+                    # token arrays via the batched numpy reduceat kernel —
+                    # no point-view explode, no raw-point shuffle;
+                    # bit-identical to rollup_tier(docs_to_points(...))
+                    tier_df = rollup_docs_arrow(
+                        batch_docs, "1m", tick_seconds=self.tick_seconds,
+                        keys=self.keys,
+                    )
                 else:
                     # coarser tiers cascade from the (already written, much
                     # smaller) finer tier — never re-read the raw points
                     tier_df = cascade_tier(prev, tier, keys=self.keys)
                 out_dir = str(self.store / f"tier_{tier}" / f"batch={b}")
-                tier_df.write.mode("overwrite").parquet(out_dir)
+                # tier outputs are small (partials compress the raw stream
+                # 60-86000x) — write a few right-sized files, not one tiny
+                # file per shuffle partition; file-commit cost is per file
+                n_files = 4 if tier == "1m" else 1
+                tier_df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
                 prev = self.spark.read.parquet(out_dir)
                 counts[tier] = prev.count()
             wall = time.monotonic() - t0

@@ -51,11 +51,28 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # v2 committer: per-task renames instead of a serial driver-side
+        # commit loop — the v1 loop cost ~100ms/file regardless of
+        # parallelism and dominated small tier writes
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # dynamic partition overwrite: the incremental tier merge rewrites
         # only the partitions it touched (plans/incremental.py)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # ParallelGC: measured 11x faster than default G1 on the tier-rollup
+        # job at local[32]/24g (161s -> 15s) — G1 evacuation pauses of 2-4s
+        # stall every task thread under heavy shuffle/agg churn. Batch
+        # engines want throughput GC, not pause-target GC. A larger heap
+        # makes it WORSE (96g: 3x slower) — prefer small heap + spill.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -93,3 +93,35 @@ def test_spark_encode_decode_docs(spark, docs_small):
     ).collect()[0]
     n_tok = docs_small.agg(F.sum("n_tok")).collect()[0][0]
     assert sizes["blob"] < n_tok * 16 * 0.5
+
+
+# ---------------------------------------------------------------- fast codec
+
+@given(
+    st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+             min_size=0, max_size=300),
+    st.integers(min_value=1, max_value=10**7),
+)
+@settings(max_examples=60, deadline=None)
+def test_fast_codec_roundtrip_property(tokens, tick_us):
+    from gensor_spark.codecs.gorilla import decode_series_fast, encode_series_fast
+
+    vals = np.asarray(tokens, dtype=np.float64)
+    ts = np.arange(len(tokens), dtype=np.int64) * tick_us
+    dts, dv = decode_series_fast(encode_series_fast(ts, vals))
+    assert np.array_equal(dts, ts)
+    assert np.array_equal(dv, vals)
+
+
+def test_fast_codec_irregular_and_specials():
+    from gensor_spark.codecs.gorilla import decode_series_fast, encode_series_fast
+
+    rng = np.random.default_rng(9)
+    ts = np.cumsum(rng.integers(1, 10**6, 4000)).astype(np.int64)
+    vals = rng.normal(size=4000)
+    vals[::97] = 0.0
+    vals[1::101] = np.inf
+    vals[2::103] = 5e-324
+    dts, dv = decode_series_fast(encode_series_fast(ts, vals))
+    assert np.array_equal(dts, ts)
+    assert np.array_equal(dv.view(np.uint64), vals.view(np.uint64))  # bit-exact
