@@ -161,9 +161,13 @@ class TierPipeline:
                     tier_df = cascade_tier(prev, tier, keys=self.keys)
                 out_dir = str(self.store / f"tier_{tier}" / f"batch={b}")
                 # tier outputs are small (partials compress the raw stream
-                # 60-86000x) — write a few right-sized files, not one tiny
-                # file per shuffle partition; file-commit cost is per file
-                n_files = 4 if tier == "1m" else 1
+                # 60-86000x) — write right-sized files: enough for the next
+                # cascade's scan parallelism and parallel parquet encoding,
+                # but never one tiny file per shuffle partition (file-commit
+                # and footer costs are per file). A single-file write is a
+                # serial tail (measured 4s for a 2.4M-row 1d tier).
+                par = self.spark.sparkContext.defaultParallelism
+                n_files = max(1, par // {"1m": 2, "1h": 4, "1d": 8}.get(tier, 4))
                 tier_df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
                 prev = self.spark.read.parquet(out_dir)
                 counts[tier] = prev.count()

@@ -55,6 +55,14 @@ def get_spark(
         # commit loop — the v1 loop cost ~100ms/file regardless of
         # parallelism and dominated small tier writes
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # Scan-split sizing for the sandbox's small parquet files: the
+        # default 128MB maxPartitionBytes bin-packs 7MB files ~18-to-a-task,
+        # so a 1.8GB input became ~14 tasks and 32 cores ran half idle with
+        # a one-task tail (measured). 16MB/1MB gives file-count-granular
+        # tasks here; on a real cluster with 256-512MB files keep 128MB.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get(
+            "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
         # dynamic partition overwrite: the incremental tier merge rewrites
         # only the partitions it touched (plans/incremental.py)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
