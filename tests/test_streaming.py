@@ -1,0 +1,81 @@
+"""Streaming tier rollup: file-source stream vs the batch rollup oracle.
+
+The stream processes the same events parquet as a file source with
+availableNow (bounded run), and the closed windows must match the batch
+``rollup_tier`` output for the same points exactly — one storage contract,
+two execution modes (streaming/rollup_stream.py docstring).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gensor_spark.operators.points import events_to_points
+from gensor_spark.operators.rollup import finalize_tier, rollup_tier
+from gensor_spark.streaming.rollup_stream import (
+    read_stream_tier,
+    start_tier_sink,
+    stream_points_from_events,
+    streaming_rollup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_store")
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File streaming sources require a directory, not a file path."""
+    d = tmp_path_factory.mktemp("events_in")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_rollup_matches_batch(spark, store, events_dir):
+    events_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = spark.readStream.schema(events_schema).parquet(events_dir)
+    pts = stream_points_from_events(stream)
+    rolled = streaming_rollup(pts, tier="1m", watermark="1 minute")
+    q = start_tier_sink(rolled, store, tier="1m", trigger_once=True)
+    q.awaitTermination(120)
+
+    got = read_stream_tier(spark, store, "1m", finalize=True)
+
+    batch_pts = events_to_points(spark.read.parquet(f"{SF}/events.parquet"))
+    want = finalize_tier(
+        rollup_tier(batch_pts.select("doc_id", "source", "ts", "value"), "1m")
+    )
+
+    # append-mode emits only CLOSED windows: every emitted window must match
+    # the batch result bit-for-bit, and closed-window coverage must be
+    # nearly complete for a bounded input (all but the final watermark edge)
+    cols = ["doc_id", "source", "bin_ts", "count", "min", "max", "mean", "last"]
+    g = got.select(cols)
+    w = want.select(cols)
+    missing_or_diff = g.exceptAll(w)
+    assert missing_or_diff.count() == 0, "streamed window disagrees with batch"
+    n_got, n_want = g.count(), w.count()
+    assert n_got >= n_want * 0.95
+    assert n_got > 0
+
+
+def test_streaming_resume_is_idempotent(spark, store, events_dir):
+    """Re-starting the query over the same checkpoint emits nothing new."""
+    events_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    before = read_stream_tier(spark, store, "1m", finalize=False).count()
+    stream = spark.readStream.schema(events_schema).parquet(events_dir)
+    rolled = streaming_rollup(stream_points_from_events(stream), tier="1m",
+                              watermark="1 minute")
+    q = start_tier_sink(rolled, store, tier="1m", trigger_once=True)
+    q.awaitTermination(120)
+    after = read_stream_tier(spark, store, "1m", finalize=False).count()
+    assert after == before
