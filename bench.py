@@ -70,6 +70,34 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
+    # at-scale tier throughput: the sf0.1 events tiers are so small that
+    # their timing is pure overhead; this probe runs the affine-ts rollup
+    # kernel over a deterministic synthetic token table large enough to
+    # measure real points/sec (generation fused into the same job; total
+    # points read back from the partials' sum(cnt))
+    scale = {}
+    if queries_subset is None:
+        from pyspark.sql import functions as F
+
+        from gensor_spark.operators.rollup import rollup_docs_arrow
+        from gensor_spark.sources.synth import synth_docs
+
+        docs = synth_docs(spark, n_docs=200_000, seed=42, hot_fraction=0.02,
+                          hot_factor=20, num_partitions=cpus * 8)
+        t0 = time.perf_counter()
+        row = (
+            rollup_docs_arrow(docs, "1m", tick_seconds=1)
+            .agg(F.sum("cnt").alias("pts"), F.count("*").alias("bins"))
+            .collect()[0]
+        )
+        dt = time.perf_counter() - t0
+        scale = {
+            "scale_points": int(row.pts),
+            "scale_rolled_bins": int(row.bins),
+            "scale_sec": round(dt, 2),
+            "scale_points_per_sec": round(row.pts / dt, 1),
+        }
+
     tier_sec = sum(timings[n] for n in TIER_QUERIES if n in timings)
     total_sec = sum(timings.values())
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
@@ -83,6 +111,7 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
         "tier_sec": round(tier_sec, 3),
         "points_per_sec": round(rolled_points / tier_sec, 1) if tier_sec else None,
         "cpus": cpus,
+        **scale,
     }
 
 
