@@ -1,0 +1,66 @@
+"""Physical-plan regression guards (PLANS.md invariants).
+
+Catch silent plan regressions: a quadratic window frame, a lost pushdown,
+or an extra shuffle survives correctness tests but wrecks 100-TB behavior.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from gensor_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_no_unbounded_following_frames(spark, queries):
+    """Spark evaluates 'CURRENT ROW AND UNBOUNDED FOLLOWING' frames
+    quadratically (gapfill.py docstring) — they must never appear."""
+    for name in ("gapfill_locf", "gapfill_interpolate", "smooth_rolling_mean",
+                 "outliers_zscore_rolling"):
+        plan = _plan(queries[name](spark, SF))
+        assert "CURRENT ROW AND UNBOUNDED FOLLOWING" not in plan, name
+
+
+def test_rollup_is_single_shuffle_two_phase(spark, queries):
+    plan = _plan(queries["rollup_1h"](spark, SF))
+    assert len(re.findall(r"\bExchange\b", plan)) == 1
+    assert "partial_" in plan  # map-side combine present
+
+
+def test_compensation_pushdown_and_broadcast(spark, queries):
+    plan = _plan(queries["compensation_heads"](spark, SF))
+    assert "EqualTo(event_type,click)" in plan  # filter reached the scan
+    assert "BroadcastHashJoin" in plan          # baro side broadcast
+
+
+def test_dense_grid_join_not_broadcast(spark, queries):
+    """The grid join must stay sort-merge: Catalyst under-estimates the
+    exploded side and would broadcast an equal-size build (resample.py)."""
+    plan = _plan(queries["resample_15min_dense"](spark, SF))
+    assert "SortMergeJoin" in plan
+
+
+def test_column_pruning_on_narrow_query(spark, queries):
+    plan = _plan(queries["coverage_info"](spark, SF))
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "props" not in read and "event_id" not in read
+
+
+def test_no_row_python_udfs_anywhere(spark, queries):
+    """Python may appear only as Arrow-batched stages (mapInPandas /
+    ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+    for name, q in queries.items():
+        plan = _plan(q(spark, SF))
+        assert "BatchEvalPython" not in plan, name
