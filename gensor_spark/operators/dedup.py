@@ -31,12 +31,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from gensor_spark.functions.text import md5int, seeded_hash, shingles, tokens
+from gensor_spark.functions.text import md5int, shingles, tokens
 
 DEFAULT_NUM_PERM = 32
 DEFAULT_BANDS = 8  # 8 bands x 4 rows; s-curve threshold ~ (1/8)^(1/4) ≈ 0.59
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # exact for Hamming distance <= 3
+
+#: affine MinHash family: h_p(s) = (a_p·md5int(s) + b_p) mod MINHASH_PRIME.
+#: One md5 per shingle + cheap arithmetic per permutation — evaluating 32
+#: separate md5 chains inside interpreted HOF lambdas was ~10× slower.
+#: Coefficients derive deterministically from md5 so the SQL oracle inlines
+#: the identical values.
+MINHASH_PRIME = (1 << 31) - 1
+
+
+def _coeff(tag: str, p: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tag}:{p}".encode()).hexdigest()[:8], 16)
+
+
+def minhash_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
+    """(a, b) per permutation; a forced odd and nonzero mod the prime."""
+    a = [(_coeff("a", p) | 1) % MINHASH_PRIME or 1 for p in range(num_perm)]
+    b = [_coeff("b", p) % MINHASH_PRIME for p in range(num_perm)]
+    return a, b
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",
@@ -92,20 +112,34 @@ def minhash_signature(docs: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
     duplicate-insensitive, so the shingle array needs no distinct. Docs with
     no shingles (< k tokens) get a null signature and drop out of LSH.
 
-    The shingle array is STAGED as its own projection before the permutation
-    loop: referenced as a bound attribute it is computed once per row;
-    inlined as an expression it would be recomputed once per permutation
-    (measured 10×+ slowdown; CollapseProject keeps the stage because the
-    alias is multi-referenced and non-cheap).
+    Two stagings (each a bound attribute, computed once per row — inlined
+    expressions would recompute per permutation, measured 10×+ slowdown):
+    the shingle array, then the per-shingle base hash ``md5int(s)``. The
+    permutations are the affine family (see MINHASH_PRIME) — md5 runs once
+    per shingle, not once per (shingle × permutation).
     """
+    a, b = minhash_coeffs(num_perm)
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         shingles(tokens(F.col(text_col)), k).alias("_sh"),
+    ).select(
+        "doc_id", "_sh",
+        F.transform(F.col("_sh"), lambda s: md5int(s)).alias("_hs"),
     )
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda p: F.array_min(F.transform(F.col("_sh"), lambda s: seeded_hash(p, s))),
-    )
+
+    def perm_min(p: int):
+        # h is reduced mod the prime BEFORE multiplying: both factors then
+        # fit 31 bits and a·h stays inside int64 in every engine (DuckDB
+        # raises on BIGINT overflow; Java would silently wrap)
+        return F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: ((h % F.lit(MINHASH_PRIME)) * F.lit(a[p]) + F.lit(b[p]))
+                % F.lit(MINHASH_PRIME),
+            )
+        )
+
+    sig = F.array(*[perm_min(p) for p in range(num_perm)])
     return staged.select(
         "doc_id",
         F.when(F.size("_sh") > 0, sig).alias("sig"),

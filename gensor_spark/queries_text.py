@@ -136,6 +136,7 @@ FROM fp_t GROUP BY 1 HAVING count(*) > 1
 
 _NP, _NB, _K = D.DEFAULT_NUM_PERM, D.DEFAULT_BANDS, 3
 _RPB = _NP // _NB
+_MH_A, _MH_B = D.minhash_coeffs(_NP)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -144,13 +145,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
+# affine permutation family shared with dedup.minhash_signature: one md5 per
+# shingle, h_p = (a_p·(h mod P) + b_p) mod P with coefficients inlined below
 SQL_DEDUP_MINHASH = f"""
 WITH toks AS ({_TOKS_SQL}),
 sh AS (SELECT DISTINCT doc_id, s
        FROM toks, LATERAL (SELECT unnest({_shingle_sql(_K)}) AS s) u),
+shh AS (SELECT doc_id, s, {_md5int_sql('s')} % {D.MINHASH_PRIME} AS h FROM sh),
+coef AS (SELECT unnest(range({_NP})) AS p,
+                unnest({list(_MH_A)}) AS ca, unnest({list(_MH_B)}) AS cb),
 mh AS (SELECT doc_id, p,
-              min({_md5int_sql("p::VARCHAR || ':' || s")}) AS h
-       FROM sh CROSS JOIN (SELECT unnest(range({_NP})) AS p) GROUP BY 1, 2),
+              min((h * ca + cb) % {D.MINHASH_PRIME}) AS h
+       FROM shh CROSS JOIN coef GROUP BY 1, 2),
 bands AS (SELECT doc_id, (p // {_RPB}) AS band,
                  {_md5int_sql(f"(p // {_RPB})::VARCHAR || ':' || string_agg(h::VARCHAR, ',' ORDER BY p)")} AS band_hash
           FROM mh GROUP BY doc_id, (p // {_RPB})),
