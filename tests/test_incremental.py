@@ -95,3 +95,34 @@ def test_compact_preserves_results(spark, docs, tmp_path):
     pipe.compact("1m")
     after = _tier_pdf(pipe.read_tier("1m"))
     _assert_tiers_equal(before, after)
+
+
+def test_pipeline_tiers_match_pandas_reference(spark, docs, tmp_path):
+    """North-rule gate, end-to-end: the tiers the FULL pipeline materializes
+    (batch filtering, arrow kernel, parquet merges, cascades) match gensor's
+    resample semantics computed per series in pandas at every tier."""
+    from tests import pandas_oracle as po
+
+    store = str(tmp_path / "tiers_ref")
+    pipe = TierPipeline(spark, store, n_batches=3)
+    pipe.run(docs)
+
+    pts = docs_to_points(docs, tick_seconds=pipe.tick_seconds).toPandas()
+    for tier, freq in (("1m", "min"), ("1h", "h"), ("1d", "D")):
+        got = _tier_pdf(pipe.read_tier(tier, finalize=True))
+        refs = []
+        for (d, s), g in pts.groupby(["doc_id", "source"]):
+            r = po.rollup_tiers(g, freq)
+            r = r[r["count"] > 0]  # engine tiers are sparse; pandas grid dense
+            r.insert(0, "doc_id", d)
+            r.insert(1, "source", s)
+            refs.append(r)
+        want = (
+            pd.concat(refs, ignore_index=True)
+            .sort_values(["doc_id", "source", "bin_ts"])
+            .reset_index(drop=True)
+        )
+        # oracle series are tz-aware UTC; the engine's session is pinned UTC
+        # so its naive timestamps are the same instants
+        want["bin_ts"] = want["bin_ts"].dt.tz_localize(None)
+        _assert_tiers_equal(got, want)
