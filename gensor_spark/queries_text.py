@@ -317,6 +317,47 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.ivf_topk(_emb(spark, sf_dir), k=5, n_queries=10,
+                     n_centroids=16, n_probe=4)
+    return out.select("query_id", "cand_id", "rank", _r6(F.col("sim")).alias("sim"))
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, qv AS ev FROM v WHERE vec_id < 16),
+assigned AS (
+  SELECT vec_id AS cand_id, qv AS cv, cent_id AS cell
+  FROM (
+    SELECT v.vec_id, v.qv, c.cent_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.qv', 'c.ev')} DESC, c.cent_id) AS r
+    FROM v CROSS JOIN cents c) x
+  WHERE r = 1),
+probes AS (
+  SELECT query_id, qv, cell
+  FROM (
+    SELECT v.vec_id AS query_id, v.qv, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.qv', 'c.ev')} DESC, c.cent_id) AS r
+    FROM v CROSS JOIN cents c WHERE v.vec_id < 10) x
+  WHERE r <= 4),
+scored AS (
+  SELECT p.query_id, a.cand_id, {_cos_sql('p.qv', 'a.cv')} AS sim
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE a.cand_id != p.query_id),
+ranked AS (
+  SELECT query_id, cand_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, cand_id) AS rank
+  FROM scored)
+SELECT query_id, cand_id, rank, round(sim + 1e-9, 6) AS sim
+FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # text analysis: language-ID, quality features, token stats
 # --------------------------------------------------------------------------
@@ -479,6 +520,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_neardup_brute": q_emb_neardup_brute,
     "emb_neardup_lsh": q_emb_neardup_lsh,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
     "token_stats": q_token_stats,
@@ -497,6 +539,7 @@ TEXT_ORACLES: dict[str, str] = {
     "emb_neardup_brute": SQL_EMB_NEARDUP_BRUTE,
     "emb_neardup_lsh": _sql_emb_neardup_lsh(),
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "lang_id": _sql_lang_id(),
     "doc_quality": _sql_doc_quality(),
     "token_stats": SQL_TOKEN_STATS,

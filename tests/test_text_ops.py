@@ -126,3 +126,20 @@ def test_brute_topk_rank_order(spark):
         by_q.setdefault(r.query_id, []).append((r.rank, r.cand_id, r.sim))
     # orthonormal vectors: all sims 0, rank breaks ties by cand_id
     assert [c for _, c, _ in sorted(by_q[0])] == [1, 2, 3]
+
+
+def test_ivf_probe_all_equals_brute(spark):
+    """IVF with n_probe == n_centroids scans every cell — must equal the
+    brute-force ranking exactly (cell-recall is the only approximation)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    brute = {(r.query_id, r.rank): r.cand_id
+             for r in S.brute_topk(emb, k=3, n_queries=5).collect()}
+    ivf = {(r.query_id, r.rank): r.cand_id
+           for r in S.ivf_topk(emb, k=3, n_queries=5, n_centroids=6,
+                               n_probe=6, ).collect()}
+    assert ivf == brute
