@@ -176,7 +176,9 @@ def _lof_scores(x: np.ndarray, k: int) -> np.ndarray:
     # reachability distance of i w.r.t. neighbor j: max(kdist[j], d(i,j))
     ndist = np.take_along_axis(d, idx, axis=1)
     reach = np.maximum(kdist[idx], ndist)
-    lrd = 1.0 / (reach.mean(axis=1) + 1e-300)
+    # 1e-10 is sklearn's exact regularizer in _local_reachability_density —
+    # keeps all-duplicate neighborhoods (reach 0) at lrd 1e10 as sklearn does
+    lrd = 1.0 / (reach.mean(axis=1) + 1e-10)
     lof = (lrd[idx].mean(axis=1)) / lrd
     return -lof  # sklearn sign convention
 
@@ -215,30 +217,124 @@ def lof(
     return per_series_map(points, per_series, schema, keys=keys)
 
 
-def isolation_forest(points: DataFrame, keys=KEYS, **kwargs) -> DataFrame:
-    """sklearn IsolationForest per series (gensor outliers.py:162-191).
+# ---------------------------------------------------------------------------
+# Isolation forest (grouped Arrow UDF; wheel-free numpy kernel)
+# ---------------------------------------------------------------------------
 
-    sklearn is not in the sandbox image; gated behind an import-try per the
-    environment rules. On a real cluster with sklearn shipped via --py-files
-    this runs as the same grouped-Arrow-UDF pattern as lof().
+def _avg_path_length(m) -> np.ndarray:
+    """c(m): average BST unsuccessful-search depth (Liu et al. 2008, eq. 1).
+
+    Same piecewise definition sklearn uses (c(≤1)=0, c(2)=1) so the anomaly
+    scores live on the same scale and the 0.5 'auto' threshold transfers.
     """
-    try:
-        from sklearn.ensemble import IsolationForest  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "isolation_forest requires scikit-learn on the executors"
-        ) from e
+    m = np.asarray(m, dtype=float)
+    out = np.zeros_like(m)
+    out[m == 2] = 1.0
+    big = m > 2
+    mb = m[big]
+    euler = 0.5772156649015329
+    out[big] = 2.0 * (np.log(mb - 1.0) + euler) - 2.0 * (mb - 1.0) / mb
+    return out
+
+
+def _iforest_scores(x: np.ndarray, n_trees: int = 100, psi: int = 256,
+                    seed: int = 0) -> np.ndarray:
+    """Anomaly scores s(x) = 2^(-E[h(x)]/c(psi)) for 1-D data.
+
+    Standard isolation forest (Liu, Ting & Zhou 2008): each tree trains on a
+    ``psi``-point subsample without replacement, splits at a uniform random
+    value between the node's min and max, and stops at the depth limit
+    ceil(log2(psi)) — path lengths below the limit are completed with the
+    average-BST term c(|node|).
+
+    1-D specialization: an isolation tree over scalars is exactly an
+    interval partition of the real line — its leaves, in value order, are
+    the gaps between the sorted split values. So tree *construction* walks
+    index ranges of the sorted subsample (O(1) per node: one bisect, no
+    array copies), and *scoring* is a single vectorized ``searchsorted`` of
+    all points into the tree's split boundaries — per-node query
+    partitioning (the naive recursion) is eliminated, ~50× less per-node
+    overhead. Deterministic: fixed seed, ``random.Random`` sampling.
+
+    gensor analogue: ``detect_outliers('isolation_forest')``
+    (``/root/reference/gensor/analysis/outliers.py:162-191``) which wraps
+    sklearn; sklearn is not in this image, so this kernel makes the operator
+    actually runnable — scores follow the same construction and scale, but
+    tree randomness differs from sklearn's, so parity is behavioral (the
+    same spikes flag), not bitwise.
+    """
+    import bisect
+    import random
+
+    n = x.size
+    rng = random.Random(seed)
+    psi = min(psi, n)
+    depth_limit = int(np.ceil(np.log2(max(psi, 2))))
+    path = np.zeros(n)
+    xs = x.tolist()
+    uniform, bis = rng.uniform, bisect.bisect_left
+
+    for _ in range(n_trees):
+        s = sorted(rng.sample(xs, psi)) if psi < n else sorted(xs)
+        splits: list[float] = []  # in-order == ascending: leaf boundaries
+        leaf_path: list[float] = []  # depth + c(size) per leaf, value order
+
+        def grow(i: int, j: int, depth: int) -> None:
+            lo, hi = s[i], s[j - 1]
+            if depth >= depth_limit or j - i <= 1 or lo == hi:
+                leaf_path.append(depth + _AVG_PL[j - i] if j - i < _AVG_PL.size
+                                 else depth + float(_avg_path_length(j - i)))
+                return
+            split = uniform(lo, hi)
+            # first index with s[m] >= split; clamp so both children are
+            # non-empty even if uniform() lands exactly on lo
+            m = min(max(bis(s, split, i, j), i + 1), j - 1)
+            grow(i, m, depth + 1)
+            splits.append(split)
+            grow(m, j, depth + 1)
+
+        grow(0, psi, 0)
+        # leaf of value v: how many boundaries are <= v (ties go right,
+        # matching the `sample < split` left-branch rule)
+        idx = np.searchsorted(np.asarray(splits), x, side="right")
+        path += np.asarray(leaf_path)[idx]
+
+    expected = path / n_trees
+    return np.power(2.0, -expected / _avg_path_length(psi))
+
+
+#: c(m) lookup for leaf sizes (leaves are ≤ psi ≤ 256 + slack)
+_AVG_PL = _avg_path_length(np.arange(4096))
+
+
+def isolation_forest(points: DataFrame, n_trees: int = 100, psi: int = 256,
+                     contamination: float | str = "auto", seed: int = 0,
+                     keys=KEYS) -> DataFrame:
+    """Isolation-forest outlier mask per series (gensor outliers.py:162-191).
+
+    contamination='auto' flags scores > 0.5 (the iForest paper's "clearly
+    anomalous" line, the same decision boundary sklearn's 'auto' offset
+    implements); a float c flags the top 100·c % of scores. NaNs are never
+    flagged (they carry no value to isolate). Batched per-series kernel
+    (udfkernel.py) — one Arrow crossing per ~10k rows, see hampel().
+    """
+    from gensor_spark.operators.udfkernel import per_series_map
 
     schema = T.StructType(points.schema.fields + [T.StructField("is_outlier", T.BooleanType())])
 
-    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
-        from sklearn.ensemble import IsolationForest
-
-        pdf = pdf.sort_values("seq").reset_index(drop=True)
-        out = pdf.copy()
-        x = pdf["value"].to_numpy(dtype=float).reshape(-1, 1)
-        pred = IsolationForest(random_state=0, **kwargs).fit_predict(x)
-        out["is_outlier"] = pred == -1
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.reset_index(drop=True)
+        x = out["value"].to_numpy(dtype=float)
+        ok = ~np.isnan(x)
+        flags = np.zeros(len(x), dtype=bool)
+        if ok.sum() > 1:
+            scores = _iforest_scores(x[ok], n_trees=n_trees, psi=psi, seed=seed)
+            if contamination == "auto":
+                flags[ok] = scores > 0.5
+            else:
+                cut = np.percentile(scores, 100.0 * (1.0 - contamination))
+                flags[ok] = scores >= cut
+        out["is_outlier"] = flags
         return out
 
-    return points.groupBy(*keys).applyInPandas(per_series, schema=schema)
+    return per_series_map(points, per_series, schema, keys=keys)

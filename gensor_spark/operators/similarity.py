@@ -137,19 +137,81 @@ def neardup_pairs_brute(emb: DataFrame, threshold: float = 0.45,
     )
 
 
+#: fixed Lloyd iteration count for the IVF coarse quantizer — deterministic
+#: and mirrored CTE-for-CTE in the DuckDB oracle
+KMEANS_ITERS = 2
+
+
+def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
+                     iters: int = KMEANS_ITERS, dims: int = DEFAULT_DIMS,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Deterministic distributed Lloyd k-means over quantized vectors.
+
+    Seeds are the first ``n_centroids`` vectors (replicable, no RNG); each
+    iteration assigns every vector to its max-cosine centroid (broadcast
+    join + argmax window, ties broken on centroid id) and replaces each
+    centroid with the **re-quantized element-wise mean** of its cell —
+    ``floor(avg + 0.5)`` back to integers, so centroid dot products stay
+    exact in IEEE double in any engine and the DuckDB oracle reproduces the
+    iteration bit-for-bit. Empty cells keep their previous centroid.
+
+    Plan shape per iteration: one broadcast join (centroids are tiny) + one
+    shuffle on ``cell`` for the mean — the mean is 64 ``avg`` expressions in
+    a single aggregate, no explode, so the per-iteration cost is a linear
+    corpus scan. At 10^9 vectors you run this on a modulus sample of the
+    corpus (same plan, ``filter(pmod(id, s) = 0)``) — the assignment step in
+    ``ivf_topk`` is the only full pass that matters.
+    """
+    from pyspark.sql import Window as W
+
+    v = _quantized_with_norm(emb, id_col, vec_col, "vid", "qv", "qn")
+    cents = (
+        v.filter(F.col("vid") < n_centroids)
+        .select(F.col("vid").alias("cent_id"), F.col("qv").alias("ev"))
+    )
+    assign_w = W.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
+    mean_cols = [
+        F.floor(F.avg(F.col("qv")[i]) + 0.5).cast("long") for i in range(dims)
+    ]
+    for _ in range(iters):
+        with_norm = cents.select(
+            "cent_id", "ev", F.sqrt(dot("ev", "ev")).alias("en")
+        )
+        assigned = (
+            v.crossJoin(F.broadcast(with_norm))
+            .select(
+                "vid", "qv",
+                F.col("cent_id"),
+                (dot("qv", "ev") / (F.col("qn") * F.col("en"))).alias("csim"),
+            )
+            .withColumn("_r", F.row_number().over(assign_w))
+            .filter(F.col("_r") == 1)
+            .select("vid", "qv", F.col("cent_id").alias("cell"))
+        )
+        means = assigned.groupBy("cell").agg(F.array(*mean_cols).alias("mev"))
+        cents = (
+            cents.join(means, cents["cent_id"] == means["cell"], "left")
+            .select("cent_id", F.coalesce("mev", "ev").alias("ev"))
+        )
+    return cents.select(
+        "cent_id", "ev", F.sqrt(dot("ev", "ev")).alias("en")
+    )
+
+
 def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
+             kmeans_iters: int = KMEANS_ITERS, dims: int = DEFAULT_DIMS,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-style ANN: coarse quantization → probe the nearest cells only.
 
-    The inverted-file index in its simplest deterministic form: centroids
-    are the first ``n_centroids`` corpus vectors (a fixed, replicable seed
-    set — production would k-means them; the index structure and query path
-    are identical), every vector is assigned to its max-cosine centroid,
-    and a query scans only its ``n_probe`` closest cells — ~n_probe/n_centroids
-    of the corpus instead of all of it. Exact cosine re-ranks within the
-    probed cells, so results differ from brute force only by cell-recall
-    (vectors whose cell the query didn't probe).
+    The inverted-file index: ``kmeans_centroids`` fits the coarse quantizer
+    (``kmeans_iters=0`` degenerates to the first-N seed set), every vector
+    is assigned to its max-cosine centroid, and a query scans only its
+    ``n_probe`` closest cells — ~n_probe/n_centroids of the corpus instead
+    of all of it. Exact cosine re-ranks within the probed cells, so results
+    differ from brute force only by cell-recall (vectors whose cell the
+    query didn't probe).
 
     Plan shape: two broadcast joins (centroids, queries) + one shuffle for
     the per-query top-k — the corpus is never self-joined and the scan
@@ -158,9 +220,9 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
     from pyspark.sql import Window as W
 
     c = _quantized_with_norm(emb, id_col, vec_col, "cand_id", "cv", "cn")
-    cents = _quantized_with_norm(
-        emb.filter(F.col(id_col) < n_centroids), id_col, vec_col,
-        "cent_id", "ev", "en",
+    cents = kmeans_centroids(
+        emb, n_centroids=n_centroids, iters=kmeans_iters, dims=dims,
+        id_col=id_col, vec_col=vec_col,
     )
     # assign every corpus vector to its nearest centroid (broadcast join;
     # deterministic tie-break on centroid id)
@@ -204,7 +266,8 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
                       tables: int = LSH_TABLES,
                       planes_per_table: int = LSH_PLANES_PER_TABLE,
                       dims: int = DEFAULT_DIMS, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      max_bucket: int = 10_000) -> DataFrame:
     """Multi-table LSH near-dup pairs: candidates agree on ≥ 1 full table.
 
     ``tables × planes_per_table`` hyperplanes; table ``t`` uses planes
@@ -212,9 +275,18 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
     (OR-amplification — see LSH_TABLES for the recall curve), then verified
     with exact cosine, so precision is 1. The bucket join shuffles
     ``rows × tables`` narrow rows — linear, no quadratic blow-up outside a
-    bucket. Skewed buckets (near-zero vectors) are the thing to watch at
-    scale; cap them like dedup.lsh_candidates does for MinHash.
+    bucket.
+
+    ``max_bucket`` drops degenerate buckets before the self-join — the same
+    guard as ``dedup.lsh_candidates``. With only 2^planes_per_table buckets
+    per table, a corpus of near-zero or boilerplate-constant vectors
+    collapses into one bucket and the join squares; the cap bounds the
+    candidate count at ``tables × max_bucket²`` worst-case. Dropped buckets
+    are a documented recall trade (count them via
+    ``banded.groupBy('tbl','bucket')``), not a silent one.
     """
+    from pyspark.sql import Window as W
+
     all_planes = planes(tables * planes_per_table, dims)
     sigs = _quantized_with_norm(emb, id_col, vec_col, "vid", "qv", "qn")
     bucket_arr = F.array(*[
@@ -222,9 +294,15 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
                           all_planes[t * planes_per_table:(t + 1) * planes_per_table])
         for t in range(tables)
     ])
-    banded = sigs.select(
-        "vid", "qv", "qn", F.posexplode(bucket_arr).alias("tbl", "bucket")
-    ).cache()  # both sides of the bucket self-join read this once
+    banded = (
+        sigs.select(
+            "vid", "qv", "qn", F.posexplode(bucket_arr).alias("tbl", "bucket")
+        )
+        .withColumn("_n", F.count("*").over(W.partitionBy("tbl", "bucket")))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+        .cache()  # both sides of the bucket self-join read this once
+    )
     a = banded.select("tbl", "bucket", F.col("vid").alias("id_a"),
                       F.col("qv").alias("va"), F.col("qn").alias("na"))
     b = banded.select("tbl", "bucket", F.col("vid").alias("id_b"),

@@ -8,15 +8,16 @@ only idempotency is the SQLite ``ON CONFLICT DO NOTHING`` insert
 (``base.py:355-358``). This module is the from-scratch distributed
 replacement.
 
-Design (parquet fallback; Iceberg mapping in comments):
+Design (two storage backends — parquet directories, or Iceberg tables
+maintained with real ``MERGE INTO`` via plans/iceberg_store.py):
 
 - Input is processed in deterministic **batches** (at real scale: Iceberg
   snapshots / ingest partitions; here: hash buckets of doc_id). Each batch's
   contribution to each tier is written as **partial states**
-  (operators/rollup.py) under ``tier_<t>/batch=<id>/`` with directory-level
-  overwrite — so re-running a batch is idempotent (the Iceberg equivalent is
-  ``MERGE INTO tier USING batch_partials ON keys WHEN MATCHED THEN UPDATE
-  (merge partials) WHEN NOT MATCHED THEN INSERT``).
+  (operators/rollup.py) — parquet backend: ``tier_<t>/batch=<id>/`` with
+  directory-level overwrite; iceberg backend: one ``MERGE INTO`` snapshot
+  keyed on ``(keys…, bin_ts, batch)`` — so re-running a batch is idempotent
+  in either backend.
 - The **checkpoint ledger** (`_ledger.json`, written atomically via
   tmp+rename) records completed batches; a rerun skips them. A crash between
   data write and ledger update is safe: the rerun overwrites the same
@@ -38,10 +39,12 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from gensor_spark.operators.rollup import (
@@ -63,15 +66,38 @@ class TierPipeline:
         n_batches: int = 8,
         tick_seconds: int = 60,
         encode_blobs: bool = False,
+        max_concurrent: int = 2,
+        backend: str = "parquet",
+        iceberg_namespace: str = "local.gensor",
     ) -> None:
         self.spark = spark
         self.store = Path(store_dir)
         self.keys = keys
         self.n_batches = n_batches
         self.tick_seconds = tick_seconds
+        #: tier storage: "parquet" (directory-per-batch, dynamic overwrite)
+        #: or "iceberg" (MERGE INTO per batch — plans/iceberg_store.py;
+        #: requires the iceberg-spark runtime jar + a configured catalog,
+        #: see iceberg_store.iceberg_conf). Ledger/lineage/blobs stay on the
+        #: filesystem either way.
+        self.backend = backend
+        if backend == "iceberg":
+            from gensor_spark.plans.iceberg_store import IcebergTierStore
+
+            self.iceberg = IcebergTierStore(spark, iceberg_namespace, keys=keys)
+        elif backend != "parquet":
+            raise ValueError(f"unknown backend {backend!r}")
         #: north-star compression stage: also write each batch's series as
         #: Gorilla/delta-of-delta blobs (codecs/gorilla.py, Arrow UDF)
         self.encode_blobs = encode_blobs
+        #: batches in flight at once. Spark schedules concurrent jobs from
+        #: driver threads task-by-task, so a second batch's heavy stages fill
+        #: the slots the first batch leaves idle during its commit/small-stage
+        #: tail — this amortizes the parallelism-independent per-job floor
+        #: (scheduler + file-commit latency) that otherwise bounds wide-N
+        #: scaling efficiency (the Amdahl term measured in BENCH/BASELINE.md).
+        self.max_concurrent = max(1, max_concurrent)
+        self._meta_lock = threading.Lock()
         self.store.mkdir(parents=True, exist_ok=True)
 
     # ------------------------------------------------------------- checkpoint
@@ -86,16 +112,19 @@ class TierPipeline:
         return {"processed": []}
 
     def _commit_batch(self, batch_id: int) -> None:
-        led = self.ledger()
-        if batch_id not in led["processed"]:
-            led["processed"].append(batch_id)
-        tmp = self._ledger_path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(led, indent=1))
-        os.replace(tmp, self._ledger_path)  # atomic checkpoint
+        with self._meta_lock:  # read-modify-write; batches may commit concurrently
+            led = self.ledger()
+            if batch_id not in led["processed"]:
+                led["processed"].append(batch_id)
+                led["processed"].sort()
+            tmp = self._ledger_path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(led, indent=1))
+            os.replace(tmp, self._ledger_path)  # atomic checkpoint
 
     def _lineage_row(self, row: dict) -> None:
-        with (self.store / "_lineage.jsonl").open("a") as f:
-            f.write(json.dumps(row) + "\n")
+        with self._meta_lock:
+            with (self.store / "_lineage.jsonl").open("a") as f:
+                f.write(json.dumps(row) + "\n")
 
     def lineage(self) -> list[dict]:
         p = self.store / "_lineage.jsonl"
@@ -108,12 +137,127 @@ class TierPipeline:
     def _batch_col(self):
         return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_batches))
 
+    def _write_counted(self, df: DataFrame, out_dir: str, n_files: int) -> int:
+        """Overwrite-write ``df`` and return its row count from the SAME job.
+
+        The count rides along as an observed metric (``CollectMetrics`` node
+        over the write scan) instead of a second read-back action — each
+        ``.count()`` job was pure parallelism-independent floor (~0.3-0.5s of
+        scheduler + listing latency apiece, 4 per batch), the dominant term
+        in the wide-pair scaling gap (BENCH/BASELINE.md §3).
+        """
+        obs = Observation()
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+        return int(obs.get["rows"])
+
+    def _store_tier(self, tier_df: DataFrame, tier: str, b: int) -> int:
+        """Persist one batch's tier partials via the configured backend."""
+        if self.backend == "iceberg":
+            # one atomic MERGE-INTO snapshot per (tier, batch); idempotent
+            # on re-run because the merge key includes the batch id
+            self.iceberg.merge_batch(tier, tier_df, b)
+            # partition-pruned count of this batch's contribution
+            return (
+                self.spark.table(self.iceberg.table(tier))
+                .filter(F.col("batch") == b)
+                .count()
+            )
+        return self._write_counted(
+            tier_df, str(self.store / f"tier_{tier}" / f"batch={b}"),
+            self._tier_files(tier),
+        )
+
+    def _tier_files(self, tier: str) -> int:
+        # tier outputs are small (partials compress the raw stream
+        # 60-86000x) — write right-sized files: enough for the next
+        # cascade's scan parallelism and parallel parquet encoding,
+        # but never one tiny file per shuffle partition (file-commit
+        # and footer costs are per file). A single-file write is a
+        # serial tail (measured 4s for a 2.4M-row 1d tier).
+        par = self.spark.sparkContext.defaultParallelism
+        return max(1, par // {"1m": 2, "1h": 4, "1d": 8}.get(tier, 4))
+
+    def _process_batch(self, docs_batched: DataFrame, b: int) -> None:
+        t0 = time.monotonic()
+        batch_docs = docs_batched.filter(F.col("_batch") == b).drop("_batch")
+        counts: dict[str, int] = {}
+        blob_thread: threading.Thread | None = None
+        blob_err: list[BaseException] = []
+        if self.encode_blobs:
+            from gensor_spark.codecs.gorilla import EPOCH0_US, encode_docs
+
+            blob_dir = str(self.store / "blobs" / f"batch={b}")
+            blobs = encode_docs(
+                batch_docs,
+                tick_us=self.tick_seconds * 1_000_000,
+                epoch0_us=EPOCH0_US,
+            )
+
+            def _encode() -> None:
+                # overlaps the tier chain below: the codec stage is pure
+                # Arrow-UDF CPU work while the tier chain alternates compute
+                # with shuffle/commit waits — interleaving them keeps task
+                # slots busy through both jobs' serial tails
+                try:
+                    counts["blobs"] = self._write_counted(
+                        blobs, blob_dir, self._tier_files("1m")
+                    )
+                except BaseException as e:  # re-raised on join
+                    blob_err.append(e)
+
+            blob_thread = threading.Thread(target=_encode, daemon=True)
+            blob_thread.start()
+
+        # affine-ts fast path: 1m partials straight from the token arrays via
+        # the batched numpy reduceat kernel — no point-view explode, no
+        # raw-point shuffle; bit-identical to rollup_tier(docs_to_points(...)).
+        # Persisted so the 1h cascade reuses the in-memory partials instead of
+        # a parquet read-back round trip (another ~2 floor jobs per batch).
+        m1 = rollup_docs_arrow(
+            batch_docs, "1m", tick_seconds=self.tick_seconds, keys=self.keys
+        ).persist()
+        h1: DataFrame | None = None
+        try:
+            counts["1m"] = self._store_tier(m1, "1m", b)
+            # coarser tiers cascade from the (much smaller) finer tier —
+            # never re-read the raw points
+            h1 = cascade_tier(m1, "1h", keys=self.keys).persist()
+            counts["1h"] = self._store_tier(h1, "1h", b)
+            counts["1d"] = self._store_tier(
+                cascade_tier(h1, "1d", keys=self.keys), "1d", b
+            )
+        finally:
+            m1.unpersist()
+            if h1 is not None:
+                h1.unpersist()
+            if blob_thread is not None:
+                blob_thread.join()
+        if blob_err:
+            raise blob_err[0]
+        self._lineage_row(
+            {
+                "batch": b,
+                "rows": counts,
+                "wall_s": round(time.monotonic() - t0, 3),
+                "tiers": list(TIERS),
+            }
+        )
+        self._commit_batch(b)
+
     def run(self, docs: DataFrame, batches: list[int] | None = None) -> dict:
         """Process unprocessed batches; returns per-run stats.
 
         ``batches=None`` processes everything outstanding. Safe to kill and
         rerun at any point — completed batches are skipped via the ledger,
-        half-written ones are overwritten bit-identically.
+        half-written ones are overwritten bit-identically. Up to
+        ``max_concurrent`` batches run concurrently (correct in any order /
+        interleaving: batches are disjoint row sets and partials are
+        associative; ledger + lineage writes are lock-serialized).
         """
         done = set(self.ledger()["processed"])
         todo = [
@@ -130,79 +274,77 @@ class TierPipeline:
         # docs instead of all points (n_batches× less explode work per pass)
         docs_batched = docs.withColumn("_batch", self._batch_col())
 
-        for b in todo:
-            t0 = time.monotonic()
-            batch_docs = docs_batched.filter(F.col("_batch") == b).drop("_batch")
-            counts = {}
-            if self.encode_blobs:
-                from gensor_spark.codecs.gorilla import EPOCH0_US, encode_docs
-
-                blob_dir = str(self.store / "blobs" / f"batch={b}")
-                encode_docs(
-                    batch_docs,
-                    tick_us=self.tick_seconds * 1_000_000,
-                    epoch0_us=EPOCH0_US,
-                ).write.mode("overwrite").parquet(blob_dir)
-                counts["blobs"] = self.spark.read.parquet(blob_dir).count()
-            prev: DataFrame | None = None
-            for tier in TIERS:
-                if prev is None:
-                    # affine-ts fast path: 1m partials straight from the
-                    # token arrays via the batched numpy reduceat kernel —
-                    # no point-view explode, no raw-point shuffle;
-                    # bit-identical to rollup_tier(docs_to_points(...))
-                    tier_df = rollup_docs_arrow(
-                        batch_docs, "1m", tick_seconds=self.tick_seconds,
-                        keys=self.keys,
-                    )
-                else:
-                    # coarser tiers cascade from the (already written, much
-                    # smaller) finer tier — never re-read the raw points
-                    tier_df = cascade_tier(prev, tier, keys=self.keys)
-                out_dir = str(self.store / f"tier_{tier}" / f"batch={b}")
-                # tier outputs are small (partials compress the raw stream
-                # 60-86000x) — write right-sized files: enough for the next
-                # cascade's scan parallelism and parallel parquet encoding,
-                # but never one tiny file per shuffle partition (file-commit
-                # and footer costs are per file). A single-file write is a
-                # serial tail (measured 4s for a 2.4M-row 1d tier).
-                par = self.spark.sparkContext.defaultParallelism
-                n_files = max(1, par // {"1m": 2, "1h": 4, "1d": 8}.get(tier, 4))
-                tier_df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
-                prev = self.spark.read.parquet(out_dir)
-                counts[tier] = prev.count()
-            wall = time.monotonic() - t0
-            self._lineage_row(
-                {
-                    "batch": b,
-                    "rows": counts,
-                    "wall_s": round(wall, 3),
-                    "tiers": list(TIERS),
-                }
-            )
-            self._commit_batch(b)
-            stats["processed"].append(b)
+        if self.max_concurrent <= 1 or len(todo) == 1:
+            for b in todo:
+                self._process_batch(docs_batched, b)
+        else:
+            with ThreadPoolExecutor(max_workers=self.max_concurrent) as pool:
+                futures = [
+                    pool.submit(self._process_batch, docs_batched, b) for b in todo
+                ]
+                for f in futures:
+                    f.result()  # propagate the first failure
+        stats["processed"] = sorted(todo)
         return stats
 
     # ------------------------------------------------------------------- read
 
     def read_tier(self, tier: str, finalize: bool = True) -> DataFrame:
         """Merged view of a tier across all batch contributions."""
-        base = self.store / f"tier_{tier}"
-        df = self.spark.read.option("basePath", str(base)).parquet(
-            *[str(p) for p in sorted(base.glob("batch=*"))]
-        )
-        merged = _merge_partials(df.drop("batch"), [*self.keys, "bin_ts"])
+        if self.backend == "iceberg":
+            df = self.iceberg.read(tier)
+        else:
+            self._recover_compact(tier)
+            base = self.store / f"tier_{tier}"
+            df = self.spark.read.option("basePath", str(base)).parquet(
+                *[str(p) for p in sorted(base.glob("batch=*"))]
+            ).drop("batch")
+        merged = _merge_partials(df, [*self.keys, "bin_ts"])
         return finalize_tier(merged) if finalize else merged
 
+    def _compact_paths(self, tier: str) -> tuple[Path, Path, Path]:
+        base = self.store / f"tier_{tier}"
+        return base, Path(f"{base}_compact_tmp"), Path(f"{base}_old")
+
+    def _recover_compact(self, tier: str) -> None:
+        """Repair any state a crash mid-``compact`` can leave behind.
+
+        compact's step order is: (1) write tmp, (2) rename final→old,
+        (3) rename tmp→final, (4) delete old. A crash after any single step
+        leaves either final intact (→ drop leftovers) or final missing with
+        a complete tmp and the old copy still on disk (→ promote tmp,
+        falling back to restoring old). No window loses the tier — the old
+        copy is only deleted after the compacted one is in place.
+        """
+        final, tmp, old = self._compact_paths(tier)
+        if final.exists():
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if tmp.exists() and (tmp / "batch=-1" / "_SUCCESS").exists():
+            os.replace(tmp, final)  # crash was between steps 2 and 3
+            shutil.rmtree(old, ignore_errors=True)
+        elif old.exists():
+            os.replace(old, final)  # tmp incomplete — roll back
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def compact(self, tier: str) -> None:
-        """Fold all contributions into one (Iceberg: rewrite_data_files)."""
+        """Fold all contributions into one (Iceberg: rewrite_data_files).
+
+        Crash-safe: the current tier is renamed aside, not deleted, until the
+        compacted copy is promoted — see ``_recover_compact`` for the repair
+        of every intermediate state.
+        """
+        if self.backend == "iceberg":
+            self.iceberg.compact(tier)  # rewrite_data_files, atomic snapshot
+            return
         merged = self.read_tier(tier, finalize=False)
-        tmp = self.store / f"tier_{tier}_compact_tmp"
-        merged.write.mode("overwrite").parquet(str(tmp / "batch=-1"))
-        final = self.store / f"tier_{tier}"
-        shutil.rmtree(final)
-        os.replace(tmp, final)
+        final, tmp, old = self._compact_paths(tier)
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(str(tmp / "batch=-1"))  # step 1
+        os.replace(final, old)  # step 2: set aside, never rmtree the live tier
+        os.replace(tmp, final)  # step 3: promote
+        shutil.rmtree(old)  # step 4: cleanup
 
     def reset(self) -> None:
         shutil.rmtree(self.store, ignore_errors=True)

@@ -680,6 +680,93 @@ def q_outliers_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outliers_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-forest mask — rows-only driver check (randomized-tree
+    ensemble in an Arrow UDF is not SQL-expressible; behavior pinned in
+    tests against the reference's spiked-series expectations).
+
+    gensor: ``detect_outliers('isolation_forest')``
+    (``/root/reference/gensor/analysis/outliers.py:162-191``)."""
+    from gensor_spark.operators.outliers import isolation_forest
+
+    flagged = isolation_forest(_points(spark, sf_dir))
+    return flagged.filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    )
+
+
+# --------------------------------------------------------------------------
+# metadata catalog lookup (gensor db/connection.py:94-144, io/read.py:83-187)
+# --------------------------------------------------------------------------
+
+def q_catalog_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog filter → series selection: ILIKE on the variable column plus a
+    JSON ``extra`` range predicate pick the series, then one semi-joined scan
+    selects their rows (aggregated here so the result stays catalog-sized)."""
+    from gensor_spark.sources.catalog import (
+        catalog_filter, select_series, series_catalog,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cat = series_catalog(events)
+    filt = catalog_filter(
+        cat,
+        ilike={"event_type": "%i%"},
+        where=F.get_json_object("extra", "$.k").cast("int") >= 50,
+    )
+    sel = select_series(events, filt)
+    sums = sel.groupBy("user_id", "event_type").agg(
+        F.sum("value").alias("vsum")
+    )
+    return (
+        filt.join(sums, ["user_id", "event_type"])
+        .select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("event_type").alias("source"),
+            F.date_format("start", TS_FMT_SPARK_US).alias("start_ts"),
+            F.date_format("end", TS_FMT_SPARK_US).alias("end_ts"),
+            "n_points",
+            F.get_json_object("extra", "$.k").cast("int").alias("k_first"),
+            _r6(F.col("vsum")).alias("vsum"),
+        )
+    )
+
+
+SQL_CATALOG_SELECT = f"""
+WITH firsts AS (
+  SELECT user_id, event_type, props AS extra
+  FROM (SELECT user_id, event_type, props,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) x
+  WHERE rn = 1),
+agg AS (
+  SELECT user_id, event_type, MIN(ts) AS start_t, MAX(ts) AS end_t,
+         COUNT(value) AS n_points
+  FROM events GROUP BY 1, 2),
+cat AS (SELECT a.*, f.extra FROM agg a
+        JOIN firsts f USING (user_id, event_type)),
+filt AS (
+  SELECT * FROM cat
+  WHERE CAST(event_type AS VARCHAR) ILIKE '%i%'
+    AND CAST(json_extract_string(extra, '$.k') AS INT) >= 50),
+sums AS (
+  SELECT e.user_id, e.event_type, SUM(e.value) AS vsum
+  FROM events e
+  WHERE EXISTS (SELECT 1 FROM filt f
+                WHERE f.user_id = e.user_id AND f.event_type = e.event_type)
+  GROUP BY 1, 2)
+SELECT CAST(f.user_id AS VARCHAR) AS doc_id,
+       f.event_type AS source,
+       strftime(f.start_t, '{TS_FMT_DUCK_US}') AS start_ts,
+       strftime(f.end_t, '{TS_FMT_DUCK_US}') AS end_ts,
+       f.n_points,
+       CAST(json_extract_string(f.extra, '$.k') AS INT) AS k_first,
+       ROUND(s.vsum + 1e-9, 6) AS vsum
+FROM filt f JOIN sums s USING (user_id, event_type)
+"""
+
+
 # --------------------------------------------------------------------------
 # Box-Cox (gensor processing/transform.py:86-112), rolling median smoothing
 # --------------------------------------------------------------------------
@@ -881,6 +968,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outliers_iqr_rolling": q_outliers_iqr_rolling,
     "outliers_hampel": q_outliers_hampel,
     "outliers_lof": q_outliers_lof,
+    "outliers_isolation_forest": q_outliers_isolation_forest,
+    "catalog_select": q_catalog_select,
     "transform_boxcox": q_transform_boxcox,
     "smooth_rolling_median": q_smooth_rolling_median,
     "resample_1h_multi": q_resample_1h_multi,
@@ -916,6 +1005,8 @@ ORACLES: dict[str, str] = {
     "outliers_iqr_rolling": SQL_OUTLIERS_IQR_ROLLING,
     "outliers_hampel": SQL_OUTLIERS_HAMPEL,
     # outliers_lof: intentionally no oracle (Arrow-UDF kNN; rows-only check)
+    # outliers_isolation_forest: no oracle (randomized trees; rows-only check)
+    "catalog_select": SQL_CATALOG_SELECT,
     "transform_boxcox": SQL_TRANSFORM_BOXCOX,
     "smooth_rolling_median": SQL_SMOOTH_ROLLING_MEDIAN,
     "resample_1h_multi": SQL_RESAMPLE_1H_MULTI,

@@ -270,7 +270,7 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6(F.col("sim")).alias("sim"))
 
 
-def _sql_emb_neardup_lsh() -> str:
+def _sql_emb_neardup_lsh(max_bucket: int = 10_000) -> str:
     all_planes = S.planes(S.LSH_TABLES * S.LSH_PLANES_PER_TABLE, S.DEFAULT_DIMS)
     m = S.LSH_PLANES_PER_TABLE
     bucket_exprs = []
@@ -285,10 +285,12 @@ def _sql_emb_neardup_lsh() -> str:
         f"SELECT vec_id, qv, {t} AS tbl, bucket_{t} AS bucket FROM sigs"
         for t in range(S.LSH_TABLES)
     )
+    # same degenerate-bucket cap as similarity.neardup_pairs_lsh
     return f"""
 WITH q AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
 sigs AS (SELECT vec_id, qv, {', '.join(bucket_exprs)} FROM q),
-buckets AS ({union}),
+buckets AS (SELECT * FROM ({union}) u
+            QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= {max_bucket}),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, a.qv AS va, b.vec_id AS id_b, b.qv AS vb
          FROM buckets a JOIN buckets b
            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -323,9 +325,41 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "rank", _r6(F.col("sim")).alias("sim"))
 
 
+def _sql_kmeans_ctes(n_centroids: int = 16, iters: int = S.KMEANS_ITERS,
+                     dims: int = S.DEFAULT_DIMS) -> str:
+    """CTE chain mirroring similarity.kmeans_centroids iteration-for-iteration.
+
+    Centroid means are re-quantized to BIGINT each round (floor(avg + 0.5)),
+    so every dot product both engines compute is an exact integer sum — the
+    argmax assignments, and therefore the fitted centroids, are bit-identical.
+    """
+    mean_list = ", ".join(
+        f"floor(avg(qv[{i + 1}]) + 0.5)::BIGINT" for i in range(dims)
+    )
+    ctes = [f"c0 AS (SELECT vec_id AS cent_id, qv AS ev FROM v "
+            f"WHERE vec_id < {n_centroids})"]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT v.vec_id, v.qv, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.qv', 'c.ev')} DESC, c.cent_id) AS r
+    FROM v CROSS JOIN {prev} c) x
+  WHERE r = 1)""")
+        ctes.append(f"m{it} AS (SELECT cell, [{mean_list}] AS mev "
+                    f"FROM a{it} GROUP BY cell)")
+        ctes.append(f"""c{it} AS (
+  SELECT {prev}.cent_id, coalesce(m{it}.mev, {prev}.ev) AS ev
+  FROM {prev} LEFT JOIN m{it} ON m{it}.cell = {prev}.cent_id)""")
+    ctes.append(f"cents AS (SELECT cent_id, ev FROM c{iters})")
+    return ",\n".join(ctes)
+
+
 SQL_ANN_IVF_TOPK = f"""
 WITH v AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, qv AS ev FROM v WHERE vec_id < 16),
+{_sql_kmeans_ctes()},
 assigned AS (
   SELECT vec_id AS cand_id, qv AS cv, cent_id AS cell
   FROM (

@@ -23,10 +23,12 @@ Semantics mirrored from the reference:
 - channel columns become long rows ``(location, sensor, ts, variable, unit,
   value)`` with the reference's variable/unit vocabulary (`config.py:10-17`).
 
-Encoding: chardet isn't available in this container; files are decoded as
-UTF-8 and re-decoded as latin-1 on failure (covers the cp1252 ``°C`` in the
-wild samples). ``spark.read.text`` assumes UTF-8, so the binary-faithful
-route used here is ``spark.read.format('binaryFile')``.
+Encoding: chardet isn't available in this container; ``detect_encoding``
+replicates its behavior on the encodings Diver exports occur in (BOMs,
+utf-16 null stripes, utf-8 trial, cp1252-vs-latin-1 codepage discrimination
+— covers the cp1252 ``°C`` in the wild samples). ``spark.read.text`` assumes
+UTF-8, so the binary-faithful route used here is
+``spark.read.format('binaryFile')``.
 """
 
 from __future__ import annotations
@@ -58,10 +60,58 @@ VARIABLE_UNITS = {
 _HEADER_FIELD_RE = re.compile(r"^\s{0,4}([A-Za-z][A-Za-z /.]*?)\s*[=:]\s*(.+?)\s*$")
 
 
-def _decode(raw: bytes) -> str:
+_BOMS = (
+    # utf-32 BOMs are supersets of the utf-16 ones — test first
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+
+def detect_encoding(raw: bytes, num_bytes: int = 1024) -> str:
+    """Sniff the encoding from the first ``num_bytes`` bytes.
+
+    Parity target: the reference's chardet call
+    (``/root/reference/gensor/parse/utils.py:112-125``) on the encodings
+    Diver exports actually appear in — utf-8 (± BOM), utf-16 (Windows
+    logger software), cp1252/latin-1 (accented site names). Heuristics, in
+    order: explicit BOMs; the utf-16 null-byte stripe (ASCII text in utf-16
+    puts a NUL in every other byte — with no BOM a strict utf-8 decode would
+    "succeed" on it, so this must come first); strict utf-8 trial; else an
+    8-bit codepage — cp1252 when any byte falls in 0x80-0x9f (printable
+    there, C1 controls in latin-1), latin-1 otherwise.
+    """
+    head = raw[:num_bytes]
+    for bom, enc in _BOMS:
+        if head.startswith(bom):
+            return enc
+    if len(head) >= 4:
+        even_nul = head[::2].count(0) / max(len(head[::2]), 1)
+        odd_nul = head[1::2].count(0) / max(len(head[1::2]), 1)
+        if odd_nul > 0.3 and even_nul < 0.05:
+            return "utf-16-le"
+        if even_nul > 0.3 and odd_nul < 0.05:
+            return "utf-16-be"
     try:
-        return raw.decode("utf-8")
+        head.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError as e:
+        if e.start >= len(head) - 3:
+            return "utf-8"  # multibyte sequence cut at the sniff boundary
+    if any(0x80 <= b <= 0x9F for b in head):
+        return "cp1252"
+    return "latin-1"
+
+
+def _decode(raw: bytes) -> str:
+    enc = detect_encoding(raw)
+    try:
+        # utf-16-le/be decode the BOM itself to U+FEFF — strip it
+        return raw.decode(enc).lstrip("\ufeff")
     except UnicodeDecodeError:
+        # sniff was over the first 1KB only; never fail outright
         return raw.decode("latin-1")
 
 

@@ -44,7 +44,12 @@ def iceberg_available(spark: SparkSession) -> bool:
     overwrite; on a real cluster the same merge maps to ``MERGE INTO``.
     """
     try:
-        spark._jvm.org.apache.iceberg.Table  # type: ignore[union-attr]
+        # NB: plain `_jvm.org.apache.iceberg.Table` attribute access returns
+        # a lazy JavaPackage even when the class is absent — only an
+        # explicit Class.forName actually probes the classpath
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.Table"
+        )
         return True
     except Exception:
         return False

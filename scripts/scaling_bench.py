@@ -158,10 +158,13 @@ def _render(s: dict) -> str:
 
 North rule: ≥ 0.8 throughput scaling efficiency from N to 4N executors.
 Sandbox proxy (per driver instruction): the identical job — `TierPipeline.run`
-(docs parquet scan → posexplode point view → 1m/1h/1d tier rollups +
-Gorilla/delta-of-delta series compression, with checkpoint ledger +
-lineage) — on the identical input at four parallelism levels, fresh JVM
-each, timed after a warm-up action.
+(docs parquet scan → 1m tier partials via the batched-numpy affine-ts kernel
+→ 1h/1d cascade from the cached in-memory partials + Gorilla/delta-of-delta
+series compression, checkpoint ledger + lineage; batches processed
+concurrently, row counts taken as observed metrics on the write jobs — no
+standalone `.count()` actions, no parquet read-back round trips) — on the
+identical input at four parallelism levels, fresh JVM each, min-of-3
+repeats, timed after a warm-up action.
 
 Input: {s['input_docs']:,} synthetic docs / {s['input_points']:,} points
 (seed=42, zipf sources, 2% hot docs ×20 length — hot-series skew exercised;

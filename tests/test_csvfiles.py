@@ -78,6 +78,48 @@ def test_plain_csv_with_kwargs(spark):
     assert out.filter("variable = 'pressure'").count() == 14_003
 
 
+def test_detect_encoding_heuristics():
+    from gensor_spark.sources.csvfiles import detect_encoding
+
+    assert detect_encoding("plain ascii header".encode()) == "utf-8"
+    assert detect_encoding("Température = 12°C".encode("utf-8")) == "utf-8"
+    assert detect_encoding("﻿Location = X".encode("utf-8")) == "utf-8-sig"
+    assert detect_encoding("Location = X\n".encode("utf-16")) == "utf-16-le"
+    assert detect_encoding("Location = X\n".encode("utf-16-be")) == "utf-16-be"
+    # BOM-less utf-16 (the null-stripe heuristic)
+    assert detect_encoding("Date/time,Pressure\n".encode("utf-16-le")) == "utf-16-le"
+    assert detect_encoding("Date/time,Pressure\n".encode("utf-16-be")) == "utf-16-be"
+    # 0x93/0x94 smart quotes exist in cp1252, are C1 controls in latin-1
+    assert detect_encoding(b"Comment = \x93gr\xf6\xdfe\x94") == "cp1252"
+    # bare accented latin-1 with no C1 bytes
+    assert detect_encoding(b"Temp\xe9rature = 12\xb0C") == "latin-1"
+    # multibyte char cut at the sniff boundary is still utf-8
+    two_byte = "é".encode("utf-8")
+    assert detect_encoding(b"x" * 1023 + two_byte, num_bytes=1024) == "utf-8"
+
+
+@pytest.mark.parametrize("encoding", ["cp1252", "utf-16", "utf-8-sig"])
+def test_vanessen_mutated_encodings_parse_identically(spark, tmp_path, encoding):
+    """Reference parity for detect_encoding (gensor/parse/utils.py:112-125):
+    the same Diver export re-encoded as cp1252 / UTF-16 / BOM'd UTF-8 parses
+    to the same golden values as the original bytes."""
+    text = open(PB01A, "rb").read().decode("utf-8")
+    if encoding == "cp1252":
+        # add a header line holding cp1252-only smart quotes (0x93/0x94)
+        text = text.replace("Location", "Comment = “müt”\nLocation", 1)
+    mutated = tmp_path / f"PB01A_{encoding}.csv"
+    # the file carries a few U+FFFD mojibake chars in free-text header
+    # fields; 'replace' maps them to '?' without touching the data block
+    mutated.write_bytes(text.encode(encoding, errors="replace"))
+
+    out = read_vanessen(spark, str(mutated))
+    first = out.filter("variable = 'pressure'").orderBy("ts").first()
+    assert first.location == "PB01A"
+    assert first.sensor == "AV319"
+    assert pd.Timestamp(first.ts) == pd.Timestamp("2020-07-04 04:00:00")
+    assert first.value == pytest.approx(1242.625)
+
+
 def test_vanessen_feeds_resample(spark, pb01a):
     """EP1 → EP2: parsed points flow straight into the engine's operators."""
     from gensor_spark.operators.resample import resample

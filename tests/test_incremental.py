@@ -97,6 +97,66 @@ def test_compact_preserves_results(spark, docs, tmp_path):
     _assert_tiers_equal(before, after)
 
 
+def test_compact_crash_between_steps_preserves_tier(spark, docs, tmp_path):
+    """A kill at ANY point inside compact() must not lose the tier.
+
+    compact's steps: (1) write _compact_tmp, (2) rename final→_old,
+    (3) rename tmp→final, (4) rmtree _old. We forge the on-disk state a crash
+    leaves after each step and assert read_tier() recovers the identical tier.
+    """
+    import os
+    import shutil
+
+    store = str(tmp_path / "tiers")
+    pipe = TierPipeline(spark, store, n_batches=3)
+    pipe.run(docs)
+    want = _tier_pdf(pipe.read_tier("1h"))
+    final, tmp, old = pipe._compact_paths("1h")
+
+    # crash after step 1: tmp written, final untouched
+    pipe.read_tier("1h", finalize=False).write.mode("overwrite").parquet(
+        str(tmp / "batch=-1")
+    )
+    _assert_tiers_equal(want, _tier_pdf(pipe.read_tier("1h")))
+    assert not tmp.exists()  # leftover cleaned
+
+    # crash after step 2: final renamed aside, tmp complete
+    pipe.read_tier("1h", finalize=False).write.mode("overwrite").parquet(
+        str(tmp / "batch=-1")
+    )
+    os.replace(final, old)
+    _assert_tiers_equal(want, _tier_pdf(pipe.read_tier("1h")))
+
+    # crash after step 2 with an INCOMPLETE tmp (no _SUCCESS): roll back
+    shutil.rmtree(tmp, ignore_errors=True)
+    (tmp / "batch=-1").mkdir(parents=True)
+    os.replace(final, old)
+    _assert_tiers_equal(want, _tier_pdf(pipe.read_tier("1h")))
+
+    # crash after step 3: compacted final in place, old not yet deleted
+    pipe.compact("1h")
+    compacted = _tier_pdf(pipe.read_tier("1h"))
+    _assert_tiers_equal(want, compacted)
+
+
+def test_concurrent_batches_match_serial(spark, docs, tmp_path):
+    """max_concurrent=2 (the default) produces byte-identical tiers to a
+    strictly serial run — batches are disjoint and partials associative."""
+    serial = TierPipeline(spark, str(tmp_path / "s"), n_batches=4, max_concurrent=1)
+    serial.run(docs)
+    conc = TierPipeline(spark, str(tmp_path / "c"), n_batches=4, max_concurrent=4)
+    stats = conc.run(docs)
+    assert stats["processed"] == [0, 1, 2, 3]
+    for tier in ("1m", "1h", "1d"):
+        _assert_tiers_equal(
+            _tier_pdf(serial.read_tier(tier)), _tier_pdf(conc.read_tier(tier))
+        )
+    # lineage has one row per batch with tier counts despite concurrent appends
+    lin = conc.lineage()
+    assert sorted(r["batch"] for r in lin) == [0, 1, 2, 3]
+    assert all(set(r["rows"]) == {"1m", "1h", "1d"} for r in lin)
+
+
 def test_pipeline_tiers_match_pandas_reference(spark, docs, tmp_path):
     """North-rule gate, end-to-end: the tiers the FULL pipeline materializes
     (batch filtering, arrow kernel, parquet merges, cascades) match gensor's

@@ -197,6 +197,89 @@ def test_lof_flags_spikes(spark):
     assert flags.sum() <= 30  # reference keeps ≥ n-30 (test_outliers.py:29-44)
 
 
+# ------------------------------------------------------------ LOF parity
+
+
+def _lof_reference(x: np.ndarray, k: int) -> np.ndarray:
+    """Independent LOF oracle, written loop-wise from the Breunig et al.
+    definitions (k-distance → reachability → lrd → LOF) with sklearn's
+    exact conventions: exactly-k neighbors by stable distance sort, and the
+    1e-10 lrd regularizer from _local_reachability_density. Deliberately a
+    different code shape than the engine kernel (per-point loops vs
+    broadcast matrices) so a shared bug can't hide."""
+    n = x.size
+    k = min(k, n - 1)
+    nbrs, kdist = [], np.zeros(n)
+    for i in range(n):
+        d = [(abs(x[i] - x[j]), j) for j in range(n) if j != i]
+        d.sort(key=lambda t: t[0])  # python sort is stable → index order ties
+        nbrs.append([j for _, j in d[:k]])
+        kdist[i] = d[k - 1][0]
+    lrd = np.zeros(n)
+    for i in range(n):
+        reach = [max(kdist[j], abs(x[i] - x[j])) for j in nbrs[i]]
+        lrd[i] = 1.0 / (sum(reach) / k + 1e-10)
+    return np.array([-(sum(lrd[j] for j in nbrs[i]) / k) / lrd[i] for i in range(n)])
+
+
+def test_lof_scores_hand_computed():
+    """Pinned negative_outlier_factor_ for x=[0,1,2,10], k=2, derived by hand:
+
+    kdist = [2,1,2,9]; lrd = [2/3, 1/2, 2/3, 2/17];
+    LOF   = [7/8, 4/3, 7/8, 119/24]  (exactly what sklearn returns here).
+    """
+    got = outliers._lof_scores(np.array([0.0, 1.0, 2.0, 10.0]), k=2)
+    want = -np.array([7 / 8, 4 / 3, 7 / 8, 119 / 24])
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_lof_scores_match_independent_reference():
+    rng = np.random.default_rng(7)
+    cases = [
+        np.concatenate([rng.normal(100, 1, 120), [600.0, -250.0]]),  # spikes
+        np.array([5.0] * 10 + [5.1] * 10 + [50.0]),  # heavy ties + duplicates
+        np.array([1.0, 2.0, 4.0, 8.0, 16.0]),  # n barely above k
+        np.round(rng.normal(0, 1, 60), 1),  # quantized → many exact ties
+    ]
+    for k in (2, 4, 20):
+        for x in cases:
+            if x.size <= k:
+                continue
+            np.testing.assert_allclose(
+                outliers._lof_scores(x, k), _lof_reference(x, k), rtol=1e-9,
+                err_msg=f"k={k}, n={x.size}",
+            )
+
+
+# ------------------------------------------------------- isolation forest
+
+
+def test_isolation_forest_flags_spikes(spark):
+    # same behavioral gate the reference's tests apply to its sklearn wrapper
+    # (/root/reference/tests/test_outliers.py): both injected spikes flagged,
+    # bulk of the series kept
+    sdf, _ = _spiked(spark)
+    out = outliers.isolation_forest(sdf).toPandas().sort_values("seq")
+    flags = out["is_outlier"].to_numpy()
+    assert flags[50] and flags[200]
+    assert flags.sum() <= 30
+
+
+def test_isolation_forest_flat_series_flags_nothing(spark):
+    sdf, _ = _one_series(spark, np.full(100, 7.5), freq="min")
+    out = outliers.isolation_forest(sdf).toPandas()
+    assert not out["is_outlier"].any()
+
+
+def test_iforest_scores_deterministic_and_scaled():
+    x = np.concatenate([np.random.default_rng(1).normal(0, 1, 200), [50.0]])
+    s1 = outliers._iforest_scores(x, seed=0)
+    s2 = outliers._iforest_scores(x, seed=0)
+    np.testing.assert_array_equal(s1, s2)  # fixed seed → bit-identical
+    assert (s1 > 0).all() and (s1 < 1).all()  # 2^(-E/c) ∈ (0,1)
+    assert s1[-1] == s1.max() and s1[-1] > 0.5  # the spike isolates first
+
+
 # -------------------------------------------------------------------- gapfill
 
 def test_locf_nocb_match_pandas(spark):

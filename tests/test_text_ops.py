@@ -117,6 +117,56 @@ def test_embedding_lsh_subset_of_brute(spark):
     assert (0, 10) in lsh
 
 
+def test_embedding_lsh_degenerate_bucket_cap(spark):
+    """A boilerplate corpus (one repeated vector) collapses into a single
+    bucket per table; max_bucket must bound the self-join instead of letting
+    it square (VERDICT r1: the cap dedup.lsh_candidates has, applied here)."""
+    v = [float(j % 3 - 1) or 0.5 for j in range(8)]
+    rows = [(i, v) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # every vector identical -> every bucket holds all 40 rows
+    capped = S.neardup_pairs_lsh(emb, threshold=0.9, dims=8, max_bucket=10)
+    assert capped.count() == 0  # all buckets over the cap -> no candidates
+    uncapped = S.neardup_pairs_lsh(emb, threshold=0.9, dims=8, max_bucket=1000)
+    assert uncapped.count() == 40 * 39 // 2  # identical vectors: all pairs
+
+
+def test_kmeans_centroids_deterministic_and_requantized(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = S.kmeans_centroids(emb, n_centroids=4, iters=2, dims=8).collect()
+    b = S.kmeans_centroids(emb, n_centroids=4, iters=2, dims=8).collect()
+    got_a = {r.cent_id: r.ev for r in a}
+    got_b = {r.cent_id: r.ev for r in b}
+    assert got_a == got_b  # no RNG anywhere -> bit-identical refits
+    assert len(got_a) == 4
+    for ev in got_a.values():
+        assert all(isinstance(x, int) for x in ev)  # re-quantized to ints
+    # iters=0 degenerates to the seed vectors themselves
+    seeds = {r.cent_id: r.ev for r in
+             S.kmeans_centroids(emb, n_centroids=4, iters=0, dims=8).collect()}
+    quant = {r.vec_id: r.qv for r in
+             emb.select("vec_id", S.quantize(F.col("embedding")).alias("qv"))
+             .filter("vec_id < 4").collect()}
+    assert seeds == quant
+
+
+def test_ivf_kmeans_recall_vs_brute(spark):
+    """k-means cells should keep recall high at n_probe < n_centroids —
+    measured against the exact brute-force top-k on the driver testdata."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {(r.query_id, r.cand_id)
+             for r in S.brute_topk(emb, k=5, n_queries=10).collect()}
+    ivf = {(r.query_id, r.cand_id)
+           for r in S.ivf_topk(emb, k=5, n_queries=10, n_centroids=16,
+                               n_probe=4).collect()}
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
 def test_brute_topk_rank_order(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
@@ -141,5 +191,5 @@ def test_ivf_probe_all_equals_brute(spark):
              for r in S.brute_topk(emb, k=3, n_queries=5).collect()}
     ivf = {(r.query_id, r.rank): r.cand_id
            for r in S.ivf_topk(emb, k=3, n_queries=5, n_centroids=6,
-                               n_probe=6, ).collect()}
+                               n_probe=6, dims=8).collect()}
     assert ivf == brute
