@@ -190,8 +190,9 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
             .select("vid", "qv", F.col("cent_id").alias("cell"))
         )
         means = assigned.groupBy("cell").agg(F.array(*mean_cols).alias("mev"))
+        # n_centroids rows on both sides — never let this fall to sort-merge
         cents = (
-            cents.join(means, cents["cent_id"] == means["cell"], "left")
+            cents.join(F.broadcast(means), cents["cent_id"] == means["cell"], "left")
             .select("cent_id", F.coalesce("mev", "ev").alias("ev"))
         )
     return cents.select(
