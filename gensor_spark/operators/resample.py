@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,12 +88,23 @@ def resample(
     value_col: str = "value",
     ts_col: str = "ts",
     dense: bool = True,
+    agg_func=None,
 ) -> DataFrame:
     """Resample the point view to ``freq`` with one column per aggregate.
 
     Output schema: ``keys..., bin_ts timestamp, <agg> double ...`` (single
     agg keeps the name ``value`` aliased to the agg name). With
     ``dense=True`` (pandas parity) empty interior bins appear as null rows.
+
+    ``agg_func`` is gensor's escape hatch — ``resample(freq, agg_func)``
+    forwards an arbitrary Python callable to ``pd.Series.resample.apply``
+    (``/root/reference/gensor/core/base.py:147-170``). Here it becomes a
+    GROUPED_AGG ``pandas_udf``: the callable receives each bin's values as a
+    pandas Series (NaNs included, exactly what gensor hands it) and returns
+    one scalar, Arrow-batched — vectorized per bin, never per-row Python.
+    This is deliberately the slow path relative to named ``aggs`` (which
+    stay JVM-side in whole-stage codegen); use it only for aggregates the
+    built-ins can't express.
     """
     if isinstance(aggs, str):
         aggs = [aggs]
@@ -99,7 +112,18 @@ def resample(
     v, t = F.col(value_col), F.col(ts_col)
 
     binned = points.withColumn("bin_ts", bin_ts(t, step))
-    agg_cols = [_AGG_BUILDERS[a](v, t).alias(a) for a in aggs]
+    if agg_func is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _custom(s: pd.Series) -> float:
+            return agg_func(s)
+
+        agg_cols = [
+            _custom(v).alias(getattr(agg_func, "__name__", "agg") or "agg")
+        ]
+    else:
+        agg_cols = [_AGG_BUILDERS[a](v, t).alias(a) for a in aggs]
     agged = binned.groupBy(*keys, "bin_ts").agg(*agg_cols)
 
     if not dense:

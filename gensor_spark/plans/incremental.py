@@ -137,7 +137,7 @@ class TierPipeline:
     def _batch_col(self):
         return F.pmod(F.xxhash64(*self.keys), F.lit(self.n_batches))
 
-    def _write_counted(self, df: DataFrame, out_dir: str, n_files: int) -> int:
+    def _write_counted(self, df: DataFrame, out_dir: str) -> int:
         """Overwrite-write ``df`` and return its row count from the SAME job.
 
         The count rides along as an observed metric (``CollectMetrics`` node
@@ -145,11 +145,18 @@ class TierPipeline:
         ``.count()`` job was pure parallelism-independent floor (~0.3-0.5s of
         scheduler + listing latency apiece, 4 per batch), the dominant term
         in the wide-pair scaling gap (BENCH/BASELINE.md §3).
+
+        Writes at the plan's natural partitioning: a ``repartition(n)`` here
+        is a full Exchange of the tier rows purely to shape file counts, and
+        ``coalesce(n)`` is worse — it collapses the upstream Arrow kernel to
+        n tasks (no stage boundary), throttling the rollup/codec stages.
+        File-count hygiene belongs to compaction (``compact()`` / Iceberg
+        ``rewrite_data_files``), not the hot ingest path; a lone
+        ``repartition(1)`` single-file write was a measured 4s serial tail.
         """
         obs = Observation()
         (
             df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            .repartition(n_files)
             .write.mode("overwrite")
             .parquet(out_dir)
         )
@@ -168,19 +175,8 @@ class TierPipeline:
                 .count()
             )
         return self._write_counted(
-            tier_df, str(self.store / f"tier_{tier}" / f"batch={b}"),
-            self._tier_files(tier),
+            tier_df, str(self.store / f"tier_{tier}" / f"batch={b}")
         )
-
-    def _tier_files(self, tier: str) -> int:
-        # tier outputs are small (partials compress the raw stream
-        # 60-86000x) — write right-sized files: enough for the next
-        # cascade's scan parallelism and parallel parquet encoding,
-        # but never one tiny file per shuffle partition (file-commit
-        # and footer costs are per file). A single-file write is a
-        # serial tail (measured 4s for a 2.4M-row 1d tier).
-        par = self.spark.sparkContext.defaultParallelism
-        return max(1, par // {"1m": 2, "1h": 4, "1d": 8}.get(tier, 4))
 
     def _process_batch(self, docs_batched: DataFrame, b: int) -> None:
         t0 = time.monotonic()
@@ -204,9 +200,7 @@ class TierPipeline:
                 # with shuffle/commit waits — interleaving them keeps task
                 # slots busy through both jobs' serial tails
                 try:
-                    counts["blobs"] = self._write_counted(
-                        blobs, blob_dir, self._tier_files("1m")
-                    )
+                    counts["blobs"] = self._write_counted(blobs, blob_dir)
                 except BaseException as e:  # re-raised on join
                     blob_err.append(e)
 
@@ -328,23 +322,63 @@ class TierPipeline:
             os.replace(old, final)  # tmp incomplete — roll back
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def compact(self, tier: str) -> None:
-        """Fold all contributions into one (Iceberg: rewrite_data_files).
+    def _rewrite_tier(self, tier: str, partials: DataFrame) -> None:
+        """Atomically replace a tier's contents (parquet backend).
 
         Crash-safe: the current tier is renamed aside, not deleted, until the
-        compacted copy is promoted — see ``_recover_compact`` for the repair
-        of every intermediate state.
+        new copy is promoted — see ``_recover_compact`` for the repair of
+        every intermediate state.
         """
-        if self.backend == "iceberg":
-            self.iceberg.compact(tier)  # rewrite_data_files, atomic snapshot
-            return
-        merged = self.read_tier(tier, finalize=False)
         final, tmp, old = self._compact_paths(tier)
         shutil.rmtree(tmp, ignore_errors=True)
-        merged.write.mode("overwrite").parquet(str(tmp / "batch=-1"))  # step 1
+        partials.write.mode("overwrite").parquet(str(tmp / "batch=-1"))  # step 1
         os.replace(final, old)  # step 2: set aside, never rmtree the live tier
         os.replace(tmp, final)  # step 3: promote
         shutil.rmtree(old)  # step 4: cleanup
+
+    def compact(self, tier: str) -> None:
+        """Fold all contributions into one (Iceberg: rewrite_data_files)."""
+        if self.backend == "iceberg":
+            self.iceberg.compact(tier)  # rewrite_data_files, atomic snapshot
+            return
+        self._rewrite_tier(tier, self.read_tier(tier, finalize=False))
+
+    def apply_retention(self, policy: dict[str, str], now) -> dict[str, str]:
+        """Enforce per-tier retention windows: the 'retention' in retention
+        tiers. ``policy`` maps tier → max age (any pandas Timedelta string,
+        e.g. ``{'1m': '7 days', '1h': '90 days'}``); bins older than
+        ``now - age`` are dropped from that tier, tiers absent from the
+        policy keep everything — the classic downsample-and-expire layout
+        (raw/fine tiers short-lived, coarse tiers long-lived).
+
+        ``now`` is explicit (a timestamp / ISO string), never wall-clock —
+        retention runs must be replayable. Parquet backend: crash-safe
+        filtered rewrite (doubles as compaction); Iceberg backend: a real
+        ``DELETE FROM ... WHERE bin_ts < cutoff`` — an Iceberg
+        metadata/partition-level delete, one atomic snapshot.
+
+        Returns tier → ISO cutoff actually applied.
+        """
+        import pandas as pd
+
+        applied: dict[str, str] = {}
+        for tier, age in policy.items():
+            if tier not in TIERS:
+                raise ValueError(f"unknown tier {tier!r}")
+            cutoff = (pd.Timestamp(now) - pd.Timedelta(age)).isoformat(sep=" ")
+            if self.backend == "iceberg":
+                self.spark.sql(
+                    f"DELETE FROM {self.iceberg.table(tier)} "
+                    f"WHERE bin_ts < TIMESTAMP '{cutoff}'"
+                )
+            else:
+                kept = self.read_tier(tier, finalize=False).filter(
+                    F.col("bin_ts") >= F.lit(cutoff).cast("timestamp")
+                )
+                self._rewrite_tier(tier, kept)
+            applied[tier] = cutoff
+        self._lineage_row({"retention": applied})
+        return applied
 
     def reset(self) -> None:
         shutil.rmtree(self.store, ignore_errors=True)

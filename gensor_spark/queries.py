@@ -128,6 +128,32 @@ FROM grid LEFT JOIN b
 """
 
 
+def q_resample_custom_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gensor's ``resample(freq, agg_func=<python callable>)`` escape hatch
+    (core/base.py:147-170): an arbitrary callable per bin, here the 90th
+    percentile, run as a GROUPED_AGG pandas_udf. Oracle-checkable because
+    pandas ``Series.quantile`` and DuckDB ``quantile_cont`` share the same
+    linear-interpolation definition."""
+
+    def q90(s):
+        return s.quantile(0.9)
+
+    out = resample(_points(spark, sf_dir), "1h", agg_func=q90, dense=False)
+    return _fmt_bin(out).select(
+        "doc_id", "source", "bin_ts", _r6(F.col("q90")).alias("q90")
+    )
+
+
+SQL_RESAMPLE_CUSTOM_Q90 = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT doc_id, source,
+       strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
+                '{TS_FMT_DUCK}') AS bin_ts,
+       ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE) + 1e-9, 6) AS q90
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
 # --------------------------------------------------------------------------
 # coverage / info (gensor Dataset.info dataset.py:229-261, Coverage :664-744)
 # --------------------------------------------------------------------------
@@ -970,6 +996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outliers_lof": q_outliers_lof,
     "outliers_isolation_forest": q_outliers_isolation_forest,
     "catalog_select": q_catalog_select,
+    "resample_custom_q90": q_resample_custom_q90,
     "transform_boxcox": q_transform_boxcox,
     "smooth_rolling_median": q_smooth_rolling_median,
     "resample_1h_multi": q_resample_1h_multi,
@@ -1007,6 +1034,7 @@ ORACLES: dict[str, str] = {
     # outliers_lof: intentionally no oracle (Arrow-UDF kNN; rows-only check)
     # outliers_isolation_forest: no oracle (randomized trees; rows-only check)
     "catalog_select": SQL_CATALOG_SELECT,
+    "resample_custom_q90": SQL_RESAMPLE_CUSTOM_Q90,
     "transform_boxcox": SQL_TRANSFORM_BOXCOX,
     "smooth_rolling_median": SQL_SMOOTH_ROLLING_MEDIAN,
     "resample_1h_multi": SQL_RESAMPLE_1H_MULTI,

@@ -139,6 +139,36 @@ def test_compact_crash_between_steps_preserves_tier(spark, docs, tmp_path):
     _assert_tiers_equal(want, compacted)
 
 
+def test_apply_retention_drops_only_expired_bins(spark, docs, tmp_path):
+    """Retention is the 'retention' in retention tiers: fine tiers expire
+    early, coarse tiers live on; surviving bins are bit-identical."""
+    import pandas as pd
+
+    store = str(tmp_path / "tiers")
+    pipe = TierPipeline(spark, store, n_batches=2)
+    pipe.run(docs)
+    before = {t: _tier_pdf(pipe.read_tier(t)) for t in ("1m", "1h", "1d")}
+    # cutoff in the middle of the data's time range
+    mid = before["1m"]["bin_ts"].quantile(0.5)
+    now = before["1m"]["bin_ts"].max() + pd.Timedelta("1h")
+    age = now - mid
+
+    applied = pipe.apply_retention({"1m": str(age), "1h": str(age)}, now=now)
+    assert set(applied) == {"1m", "1h"}
+
+    for tier in ("1m", "1h"):
+        after = _tier_pdf(pipe.read_tier(tier))
+        cutoff = pd.Timestamp(applied[tier])
+        want = before[tier][before[tier]["bin_ts"] >= cutoff].reset_index(drop=True)
+        assert (after["bin_ts"] >= cutoff).all()
+        assert len(want) < len(before[tier])  # something actually expired
+        _assert_tiers_equal(want, after)
+    # 1d absent from the policy -> untouched
+    _assert_tiers_equal(before["1d"], _tier_pdf(pipe.read_tier("1d")))
+    # retention is recorded in lineage
+    assert any("retention" in r for r in pipe.lineage())
+
+
 def test_concurrent_batches_match_serial(spark, docs, tmp_path):
     """max_concurrent=2 (the default) produces byte-identical tiers to a
     strictly serial run — batches are disjoint and partials associative."""

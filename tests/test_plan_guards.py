@@ -58,6 +58,22 @@ def test_column_pruning_on_narrow_query(spark, queries):
     assert "props" not in read and "event_id" not in read
 
 
+def test_catalog_select_broadcast_semi_join(spark, queries):
+    """The filtered catalog is tiny and must broadcast; series selection is
+    a LeftSemi back onto one events scan (sources/catalog.select_series)."""
+    plan = _plan(queries["catalog_select"](spark, SF))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_kmeans_all_joins_broadcast(spark, queries):
+    """Every join in the IVF path (centroid assignment, Lloyd mean merge,
+    probe join) has an n_centroids-row side — none may fall to sort-merge."""
+    plan = _plan(queries["ann_ivf_topk"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_no_row_python_udfs_anywhere(spark, queries):
     """Python may appear only as Arrow-batched stages (mapInPandas /
     ArrowEvalPython), never row-at-a-time BatchEvalPython."""

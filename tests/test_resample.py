@@ -43,6 +43,24 @@ def test_resample_mean_matches_pandas(spark, points_pdf, points_sdf, freq):
         _compare(mine, oracle, ["mean"])
 
 
+def test_resample_custom_agg_func_matches_pandas(spark, points_pdf, points_sdf):
+    """gensor's resample(freq, agg_func=<callable>) surface: the callable
+    sees each bin's values as a pandas Series, exactly like
+    pd.Series.resample(freq).apply(agg_func) in the reference."""
+
+    def spread(s):
+        return s.max() - s.min()
+
+    out = resample(points_sdf, "h", agg_func=spread, dense=False).toPandas()
+    for d, s, g in _series_frames(points_pdf):
+        oracle = (
+            po.to_series(g).resample("h").apply(spread).dropna().reset_index()
+        )
+        oracle.columns = ["bin_ts", "spread"]
+        mine = out[(out.doc_id == d) & (out.source == s)].dropna(subset=["spread"])
+        _compare(mine, oracle, ["spread"])
+
+
 def test_resample_dense_grid_has_nan_bins(spark):
     # FIXTURES.md `resample_gap`: points at 00:00, 00:30, 03:10 → hourly
     # resample emits dense grid [1.5, NaN, NaN, 3.0]

@@ -58,6 +58,24 @@ def test_minhash_lsh_recall_and_precision(docs):
     assert (0, 1) in lsh and (0, 2) in lsh
 
 
+def test_minhash_xxhash64_production_family(docs):
+    """The xxhash64 base-hash variant (JVM-native, the production path) must
+    keep precision 1 (exact-Jaccard verify) and find the planted dups."""
+    xx = {(r.id_a, r.id_b) for r in
+          D.minhash_dedup_pairs(docs, threshold=0.3,
+                                base_hash="xxhash64").collect()}
+    exact = {(r.id_a, r.id_b) for r in
+             D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert xx <= exact
+    assert (0, 1) in xx and (0, 2) in xx
+    # signatures themselves differ from the md5 family (different hashes)
+    sig_md5 = D.minhash_signature(docs).filter("doc_id = 0").first().sig
+    sig_xx = D.minhash_signature(docs, base_hash="xxhash64").filter(
+        "doc_id = 0").first().sig
+    assert sig_md5 != sig_xx
+    assert all(0 <= v < D.MINHASH_PRIME for v in sig_xx)  # pmod normalized
+
+
 def test_simhash_invariants(spark, docs):
     out = {r.doc_id: r.simhash for r in docs.select(
         "doc_id", D.simhash_col(F.col("text")).alias("simhash")).collect()}
