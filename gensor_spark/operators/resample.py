@@ -98,32 +98,65 @@ def resample(
 
     ``agg_func`` is gensor's escape hatch — ``resample(freq, agg_func)``
     forwards an arbitrary Python callable to ``pd.Series.resample.apply``
-    (``/root/reference/gensor/core/base.py:147-170``). Here it becomes a
-    GROUPED_AGG ``pandas_udf``: the callable receives each bin's values as a
-    pandas Series (NaNs included, exactly what gensor hands it) and returns
-    one scalar, Arrow-batched — vectorized per bin, never per-row Python.
-    This is deliberately the slow path relative to named ``aggs`` (which
-    stay JVM-side in whole-stage codegen); use it only for aggregates the
-    built-ins can't express.
+    (``/root/reference/gensor/core/base.py:147-170``). Here the callable
+    runs per series inside the batched kernel (udfkernel.per_series_map:
+    many series per Arrow crossing), applied via
+    ``groupby(index.floor(freq))`` — the callable sees each POPULATED bin's
+    values as a pandas Series, exactly what ``resample(...).apply`` hands
+    it, but is never invoked on empty bins. Two pathologies motivate this
+    exact shape, both measured at sf0.1: a GROUPED_AGG ``pandas_udf`` keyed
+    on (series, bin) pays per-GROUP pandas overhead (39.7s for ~100k hourly
+    bins), and literal ``resample().apply`` invokes the Python callable per
+    EMPTY bin too — sparse series over long spans exploded to ~131M calls
+    (hung). Empty bins are therefore ABSENT from this path's output (pandas
+    would emit them with the callable's empty-Series value, NaN for any real
+    aggregate); the ``dense`` flag is ignored. The named ``aggs`` remain the
+    fast path (JVM-side, whole-stage codegen).
     """
+    if agg_func is not None:
+        from pyspark.sql import types as T
+
+        from gensor_spark.operators.udfkernel import per_series_map
+
+        name = getattr(agg_func, "__name__", "agg") or "agg"
+        schema = T.StructType(
+            [points.schema[k] for k in keys]
+            + [T.StructField("bin_ts", T.TimestampType()),
+               T.StructField(name, T.DoubleType())]
+        )
+
+        def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+            # manual bin slicing instead of pandas groupby(...).apply: apply
+            # pays ~350µs of Series/concat machinery per group (measured 36s
+            # for ~100k bins at sf0.1); slicing the sorted arrays at bin
+            # boundaries hands the callable the same per-bin Series at ~20µs
+            import numpy as np
+
+            idx = pd.DatetimeIndex(pdf[ts_col])
+            vals = pdf[value_col].to_numpy(dtype=float)
+            bins = idx.floor(freq)
+            b8 = bins.asi8  # sorted: per_series_map sorts each series by ts
+            starts = np.r_[0, 1 + np.flatnonzero(b8[1:] != b8[:-1])]
+            ends = np.r_[starts[1:], len(b8)]
+            agged = [
+                float(agg_func(pd.Series(vals[i:j], index=idx[i:j])))
+                for i, j in zip(starts, ends)
+            ]
+            out = pd.DataFrame({"bin_ts": bins[starts], name: agged})
+            for k in keys:
+                out[k] = pdf[k].iloc[0]
+            return out[[*keys, "bin_ts", name]]
+
+        return per_series_map(points, per_series, schema, keys=keys,
+                              sort_col=ts_col)
+
     if isinstance(aggs, str):
         aggs = [aggs]
     step = freq_to_seconds(freq)
     v, t = F.col(value_col), F.col(ts_col)
 
     binned = points.withColumn("bin_ts", bin_ts(t, step))
-    if agg_func is not None:
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("double")
-        def _custom(s: pd.Series) -> float:
-            return agg_func(s)
-
-        agg_cols = [
-            _custom(v).alias(getattr(agg_func, "__name__", "agg") or "agg")
-        ]
-    else:
-        agg_cols = [_AGG_BUILDERS[a](v, t).alias(a) for a in aggs]
+    agg_cols = [_AGG_BUILDERS[a](v, t).alias(a) for a in aggs]
     agged = binned.groupBy(*keys, "bin_ts").agg(*agg_cols)
 
     if not dense:

@@ -41,7 +41,24 @@ def per_series_map(
     any shuffle-backed operator).
     """
     key_list = list(keys)
-    parted = points.repartition(*keys).sortWithinPartitions(*keys, sort_col)
+    # Python kernel stages are CPU-bound — size their parallelism by CORES,
+    # never by bytes. Two traps conspire to serialize them otherwise
+    # (measured: a 1s-parallel kernel ran 26s on 2 tasks): (1) AQE coalesces
+    # exchanges by size, so a small-but-CPU-heavy input collapses to 1-2
+    # tasks; (2) when the input already comes out of a window/agg clustered
+    # on the SAME keys, Catalyst drops a plain repartition(keys) as
+    # redundant — hash(keys, anyN) satisfies the clustering — leaving the
+    # upstream byte-coalesced exchange in charge. Repartitioning by an
+    # explicit count on a DERIVED key expression (xxhash64 of the keys —
+    # same co-location guarantee, different expression) survives both:
+    # REPARTITION_BY_NUM is exempt from AQE coalescing and the expression
+    # never matches the upstream clustering.
+    from pyspark.sql import functions as F
+
+    n = points.sparkSession.sparkContext.defaultParallelism
+    parted = points.repartition(n, F.xxhash64(*keys)).sortWithinPartitions(
+        *keys, sort_col
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: pd.DataFrame | None = None

@@ -138,7 +138,10 @@ def q_resample_custom_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     def q90(s):
         return s.quantile(0.9)
 
-    out = resample(_points(spark, sf_dir), "1h", agg_func=q90, dense=False)
+    out = resample(_points(spark, sf_dir), "1h", agg_func=q90)
+    # pandas emits a dense per-series grid with NaN for empty/all-NaN bins;
+    # keep the populated bins so the SQL side needs no grid synthesis
+    out = out.filter(F.col("q90").isNotNull() & ~F.isnan("q90"))
     return _fmt_bin(out).select(
         "doc_id", "source", "bin_ts", _r6(F.col("q90")).alias("q90")
     )
@@ -151,6 +154,7 @@ SELECT doc_id, source,
                 '{TS_FMT_DUCK}') AS bin_ts,
        ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE) + 1e-9, 6) AS q90
 FROM pts GROUP BY 1, 2, 3
+HAVING quantile_cont(value, 0.9) IS NOT NULL
 """
 
 
