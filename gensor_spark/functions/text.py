@@ -103,18 +103,25 @@ def lang_id(text: Column) -> Column:
     toks = tokens(text)
     is_zh = cjk_count(text) >= CJK_RATIO * F.greatest(F.length(text), F.lit(1))
     langs = list(STOPWORDS)
-    scores = {lg: stopword_count(toks, lg) for lg in langs}
-    best_lang = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lg in langs[1:]:
-        better = scores[lg] > best_score
-        best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)
-        best_score = F.when(better, scores[lg]).otherwise(best_score)
-    return (
-        F.when(is_zh, F.lit("zh"))
-        .when(best_score >= LANGID_MIN_HITS, best_lang)
-        .otherwise(F.lit("unknown"))
+    # argmax as ONE aggregate fold over an array of (score, lang) structs:
+    # each score expression appears exactly once. The naive nested-CASE fold
+    # re-embeds every prior score subtree at each nesting level — measured
+    # 3.2s vs 0.2s for the same scores at sf0.1 (expression-duplication
+    # blowup, not compute). Strict > keeps the earlier language on ties,
+    # identical to the left-to-right CASE chain and the SQL oracle.
+    entries = [
+        F.struct(stopword_count(toks, lg).alias("s"), F.lit(lg).alias("lang"))
+        for lg in langs
+    ]
+    best = F.aggregate(
+        F.array(*entries[1:]),
+        entries[0],
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        lambda acc: F.when(acc["s"] >= LANGID_MIN_HITS, acc["lang"]).otherwise(
+            F.lit("unknown")
+        ),
     )
+    return F.when(is_zh, F.lit("zh")).otherwise(best)
 
 
 def quality_features(text: Column) -> dict[str, Column]:
