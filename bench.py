@@ -59,8 +59,10 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
     rolled_points = 0
     for name in names:
         q = QUERIES[name]
-        df = q(spark, sf_dir)
+        # construction happens INSIDE the timed window: iterative operators
+        # (dup_clusters) run distributed jobs while building their result
         t0 = time.perf_counter()
+        df = q(spark, sf_dir)
         if name in TIER_QUERIES:
             # the primary metric needs output cardinality: count() executes
             # the identical aggregation plan (no pruning past the groupBy)

@@ -263,21 +263,126 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
-                        k: int = 3) -> DataFrame:
+                        k: int = 3, prefix_filter: bool = False) -> DataFrame:
     """Exact all-pairs n-gram Jaccard ≥ threshold (inverted-index join).
 
-    The recall oracle for the LSH path. Pair generation touches only pairs
-    that share ≥ 1 shingle; at web scale add prefix filtering before this.
+    With ``prefix_filter=False`` (the recall-oracle shape) candidate
+    generation joins on EVERY shared shingle — correct but quadratic in the
+    hottest posting lists. ``prefix_filter=True`` applies positional prefix
+    filtering (Bayardo et al. All-Pairs / PPJoin): order each doc's shingles
+    by ascending global document frequency and join only on each doc's first
+    ``n - ceil(t·n) + 1`` shingles. Lossless — Jaccard ≥ t implies the
+    overlap ``c ≥ t·max(|A|,|B|)``, so if no common shingle fell in A's
+    prefix then all ``c`` of them fit in A's last ``ceil(t·|A|) - 1``
+    positions, a contradiction; symmetrically for B, hence the globally
+    smallest common shingle lies in BOTH prefixes and the prefix-prefix join
+    finds every qualifying pair. The exact-Jaccard verify step then makes
+    the two variants return identical rows — the production path at web
+    scale, where rare-shingle prefixes shrink the join input ~|prefix|/n per
+    side and skip the frequent-shingle posting lists entirely.
     """
     sh = shingle_rows(docs, k=k).cache()
+    if prefix_filter:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        ranked = (
+            sh.join(freq, "shingle")
+            .withColumn("_rk", F.row_number().over(
+                W.partitionBy("doc_id").orderBy("_df", "shingle")))
+            .withColumn("_n", F.count("*").over(W.partitionBy("doc_id")))
+        )
+        prefix = ranked.filter(
+            F.col("_rk") <= F.col("_n")
+            - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        ).select("doc_id", "shingle")
+        join_base = prefix
+    else:
+        join_base = sh
     pairs = (
-        sh.withColumnRenamed("doc_id", "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b"), "shingle")
+        join_base.withColumnRenamed("doc_id", "id_a")
+        .join(join_base.withColumnRenamed("doc_id", "id_b"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
     return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Connected components over near-dup pairs: ``(doc_id, cluster_id)``
+    with ``cluster_id`` = the smallest doc id in the component — the
+    canonical "keep one per duplicate cluster" assignment.
+
+    Iterative min-label propagation with pointer jumping: every round each
+    node takes the min of (its label, its neighbors' labels, its *label's*
+    label). The neighbor step moves a component's min one hop; the
+    pointer-jumping step (root ← root-of-root, the classic parallel
+    union-find shortcut) then doubles the distance already covered, so
+    rounds are O(log diameter) — a 12-node chain converges in 4 rounds, not
+    12. Each round is two distributed joins over the edge/label tables — no
+    driver-side graph, no collected adjacency. Convergence is detected by a
+    monotone checksum: per-node labels only ever decrease, so the decimal
+    sum of labels strictly decreases until the fixpoint — one tiny aggregate
+    per round instead of a change-detection join (decimal(38,0): exact, no
+    int64 overflow at 10^9 nodes × 10^12 ids).
+
+    Genuinely iterative, yet still oracle-checkable: the fixpoint equals the
+    transitive-closure minimum, which DuckDB computes with one recursive CTE.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .cache()
+    )
+    # localCheckpoint (not cache): each round's plan would otherwise nest the
+    # previous round's joins — after N rounds the lineage is N joins deep and
+    # the optimizer chokes long before the data does. Checkpointing cuts the
+    # lineage to the materialized blocks every round; the eager action doubles
+    # as the round barrier.
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct()
+        .withColumn("root", F.col("id"))
+        .localCheckpoint()
+    )
+
+    def _checksum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("root").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _checksum(labels)
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels.select(F.col("id").alias("v"),
+                                     F.col("root").alias("vroot")), "v")
+            .groupBy("u").agg(F.min("vroot").alias("nb_root"))
+            .withColumnRenamed("u", "id")
+        )
+        hopped = (
+            labels.join(nb_min, "id", "left")
+            .select("id", F.least(
+                F.col("root"), F.coalesce("nb_root", F.col("root"))
+            ).alias("root"))
+        )
+        # pointer jumping: follow the label one more step (root of root)
+        new_labels = (
+            hopped.alias("l")
+            .join(hopped.select(F.col("id").alias("root"),
+                                F.col("root").alias("rroot")).alias("r"),
+                  "root", "left")
+            .select("id", F.least(
+                F.col("root"), F.coalesce("rroot", F.col("root"))
+            ).alias("root"))
+            .localCheckpoint()
+        )
+        labels = new_labels
+        cur_sum = _checksum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("root").alias("cluster_id"))
 
 
 def _simhash_from_hashes(th, bits: int):

@@ -1,0 +1,76 @@
+"""Deterministic stratified sampling / source mixing for training data.
+
+Training-data-pipeline extension (no gensor analogue). Web-scale corpus
+assembly re-weights sources ("2 epochs of wiki, 0.3 of common-crawl"): a
+per-stratum Bernoulli keep-decision that must be (a) row-local — no shuffle,
+no global state, (b) deterministic and seed-stable — re-running the pipeline
+or re-processing one partition keeps exactly the same rows (resumability
+depends on this), and (c) engine-portable — the DuckDB oracle reproduces the
+exact selection, bit for bit.
+
+``hash mod D < rate·D`` over the md5-derived 32-bit hash of ``salt:id``
+(functions/text.md5int) gives all three. Nothing here samples with
+``rand()`` — nondeterministic sampling breaks checkpoint resume and makes
+correctness unverifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gensor_spark.functions.text import md5int
+
+#: hash-space denominator; rates are quantized to 1/DENOM steps (exactly
+#: representable on both engines — no float threshold comparisons)
+DENOM = 1_000_000
+
+
+def keep_hash(id_col: Column, salt: str) -> Column:
+    """Uniform-ish value in [0, DENOM) from the salted md5 of the id."""
+    return F.pmod(md5int(F.concat(F.lit(salt), F.lit(":"),
+                                  id_col.cast("string"))), F.lit(DENOM))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str = "source", id_col: str = "doc_id",
+                      salt: str = "mix1", default_rate: float = 0.0) -> DataFrame:
+    """Keep each row of stratum ``s`` with probability ``rates[s]``
+    (``default_rate`` for unlisted strata), decided by the salted id hash.
+
+    The rate lookup is a literal MAP (broadcast-free, row-local); the whole
+    plan is one filter expression inside whole-stage codegen.
+    """
+    pairs: list[Column] = []
+    for k, v in rates.items():
+        pairs += [F.lit(k), F.lit(int(round(v * DENOM)))]
+    rate_map = F.create_map(*pairs) if pairs else None
+    thresh = (
+        F.coalesce(rate_map[F.col(strata_col)],
+                   F.lit(int(round(default_rate * DENOM))))
+        if rate_map is not None
+        else F.lit(int(round(default_rate * DENOM)))
+    )
+    return df.filter(keep_hash(F.col(id_col), salt) < thresh)
+
+
+def sample_rates_from_hash(strata_col: Column, salt: str = "rate1",
+                           lo: float = 0.1, hi: float = 0.9) -> Column:
+    """A deterministic per-stratum rate in [lo, hi) derived from the stratum
+    name — handy when exercising the sampler over unbounded stratum sets
+    (tests, benchmarks) without enumerating them."""
+    span = int(round((hi - lo) * DENOM))
+    return (
+        F.lit(int(round(lo * DENOM)))
+        + F.pmod(md5int(F.concat(F.lit(salt), F.lit(":"), strata_col)),
+                 F.lit(span))
+    )
+
+
+def stratified_sample_hash_rates(df: DataFrame, strata_col: str = "source",
+                                 id_col: str = "doc_id", salt: str = "mix1",
+                                 rate_salt: str = "rate1") -> DataFrame:
+    """``stratified_sample`` with the per-stratum rate itself hash-derived —
+    fully closed-form, so the oracle needs no rate table."""
+    thresh = sample_rates_from_hash(F.col(strata_col), rate_salt)
+    return df.filter(keep_hash(F.col(id_col), salt) < thresh)

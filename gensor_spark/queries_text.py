@@ -200,6 +200,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
 
 
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered variant — MUST return the exact rows of the all-pairs
+    baseline (the filter is lossless), so it shares that query's oracle."""
+    out = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=_K,
+                                prefix_filter=True)
+    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (iterative
+    min-label propagation) over the SimHash near-pair graph."""
+    pairs = D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return D.dup_clusters(pairs)
+
+
 SQL_DEDUP_NGRAM_JACCARD = f"""
 WITH toks AS ({_TOKS_SQL}),
 sh AS (SELECT DISTINCT doc_id, s
@@ -514,6 +529,117 @@ FROM per GROUP BY 1
 """
 
 
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE sp AS (SELECT id_a, id_b FROM ({SQL_SIMHASH_PAIRS}) z),
+edges AS (SELECT id_a AS u, id_b AS v FROM sp
+          UNION SELECT id_b, id_a FROM sp),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus assembly: sequence packing, stratified sampling, repetition quality
+# --------------------------------------------------------------------------
+
+_SEQ_LEN = 128
+_N_TOK_SQL = f"len(regexp_extract_all(lower(text), '{T.BPEISH_RE}'))"
+
+
+def _docs_with_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star token-table shape (doc_id, n_tok, source), derived
+    from the documents table via the BPE-ish tokenizer."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", "source", T.bpeish_token_count(F.col("text")).alias("n_tok")
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.packing import pack_chunks
+
+    return pack_chunks(_docs_with_ntok(spark, sf_dir), seq_len=_SEQ_LEN)
+
+
+SQL_PACK_CHUNKS = f"""
+WITH t AS (SELECT doc_id, {_N_TOK_SQL} AS n FROM documents WHERE {_N_TOK_SQL} > 0),
+o AS (SELECT doc_id, n,
+             (sum(n) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             )::BIGINT - n AS off
+      FROM t)
+SELECT doc_id, c AS chunk_id,
+       greatest(c * {_SEQ_LEN} - off, 0) AS tok_start,
+       least((c + 1) * {_SEQ_LEN}, off + n) - greatest(c * {_SEQ_LEN}, off)
+         AS n_in_chunk
+FROM o, LATERAL (SELECT unnest(range(off // {_SEQ_LEN},
+                                     (off + n - 1) // {_SEQ_LEN} + 1)) AS c) u
+"""
+
+
+def q_pack_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.packing import chunk_stats, pack_chunks
+
+    return chunk_stats(pack_chunks(_docs_with_ntok(spark, sf_dir),
+                                   seq_len=_SEQ_LEN))
+
+
+SQL_PACK_CHUNK_STATS = f"""
+WITH pc AS ({SQL_PACK_CHUNKS})
+SELECT chunk_id, count(*) AS n_docs, sum(n_in_chunk)::BIGINT AS fill,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM pc GROUP BY 1
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.sampling import stratified_sample_hash_rates
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return stratified_sample_hash_rates(docs)
+
+
+# mirrors sampling.stratified_sample_hash_rates: keep-hash over 'mix1:<id>',
+# per-source rate 0.1 + (hash('rate1:<source>') mod 0.8), both in DENOM units
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE ({_md5int_sql("'mix1:' || doc_id::VARCHAR")} % 1000000)
+    < (100000 + ({_md5int_sql("'rate1:' || source")} % 800000))
+"""
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.quality import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id", "total_grams", "distinct_grams",
+        _r6(F.col("dup_frac")).alias("dup_frac"),
+        _r6(F.col("top_frac")).alias("top_frac"),
+    )
+
+
+SQL_REPETITION_QUALITY = f"""
+WITH toks AS ({_TOKS_SQL}),
+g AS (SELECT doc_id, s AS g
+      FROM toks, LATERAL (SELECT unnest({_shingle_sql(3)}) AS s) u),
+pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+pd AS (SELECT doc_id, sum(c)::BIGINT AS total_grams,
+              count(*) AS distinct_grams, max(c) AS topc
+       FROM pg GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(total_grams, 0) AS total_grams,
+       coalesce(distinct_grams, 0) AS distinct_grams,
+       round(coalesce((total_grams - distinct_grams)::DOUBLE / total_grams,
+                      0) + 1e-9, 6) AS dup_frac,
+       round(coalesce(topc::DOUBLE / total_grams, 0) + 1e-9, 6) AS top_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal: binary payload plumbing (operators/multimodal.py)
 # --------------------------------------------------------------------------
@@ -565,6 +691,12 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_prefix": q_dedup_ngram_prefix,
+    "dup_clusters": q_dup_clusters,
+    "pack_chunks": q_pack_chunks,
+    "pack_chunk_stats": q_pack_chunk_stats,
+    "stratified_sample": q_stratified_sample,
+    "repetition_quality": q_repetition_quality,
     "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "emb_neardup_brute": q_emb_neardup_brute,
@@ -584,6 +716,13 @@ TEXT_ORACLES: dict[str, str] = {
     "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    # prefix filtering is lossless: the variant shares the baseline's oracle
+    "dedup_ngram_prefix": SQL_DEDUP_NGRAM_JACCARD,
+    "dup_clusters": SQL_DUP_CLUSTERS,
+    "pack_chunks": SQL_PACK_CHUNKS,
+    "pack_chunk_stats": SQL_PACK_CHUNK_STATS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "repetition_quality": SQL_REPETITION_QUALITY,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "emb_neardup_brute": SQL_EMB_NEARDUP_BRUTE,

@@ -46,7 +46,18 @@ def get_spark(
         builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE partition COALESCING is off: it merges post-shuffle partitions
+        # by BYTES, but this engine's shuffle data is narrow sorted rows that
+        # compress 30-50× — a tiny pre-explode span aggregate (~100KB) fed a
+        # 1.85M-row grid explode, got coalesced to 2 partitions, and every
+        # downstream window ran 2-wide (measured: gapfill 6.7s → 4.4s warm at
+        # 32-wide; per-series Arrow kernels were serialized the same way).
+        # Byte-sizing is the wrong cost model for CPU-bound stages, and since
+        # get_spark already sizes shuffle.partitions to the core count there
+        # are no thousands-of-tiny-tasks to rescue. On a cluster with
+        # oversized shuffle.partitions, re-enable via SPARK_GRAFT_COALESCE.
+        .config("spark.sql.adaptive.coalescePartitions.enabled",
+                os.environ.get("SPARK_GRAFT_COALESCE", "false"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,162 @@
+"""Unit tests for corpus-assembly operators: sequence packing, stratified
+sampling, repetition quality, duplicate clustering, prefix filtering.
+
+Driver-level oracle checks (queries_text.py SQL vs Spark) cover the
+testdata; these pin the semantic invariants on hand-built inputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gensor_spark.operators import dedup as D
+from gensor_spark.operators.packing import chunk_stats, pack_chunks, with_global_offset
+from gensor_spark.operators.quality import repetition_stats
+from gensor_spark.operators.sampling import DENOM, stratified_sample
+
+
+# --------------------------------------------------------------------------
+# packing
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lengths(spark):
+    # ids deliberately unsorted & sparse; lengths straddle the seq_len=10
+    # boundary in every way: exact fill, multi-chunk spans, 1-token docs
+    rows = [(7, 3), (1, 10), (4, 25), (9, 1), (2, 0), (12, 8), (30, 13)]
+    return spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+
+def test_global_offset_matches_serial_cumsum(lengths):
+    got = {
+        r.doc_id: r.offset
+        for r in with_global_offset(lengths, "n_tok", "doc_id",
+                                    n_buckets=3).collect()
+    }
+    rows = sorted([(7, 3), (1, 10), (4, 25), (9, 1), (2, 0), (12, 8), (30, 13)])
+    acc, want = 0, {}
+    for did, n in rows:
+        want[did] = acc
+        acc += n
+    assert got == want
+
+
+def test_pack_chunks_spans_and_fill(lengths):
+    packed = pack_chunks(lengths, seq_len=10, n_buckets=3)
+    rows = {(r.doc_id, r.chunk_id): (r.tok_start, r.n_in_chunk)
+            for r in packed.collect()}
+    # doc 1 (offset 0, len 10) fills chunk 0 exactly
+    assert rows[(1, 0)] == (0, 10)
+    # doc 4 (offset 10, len 25) spans chunks 1,2,3: 10+10+5 tokens
+    assert rows[(4, 1)] == (0, 10)
+    assert rows[(4, 2)] == (10, 10)
+    assert rows[(4, 3)] == (20, 5)
+    # doc 2 (len 0) is dropped
+    assert not any(d == 2 for d, _ in rows)
+    # every doc's chunk pieces cover its full length contiguously
+    per_doc = {}
+    for (d, _c), (_s, n) in rows.items():
+        per_doc[d] = per_doc.get(d, 0) + n
+    assert per_doc == {7: 3, 1: 10, 4: 25, 9: 1, 12: 8, 30: 13}
+
+
+def test_chunk_stats_invariant(lengths):
+    packed = pack_chunks(lengths, seq_len=10, n_buckets=2)
+    stats = {r.chunk_id: r.fill for r in chunk_stats(packed).collect()}
+    total = 3 + 10 + 25 + 1 + 8 + 13
+    last = max(stats)
+    for cid, fill in stats.items():
+        assert fill == (10 if cid != last else total - 10 * last)
+    assert sum(stats.values()) == total
+
+
+def test_pack_chunks_bucket_count_irrelevant(lengths):
+    a = sorted(map(tuple, pack_chunks(lengths, 10, n_buckets=1).collect()))
+    b = sorted(map(tuple, pack_chunks(lengths, 10, n_buckets=5).collect()))
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# sampling
+# --------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    rates = {"a": 0.5, "b": 0.0}
+    kept = stratified_sample(df, rates).collect()
+    assert all(r.source == "a" for r in kept)
+    # md5-uniformity: ~50% of the 2000 'a' rows within a loose band
+    assert 800 <= len(kept) <= 1200
+    again = stratified_sample(df, rates).collect()
+    assert sorted(r.doc_id for r in kept) == sorted(r.doc_id for r in again)
+    # a sample at a higher rate is a superset (nested samples property)
+    bigger = stratified_sample(df, {"a": 0.8, "b": 0.0}).collect()
+    assert {r.doc_id for r in kept} <= {r.doc_id for r in bigger}
+
+
+# --------------------------------------------------------------------------
+# repetition quality
+# --------------------------------------------------------------------------
+
+def test_repetition_stats_edges(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),       # one repeated 3-gram
+            (1, "all these tokens differ from others"),  # no repeats
+            (2, "ab"),                                   # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs, k=3).collect()}
+    # doc 0: 4 occurrences of the single gram "spam spam spam"
+    assert out[0].total_grams == 4 and out[0].distinct_grams == 1
+    assert out[0].dup_frac == 0.75 and out[0].top_frac == 1.0
+    assert out[1].dup_frac == 0.0 and out[1].top_frac == pytest.approx(0.25)
+    assert out[2].total_grams == 0 and out[2].dup_frac == 0.0
+
+
+# --------------------------------------------------------------------------
+# duplicate clustering
+# --------------------------------------------------------------------------
+
+def test_dup_clusters_components(spark):
+    # two components: a 4-chain 1-2-3-4 (diameter 3) and a pair 10-11
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in D.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_long_chain(spark):
+    n = 12  # diameter > default dense-cluster expectation, still < max_iter
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in D.dup_clusters(pairs).collect()}
+    assert set(out.values()) == {0} and len(out) == n + 1
+
+
+# --------------------------------------------------------------------------
+# prefix filtering
+# --------------------------------------------------------------------------
+
+def test_prefix_filter_lossless(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the sleepy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "unrelated text with completely different token content"),
+        (4, "the quick brown cat naps under the lazy dog tonight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t, expect_pairs in ((0.3, True), (0.5, True), (0.8, False)):
+        exact = sorted(map(tuple, D.ngram_jaccard_pairs(docs, t).collect()))
+        pref = sorted(map(tuple, D.ngram_jaccard_pairs(
+            docs, t, prefix_filter=True).collect()))
+        assert exact == pref  # lossless at every threshold
+        assert bool(exact) == expect_pairs  # and non-trivial where expected
