@@ -640,6 +640,36 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-50 tokens by frequency.
+
+    The top-k runs as ``orderBy(...).limit(k)`` — Spark compiles this to
+    TakeOrderedAndProject (per-partition heaps merged at the driver, k rows
+    each), NOT a global sort: the aggregated vocab table is never fully
+    shuffled into one ordered partition. Tie-break on the token keeps the
+    boundary deterministic cross-engine.
+    """
+    from pyspark.sql import Window as W
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(T.tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    top = counts.orderBy(F.desc("freq"), "token").limit(50)
+    # rank assignment runs on the 50 surviving rows only
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), "token")))
+
+
+SQL_VOCAB_TOPK = f"""
+WITH toks AS ({_TOKS_SQL}),
+t AS (SELECT unnest(toks) AS token FROM toks),
+c AS (SELECT token, count(*) AS freq FROM t GROUP BY 1)
+SELECT token, freq,
+       row_number() OVER (ORDER BY freq DESC, token) AS rank
+FROM c ORDER BY freq DESC, token LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal: binary payload plumbing (operators/multimodal.py)
 # --------------------------------------------------------------------------
@@ -697,6 +727,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_chunk_stats": q_pack_chunk_stats,
     "stratified_sample": q_stratified_sample,
     "repetition_quality": q_repetition_quality,
+    "vocab_topk": q_vocab_topk,
     "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "emb_neardup_brute": q_emb_neardup_brute,
@@ -723,6 +754,7 @@ TEXT_ORACLES: dict[str, str] = {
     "pack_chunk_stats": SQL_PACK_CHUNK_STATS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "repetition_quality": SQL_REPETITION_QUALITY,
+    "vocab_topk": SQL_VOCAB_TOPK,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "emb_neardup_brute": SQL_EMB_NEARDUP_BRUTE,
