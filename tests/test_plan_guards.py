@@ -80,3 +80,20 @@ def test_no_row_python_udfs_anywhere(spark, queries):
     for name, q in queries.items():
         plan = _plan(q(spark, SF))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_pack_chunks_prefix_sum_is_bucketed(spark, queries):
+    """The packing prefix sum must run as the two-phase form: the row-level
+    cumulative window partitions by the range bucket (full width); only the
+    buckets-row offset table may use an unpartitioned window."""
+    plan = _plan(queries["pack_chunks"](spark, SF))
+    assert re.search(r"windowspecdefinition\(_bkt", plan)
+    # the bucket-offset join must broadcast (B rows, never shuffled wide)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_topk_is_take_ordered(spark, queries):
+    """Top-k must compile to TakeOrderedAndProject (per-partition heaps),
+    never a global Sort of the vocab table."""
+    plan = _plan(queries["vocab_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
