@@ -294,17 +294,39 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
             F.col("_rk") <= F.col("_n")
             - F.ceil(F.lit(threshold) * F.col("_n")) + 1
         ).select("doc_id", "shingle")
-        join_base = prefix
-    else:
-        join_base = sh
-    pairs = (
-        join_base.withColumnRenamed("doc_id", "id_a")
-        .join(join_base.withColumnRenamed("doc_id", "id_b"), "shingle")
+        pairs = (
+            prefix.withColumnRenamed("doc_id", "id_a")
+            .join(prefix.withColumnRenamed("doc_id", "id_b"), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= threshold)
+    # all-pairs baseline: the overlap counts fall straight out of ONE
+    # inverted-index self-join — no distinct pair materialization, no
+    # two-hop re-join of the index (that shape exists for externally-given
+    # candidate sets; here every joined row IS one unit of |A ∩ B|)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        sa.join(sb, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
     )
-    return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= threshold)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "id_a")
+                    .withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("n", "n_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("common").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("common"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
