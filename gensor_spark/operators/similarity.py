@@ -190,10 +190,17 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
             .select("vid", "qv", F.col("cent_id").alias("cell"))
         )
         means = assigned.groupBy("cell").agg(F.array(*mean_cols).alias("mev"))
-        # n_centroids rows on both sides — never let this fall to sort-merge
+        # n_centroids rows on both sides — never let this fall to sort-merge.
+        # localCheckpoint each round: without it iteration i's plan nests all
+        # i-1 previous assignment joins, and every broadcast re-derives the
+        # whole chain as its own sub-job — plan depth, not data, dominated
+        # the runtime (6.0s → 2.6s for the full IVF query at sf0.1). The
+        # centroid values are exact integers (see docstring), so
+        # materialization cannot perturb them.
         cents = (
             cents.join(F.broadcast(means), cents["cent_id"] == means["cell"], "left")
             .select("cent_id", F.coalesce("mev", "ev").alias("ev"))
+            .localCheckpoint()
         )
     return cents.select(
         "cent_id", "ev", F.sqrt(dot("ev", "ev")).alias("en")
