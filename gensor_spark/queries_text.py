@@ -301,6 +301,30 @@ def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r6(F.col("sim")).alias("sim"))
 
 
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters: connected components over the embedding
+    near-dup graph — the same propagation operator as the text-side
+    ``dup_clusters``, composed over a different pair source (the
+    verify-after-LSH pipeline feeds the graph directly)."""
+    pairs = S.neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
+    return D.dup_clusters(pairs.select(
+        F.col("id_a"), F.col("id_b"))).withColumnRenamed("doc_id", "vec_id")
+
+
+def _sql_emb_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE sp AS (SELECT id_a, id_b FROM ({_sql_emb_neardup_lsh()}) z),
+edges AS (SELECT id_a AS u, id_b AS v FROM sp
+          UNION SELECT id_b, id_a FROM sp),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+)
+SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1
+"""
+
+
 def _sql_emb_neardup_lsh(max_bucket: int = 10_000) -> str:
     all_planes = S.planes(S.LSH_TABLES * S.LSH_PLANES_PER_TABLE, S.DEFAULT_DIMS)
     m = S.LSH_PLANES_PER_TABLE
@@ -732,6 +756,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "emb_neardup_brute": q_emb_neardup_brute,
     "emb_neardup_lsh": q_emb_neardup_lsh,
+    "emb_dup_clusters": q_emb_dup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "lang_id": q_lang_id,
@@ -759,6 +784,7 @@ TEXT_ORACLES: dict[str, str] = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "emb_neardup_brute": SQL_EMB_NEARDUP_BRUTE,
     "emb_neardup_lsh": _sql_emb_neardup_lsh(),
+    "emb_dup_clusters": _sql_emb_dup_clusters(),
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "lang_id": _sql_lang_id(),
