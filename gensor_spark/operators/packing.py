@@ -32,33 +32,28 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _bucket_of(col, boundaries: list) -> F.Column:
-    """Index of the range-bucket containing ``col``: count of boundaries
-    ``<=`` the value, as one aggregate fold (O(B) per row, B = #buckets)."""
-    if not boundaries:
-        return F.lit(0)
-    arr = F.array(*[F.lit(b) for b in boundaries])
-    return F.aggregate(
-        arr, F.lit(0), lambda acc, b: acc + F.when(col >= b, 1).otherwise(0)
-    )
-
-
 def with_global_offset(df: DataFrame, length_col: str, order_col: str,
                        n_buckets: int | None = None,
                        out_col: str = "offset") -> DataFrame:
     """Add ``out_col`` = exclusive prefix sum of ``length_col`` in
     ``order_col`` order, without a single-task global window.
 
-    ``n_buckets`` defaults to the cluster parallelism. The per-bucket totals
-    table has exactly ``n_buckets`` rows — its own prefix-sum window runs on
-    one task by construction and that is fine (it is O(buckets), not O(rows)).
+    The range buckets come from ``repartitionByRange``: partition *i* holds
+    a contiguous ``order_col`` range below partition *i+1*'s (equal keys
+    colocate), so ``spark_partition_id()`` is a monotone bucket index for
+    ANY orderable key type — string doc ids included — with no separate
+    boundary-sampling action. ``n_buckets`` defaults to the cluster
+    parallelism. The per-bucket totals table has exactly ``n_buckets`` rows
+    — its own prefix-sum window runs on one task by construction and that
+    is fine (it is O(buckets), not O(rows)).
     """
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    boundaries = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
-    b = df.withColumn("_bkt", _bucket_of(F.col(order_col), boundaries))
+    b = (
+        df.repartitionByRange(n_buckets, F.col(order_col))
+        .withColumn("_bkt", F.spark_partition_id())
+    )
     w_in = (
         W.partitionBy("_bkt").orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -121,6 +116,50 @@ def pack_chunks(docs: DataFrame, seq_len: int, length_col: str = "n_tok",
         F.greatest(chunk_lo - F.col("_off"), F.lit(0)).alias("tok_start"),
         (F.least(chunk_hi, F.col("_off") + F.col("_n"))
          - F.greatest(chunk_lo, F.col("_off"))).alias("n_in_chunk"),
+    )
+
+
+def materialize_chunks(docs: DataFrame, packed: DataFrame, seq_len: int,
+                       tokens_col: str = "tokens",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Assemble the actual training tensors: ``(chunk_id, tokens)`` with
+    ``size(tokens) == seq_len`` for every chunk but the last.
+
+    Joins the span table back to the docs, slices each doc's token array to
+    its in-chunk piece (``slice`` is 1-based), and concatenates the pieces
+    in stream order — ``array_sort`` over ``(tok_start DESC-safe struct)``
+    cannot be used because pieces of *different docs* in one chunk need
+    doc-order, so the sort key is the doc's global position: ``tok_start``
+    within the doc plus the doc id orders pieces uniquely because a chunk
+    contains at most one piece per doc and docs enter the chunk in id order.
+
+    The whole plan is one co-partitioned join + one groupBy(chunk_id); no
+    token ever crosses Python. Verification invariant (tested): the
+    concatenation of all chunks equals the concatenation of all docs in id
+    order — token-array equality, the north rule's per-row invariant lifted
+    to the packed representation.
+    """
+    pieces = (
+        packed.join(docs.select(F.col(id_col), F.col(tokens_col)), id_col)
+        .select(
+            "chunk_id",
+            F.struct(
+                F.col(id_col).alias("did"),
+                F.slice(
+                    F.col(tokens_col),
+                    F.col("tok_start").cast("int") + 1,
+                    F.col("n_in_chunk").cast("int"),
+                ).alias("piece"),
+            ).alias("p"),
+        )
+    )
+    return (
+        pieces.groupBy("chunk_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("_ps"))
+        .select(
+            "chunk_id",
+            F.flatten(F.transform("_ps", lambda s: s["piece"])).alias("tokens"),
+        )
     )
 
 

@@ -77,6 +77,30 @@ def test_pack_chunks_bucket_count_irrelevant(lengths):
     assert a == b
 
 
+def test_materialize_chunks_token_equality(spark):
+    """The packed tensors carry EVERY token in stream order: concatenating
+    all chunks (chunk_id order) equals concatenating all docs (doc_id
+    order) — the north rule's token-array-equality invariant lifted to the
+    packed representation. Chunk sizes are exactly seq_len except the last."""
+    from gensor_spark.operators.packing import materialize_chunks
+    from gensor_spark.sources.synth import synth_docs
+
+    L = 256
+    docs = synth_docs(spark, n_docs=200, seed=7, min_tok=3, max_tok=90)
+    packed = pack_chunks(docs, seq_len=L, n_buckets=4)
+    chunks = materialize_chunks(docs, packed, seq_len=L)
+    rows = sorted(((r.chunk_id, r.tokens) for r in chunks.collect()))
+    sizes = [len(t) for _, t in rows]
+    assert all(s == L for s in sizes[:-1]) and 0 < sizes[-1] <= L
+    stream = [tok for _, t in rows for tok in t]
+    want = [
+        tok
+        for r in sorted(docs.collect(), key=lambda r: r.doc_id)
+        for tok in r.tokens
+    ]
+    assert stream == want
+
+
 # --------------------------------------------------------------------------
 # sampling
 # --------------------------------------------------------------------------
