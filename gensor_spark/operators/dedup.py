@@ -60,6 +60,23 @@ def minhash_coeffs(num_perm: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def text_view_of_tokens(docs: DataFrame, tokens_col: str = "tokens",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Adapter: run the whole dedup stack on the north-star token table.
+
+    The input shape is ``(doc_id, tokens array<int32>, n_tok, source)``
+    (BASELINE.json input_hint); joining the integer tokens with spaces
+    yields a ``text`` column whose tokenizer round-trip reproduces the
+    token stream exactly (digit runs are tokens), so every operator below
+    — exact/MinHash/SimHash/Jaccard/clustering — applies to pre-tokenized
+    sequences unchanged, shingling over token ids instead of words.
+    """
+    joined = F.array_join(
+        F.transform(F.col(tokens_col), lambda t: t.cast("string")), " "
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), joined.alias("text"))
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact duplicates: ``(doc_id, keeper_id)`` for every non-keeper row.

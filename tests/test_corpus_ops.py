@@ -165,6 +165,27 @@ def test_dup_clusters_long_chain(spark):
     assert set(out.values()) == {0} and len(out) == n + 1
 
 
+def test_dedup_on_token_table(spark):
+    """The dedup stack runs unchanged on the north-star (doc_id, tokens)
+    shape via the text_view adapter: a planted token-level near-dup (one
+    token changed) is found by MinHash-LSH with high Jaccard."""
+    base = list(range(100, 140))          # 40 token ids
+    near = base.copy()
+    near[20] = 999                        # one substitution
+    other = list(range(5000, 5040))
+    rows = [(["a", base]), (["b", base]), (["c", near]), (["d", other])]
+    docs = spark.createDataFrame(
+        [(r[0], r[1], len(r[1]), "s") for r in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    view = D.text_view_of_tokens(docs)
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.minhash_dedup_pairs(view, threshold=0.5).collect()}
+    assert pairs[("a", "b")] == 1.0       # exact token-stream dup
+    assert ("a", "c") in pairs and 0.5 <= pairs[("a", "c")] < 1.0
+    assert not any("d" in p for p in pairs)
+
+
 # --------------------------------------------------------------------------
 # prefix filtering
 # --------------------------------------------------------------------------
