@@ -8,14 +8,16 @@ transfer. This module makes that plumbing real and tested:
 - a canonical ``media`` schema and a deterministic builder that derives a
   media table from the ``documents`` testdata (payload = UTF-8 bytes of the
   text, kind round-robins image/audio/video) — no external data;
-- ``extract_features``: the ``mapInPandas`` stage. Real decoders (PIL,
+- ``extract_features`` (1→1), ``resize_images`` (1→1 with re-encoded
+  payload), ``sample_frames`` (1→N frame explosion): the three
+  ``mapInPandas`` stage shapes a media pipeline needs. Real decoders (PIL,
   torchaudio, av) are NOT present in this container, so the decode step is
-  **stubbed**: ``decoder='fake'`` (default) computes deterministic features
-  from the raw bytes with numpy (length / first / last / byte-mean /
-  rolling checksum), while ``decoder='real'`` raises ``NotImplementedError``
-  at the point a real codec would be invoked. Schema, batch shape,
-  partitioning, and the UDF signature are exactly what the real
-  implementation would use — swap the inner function, keep the plan.
+  **stubbed**: ``decoder='fake'`` (default) computes deterministic
+  byte-level stand-ins with numpy, while ``decoder='real'`` raises
+  ``NotImplementedError`` at the point a real codec would be invoked.
+  Schema, batch shape, partitioning, and the UDF signatures are exactly
+  what the real implementation would use — swap the inner function, keep
+  the plan.
 
 Scale notes: ``mapInPandas`` streams Arrow batches, so payload bytes never
 materialize on the driver; feature extraction is embarrassingly parallel
@@ -127,3 +129,110 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("payload", BinaryType(), True),       # re-encoded bytes
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  decoder: str = "fake") -> DataFrame:
+    """Resize the image rows to ``width × height`` — the decode→transform→
+    re-encode Arrow stage (1 row in, 1 row out; non-image rows filtered
+    upstream of the crossing, JVM-side).
+
+    ``decoder='fake'``: the "resized" payload is a deterministic byte
+    resampling (numpy linear index sampling of the source bytes to
+    ``width·height`` length) — content-derived, size-correct, and stable,
+    so downstream stages (storage sizing, checksum joins) behave exactly as
+    with a real codec. ``decoder='real'`` raises where PIL would run.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resize needs PIL; not available in this "
+                    "container — use decoder='fake'"
+                )
+            payloads = []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    payloads.append(b"")
+                    continue
+                src = np.frombuffer(p, dtype=np.uint8)
+                idx = np.linspace(0, len(src) - 1, n_out).astype(np.int64)
+                payloads.append(src[idx].tobytes())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": pdf["kind"].values,
+                "payload": payloads,
+                "width": np.int32(width),
+                "height": np.int32(height),
+            })
+
+    images = media.filter(F.col("kind") == "image")
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def sample_frames(media: DataFrame, every_n: int = 30,
+                  decoder: str = "fake") -> DataFrame:
+    """Sample every ``every_n``-th frame from the video rows — the 1-to-N
+    Arrow stage: one input row yields ``ceil(n_frames / every_n)`` frame
+    rows, streamed per batch (the exploded frames never gather on the
+    driver; output partitioning inherits the input's, so a hot long video
+    stays one task — repartition upstream by ``media_id`` salt if a single
+    video's frames exceed a task's budget).
+
+    ``decoder='fake'``: frame ``i`` is a deterministic byte slice of the
+    payload (stride = n_frames), so frame count/order/identity are testable;
+    ``decoder='real'`` raises where `av`-style demuxing would run.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real frame demuxing needs av/ffmpeg; not available in "
+                    "this container — use decoder='fake'"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, p, nf in zip(pdf["media_id"], pdf["payload"],
+                                  pdf["n_frames"]):
+                if p is None or len(p) == 0 or nf is None or nf <= 0:
+                    continue
+                src = np.frombuffer(p, dtype=np.uint8)
+                nf = int(nf)
+                for i in range(0, nf, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(src[i::nf].tobytes())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": pd.Series(frames, dtype=object),
+            })
+
+    videos = media.filter(F.col("kind") == "video")
+    return videos.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -735,6 +735,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r6(F.col("byte_mean")).alias("byte_mean"), "checksum")
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-UDF image resize plumbing — rows-only (re-encoded payload is
+    the non-SQL stage; determinism pinned by pytest)."""
+    from gensor_spark.operators.multimodal import media_from_documents, resize_images
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    out = resize_images(media, width=64, height=32)
+    return out.select("media_id", "width", "height",
+                      F.length("payload").alias("n_bytes"))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-UDF 1-to-N frame sampling plumbing — rows-only."""
+    from gensor_spark.operators.multimodal import media_from_documents, sample_frames
+
+    media = media_from_documents(_docs(spark, sf_dir))
+    out = sample_frames(media, every_n=30)
+    return out.select("media_id", "frame_idx",
+                      F.length("frame").alias("n_bytes"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -764,6 +785,8 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "media_catalog": q_media_catalog,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
 }
 
 TEXT_ORACLES: dict[str, str] = {
