@@ -77,6 +77,47 @@ def test_pack_chunks_bucket_count_irrelevant(lengths):
     assert a == b
 
 
+def test_pack_chunks_properties(spark):
+    """Property check over random length multisets: every doc fully
+    covered in contiguous spans, every chunk exactly seq_len except the
+    last, chunk ids dense from 0."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        lens=st.lists(st.integers(min_value=0, max_value=50),
+                      min_size=1, max_size=40),
+        L=st.integers(min_value=1, max_value=17),
+    )
+    def check(lens, L):
+        rows = [(i, n) for i, n in enumerate(lens)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+        got = pack_chunks(df, seq_len=L, n_buckets=3).collect()
+        per_doc, per_chunk = {}, {}
+        for r in got:
+            per_doc.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.tok_start, r.n_in_chunk))
+            per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.n_in_chunk
+        total = sum(lens)
+        assert sum(per_chunk.values()) == total
+        for did, pieces in per_doc.items():
+            pieces.sort()
+            assert all(n >= 1 for _, _, n in pieces)
+            # contiguous coverage of the doc: starts chain 0, n0, n0+n1, ...
+            starts = [s for _, s, _ in pieces]
+            lens_p = [n for _, _, n in pieces]
+            assert starts == [sum(lens_p[:i]) for i in range(len(lens_p))]
+            assert sum(lens_p) == lens[did]
+        if total:
+            last = max(per_chunk)
+            assert sorted(per_chunk) == list(range(last + 1))
+            for cid, fill in per_chunk.items():
+                assert fill == (L if cid != last else total - L * last)
+
+    check()
+
+
 def test_materialize_chunks_token_equality(spark):
     """The packed tensors carry EVERY token in stream order: concatenating
     all chunks (chunk_id order) equals concatenating all docs (doc_id
