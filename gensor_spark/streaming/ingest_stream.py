@@ -1,0 +1,63 @@
+"""Composed streaming corpus ingestion: quality gate → mix → dedup → land.
+
+The batch corpus operators are pure Catalyst expressions, so they lift onto
+a streaming DataFrame unchanged — this module is the composition proof, the
+shape a web-scale crawl ingester actually runs:
+
+1. **quality gate** — row-local expression filters from
+   ``functions/text.quality_features`` (min length, alnum ratio, stopword
+   floor). Stateless: works in any mode.
+2. **source mixing** — ``operators/sampling.stratified_sample`` keep-hash.
+   Stateless and seed-stable, so replays of the same micro-batch keep the
+   same rows (exactly-once friendly).
+3. **exact dedup** — ``streaming/dedup_stream.dedup_stream``: the only
+   stateful stage, digest state bounded by the watermark horizon.
+4. **land** — append-mode parquet/Iceberg sink with checkpointing.
+
+Everything before (3) is narrow (no shuffle, no state); the dedup state
+store is the pipeline's only distributed state, partitioned on the digest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gensor_spark.functions.text import quality_features
+from gensor_spark.operators.sampling import stratified_sample
+from gensor_spark.streaming.dedup_stream import dedup_stream
+
+
+def quality_gate(min_chars: int = 20, min_alnum_ratio: float = 0.5,
+                 text_col: str = "text") -> Column:
+    """The standard web-corpus keep-predicate as one row-local expression."""
+    feats = quality_features(F.col(text_col))
+    return (
+        (feats["n_chars"] >= min_chars)
+        & (feats["alnum_ratio"] >= min_alnum_ratio)
+        & (feats["n_tokens"] > 0)
+    )
+
+
+def ingest_pipeline(docs: DataFrame, rates: dict[str, float],
+                    watermark: str = "10 minutes",
+                    min_chars: int = 20,
+                    default_rate: float = 1.0) -> DataFrame:
+    """Gate → mix → dedup over a (streaming or batch) docs frame with
+    columns ``(doc_id, ts, text, source)``. Returns the surviving rows."""
+    gated = docs.filter(quality_gate(min_chars=min_chars))
+    mixed = stratified_sample(gated, rates, default_rate=default_rate)
+    return dedup_stream(mixed, watermark=watermark)
+
+
+def start_ingest_sink(survivors: DataFrame, out_dir: str,
+                      trigger_once: bool = False):
+    writer = (
+        survivors.writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/_checkpoints")
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

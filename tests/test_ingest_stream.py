@@ -1,0 +1,71 @@
+"""Composed streaming ingestion pipeline: gate → mix → dedup → land."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gensor_spark.operators.sampling import DENOM, keep_hash
+from gensor_spark.streaming.ingest_stream import ingest_pipeline, start_ingest_sink
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    yield str(src), str(out)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_ingest_pipeline_end_to_end(spark, dirs):
+    src, out = dirs
+    good = "a perfectly reasonable document with plenty of clean words here"
+    rows = [
+        (0, "2024-01-01 00:00:00", good, "keepme"),
+        (1, "2024-01-01 00:00:05", "x", "keepme"),              # too short
+        (2, "2024-01-01 00:00:10", "!!! ??? ;;; ***  ---- !!!!", "keepme"),  # low alnum
+        (3, "2024-01-01 00:00:15", good, "keepme"),             # dup of 0
+        (4, "2024-01-01 00:00:20", good + " extra", "dropme"),  # rate 0 source
+        (5, "2024-01-01 00:00:25", "another long and clean document body with different words", "keepme"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ts_s string, text string, source string"
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "text", "source")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    survivors = ingest_pipeline(stream, rates={"keepme": 1.0, "dropme": 0.0})
+    q = start_ingest_sink(survivors, out, trigger_once=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/data").collect()
+    texts = sorted(r.text for r in got)
+    # 1,2 gated; 4 mixed out; one of {0,3} deduped; 5 survives
+    assert len(got) == 2
+    assert texts == sorted([good, rows[5][2]])
+
+
+def test_ingest_pipeline_batch_and_stream_agree_on_stateless_stages(spark):
+    """The gate+mix stages are mode-agnostic: applying them to the same
+    rows as a plain batch frame keeps exactly the rows whose keep-hash
+    passes — replay-stable by construction."""
+    from gensor_spark.streaming.ingest_stream import quality_gate
+    from gensor_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a long clean document body with plenty of words to pass").alias("text"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    kept = stratified_sample(df.filter(quality_gate()), {"a": 0.4, "b": 0.0})
+    ids = {r.doc_id for r in kept.collect()}
+    expected = {
+        r.doc_id
+        for r in df.withColumn("h", keep_hash(F.col("doc_id"), "mix1")).collect()
+        if r.source == "a" and r.h < int(0.4 * DENOM)
+    }
+    assert ids == expected and ids
