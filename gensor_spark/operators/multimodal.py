@@ -185,6 +185,56 @@ def resize_images(media: DataFrame, width: int, height: int,
     return images.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+RESAMPLED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("payload", BinaryType(), True),
+    StructField("sample_rate", IntegerType(), True),
+])
+
+
+def resample_audio(media: DataFrame, target_rate: int,
+                   decoder: str = "fake") -> DataFrame:
+    """Resample the audio rows to ``target_rate`` Hz — the audio analogue
+    of ``resize_images`` (decode → rate-convert → re-encode, 1→1).
+
+    ``decoder='fake'``: payload length scales by ``target/source`` via
+    deterministic linear index resampling, so downstream byte budgeting
+    behaves like a real converter; ``decoder='real'`` raises where
+    torchaudio/soxr would run.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real audio resampling needs torchaudio/soxr; not "
+                    "available in this container — use decoder='fake'"
+                )
+            payloads = []
+            for p, sr in zip(pdf["payload"], pdf["sample_rate"]):
+                if p is None or len(p) == 0 or sr is None or sr <= 0:
+                    payloads.append(b"")
+                    continue
+                src = np.frombuffer(p, dtype=np.uint8)
+                n_out = max(1, int(round(len(src) * target_rate / int(sr))))
+                idx = np.linspace(0, len(src) - 1, n_out).astype(np.int64)
+                payloads.append(src[idx].tobytes())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "kind": pdf["kind"].values,
+                "payload": payloads,
+                "sample_rate": np.int32(target_rate),
+            })
+
+    audio = media.filter(F.col("kind") == "audio")
+    return audio.mapInPandas(run, schema=RESAMPLED_SCHEMA)
+
+
 FRAME_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("frame_idx", IntegerType(), False),

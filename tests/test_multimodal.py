@@ -56,6 +56,19 @@ def test_sample_frames_counts_and_identity(media):
     assert {(r.media_id, r.frame_idx): bytes(r.frame) for r in out} == again
 
 
+def test_resample_audio_rate_and_length(media):
+    from gensor_spark.operators.multimodal import resample_audio
+
+    src_lens = {r.media_id: len(bytes(r.payload))
+                for r in media.filter("kind = 'audio'").collect()}
+    out = resample_audio(media, target_rate=8000).collect()
+    assert sorted(r.media_id for r in out) == sorted(src_lens)
+    for r in out:
+        assert r.sample_rate == 8000
+        # builder rate is 16000 → half the samples (rounded)
+        assert len(r.payload) == max(1, round(src_lens[r.media_id] * 0.5))
+
+
 def test_real_decoder_raises_at_call_site(media):
     with pytest.raises(Exception, match="NotImplementedError|real"):
         resize_images(media, 8, 8, decoder="real").collect()
