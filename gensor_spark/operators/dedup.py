@@ -233,21 +233,9 @@ def lsh_candidates(band_rows: DataFrame, max_bucket: int = 1000) -> DataFrame:
     )
 
 
-def jaccard_on_pairs(pairs: DataFrame, sh_rows: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for given pairs, via inverted-index joins.
-
-    ``|A ∩ B|`` from a two-hop join on the shingle rows; ``|A ∪ B| =
-    |A| + |B| - |A ∩ B|``. No arrays are shuffled — only (id, shingle) rows.
-    """
-    sizes = sh_rows.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh_rows.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh_rows.select(F.col("doc_id").alias("id_b"), "shingle")
-    common = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+def _jaccard_from_common(common: DataFrame, sizes: DataFrame) -> DataFrame:
+    """``(id_a, id_b, jaccard)`` from overlap counts + per-doc set sizes:
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|`` — the one place the formula lives."""
     return (
         common.join(sizes.withColumnRenamed("doc_id", "id_a")
                     .withColumnRenamed("n", "n_a"), "id_a")
@@ -259,6 +247,24 @@ def jaccard_on_pairs(pairs: DataFrame, sh_rows: DataFrame) -> DataFrame:
              / (F.col("n_a") + F.col("n_b") - F.col("common"))).alias("jaccard"),
         )
     )
+
+
+def jaccard_on_pairs(pairs: DataFrame, sh_rows: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for given pairs, via inverted-index joins.
+
+    ``|A ∩ B|`` from a two-hop join on the shingle rows. No arrays are
+    shuffled — only (id, shingle) rows.
+    """
+    sizes = sh_rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh_rows.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh_rows.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return _jaccard_from_common(common, sizes)
 
 
 def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
@@ -307,9 +313,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                 W.partitionBy("doc_id").orderBy("_df", "shingle")))
             .withColumn("_n", F.count("*").over(W.partitionBy("doc_id")))
         )
+        # the -1e-9 guards the float product landing one ulp ABOVE an exact
+        # integer (0.07·100 = 7.000000000000001 → ceil 8, one prefix element
+        # short → a Jaccard-exactly-t boundary pair could slip the filter);
+        # nudging down can only lengthen the prefix, never lose exactness
         prefix = ranked.filter(
             F.col("_rk") <= F.col("_n")
-            - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+            - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
         ).select("doc_id", "shingle")
         pairs = (
             prefix.withColumnRenamed("doc_id", "id_a")
@@ -332,17 +342,8 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .agg(F.count("*").alias("common"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "id_a")
-                    .withColumnRenamed("n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("n", "n_b"), "id_b")
-        .select(
-            "id_a", "id_b",
-            (F.col("common").cast("double")
-             / (F.col("n_a") + F.col("n_b") - F.col("common"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    return _jaccard_from_common(common, sizes).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -380,16 +381,6 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
     )
     pairs.unpersist()
     spark = edges.sparkSession
-    # The loop's joins are shuffle-bound JVM stages with no Python kernels,
-    # so AQE's byte-sized partition coalescing — deliberately OFF session-wide
-    # because it starves CPU-bound Arrow stages (session.py) — is the RIGHT
-    # cost model here: a small near-dup graph coalesces each round's
-    # exchanges to a handful of tasks (measured 4.4s/round → ~0.4s/round on
-    # an 83k-edge graph at 32 cores), while a web-scale graph keeps its
-    # width. Enabled only for the loop, restored after.
-    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
-    _coalesce_prev = spark.conf.get(_coalesce_key)
-    spark.conf.set(_coalesce_key, "true")
     # localCheckpoint (not cache): each round's plan would otherwise nest the
     # previous round's joins — after N rounds the lineage is N joins deep and
     # the optimizer chokes long before the data does. Checkpointing cuts the
@@ -406,7 +397,18 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
             F.sum(F.col("root").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
+    # The loop's joins are shuffle-bound JVM stages with no Python kernels,
+    # so AQE's byte-sized partition coalescing — deliberately OFF session-wide
+    # because it starves CPU-bound Arrow stages (session.py) — is the RIGHT
+    # cost model here: a small near-dup graph coalesces each round's
+    # exchanges to a handful of tasks (measured 4.4s/round → ~0.4s/round on
+    # an 83k-edge graph at 32 cores), while a web-scale graph keeps its
+    # width. Enabled only for the loop (set INSIDE the try so any eager
+    # failure still restores it), previous value put back after.
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    _coalesce_prev = spark.conf.get(_coalesce_key)
     try:
+        spark.conf.set(_coalesce_key, "true")
         return _propagate(edges, labels, _checksum, max_iter)
     finally:
         spark.conf.set(_coalesce_key, _coalesce_prev)
@@ -414,6 +416,11 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
 
 def _propagate(edges: DataFrame, labels: DataFrame, _checksum,
                max_iter: int) -> DataFrame:
+    # Storage note: each round's localCheckpoint blocks are reclaimed by
+    # Spark's ContextCleaner once the driver drops the previous round's
+    # reference (rebinding `labels` below) — live copies stay O(1) between
+    # driver GCs, not O(rounds). DataFrame.unpersist() would not help here:
+    # localCheckpoint storage is RDD-level, not CacheManager-level.
     prev_sum = _checksum(labels)
     for _ in range(max_iter):
         nb_min = (

@@ -119,11 +119,12 @@ def pack_chunks(docs: DataFrame, seq_len: int, length_col: str = "n_tok",
     )
 
 
-def materialize_chunks(docs: DataFrame, packed: DataFrame, seq_len: int,
+def materialize_chunks(docs: DataFrame, packed: DataFrame,
                        tokens_col: str = "tokens",
                        id_col: str = "doc_id") -> DataFrame:
-    """Assemble the actual training tensors: ``(chunk_id, tokens)`` with
-    ``size(tokens) == seq_len`` for every chunk but the last.
+    """Assemble the actual training tensors: ``(chunk_id, tokens)`` —
+    ``size(tokens)`` equals the ``seq_len`` the spans were packed with for
+    every chunk but the last (the span table fully determines the layout).
 
     Joins the span table back to the docs, slices each doc's token array to
     its in-chunk piece (``slice`` is 1-based), and concatenates the pieces
@@ -163,12 +164,13 @@ def materialize_chunks(docs: DataFrame, packed: DataFrame, seq_len: int,
     )
 
 
-def chunk_stats(packed: DataFrame) -> DataFrame:
+def chunk_stats(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-chunk fill summary over a ``pack_chunks`` result: doc count,
-    token fill, and the boundary-spanning head/tail docs."""
+    token fill, and the boundary-spanning head/tail docs. ``id_col`` must
+    match the one the pack was built with."""
     return packed.groupBy("chunk_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_in_chunk").alias("fill"),
-        F.min("doc_id").alias("first_doc"),
-        F.max("doc_id").alias("last_doc"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
     )

@@ -290,8 +290,14 @@ class TierPipeline:
         else:
             self._recover_compact(tier)
             base = self.store / f"tier_{tier}"
+            parts = sorted(base.glob("batch=*"))
+            if not parts:
+                raise FileNotFoundError(
+                    f"tier {tier!r} has no data under {base} — run() it "
+                    "first (retention/compaction skip absent tiers)"
+                )
             df = self.spark.read.option("basePath", str(base)).parquet(
-                *[str(p) for p in sorted(base.glob("batch=*"))]
+                *[str(p) for p in parts]
             ).drop("batch")
         merged = _merge_partials(df, [*self.keys, "bin_ts"])
         return finalize_tier(merged) if finalize else merged
@@ -366,6 +372,12 @@ class TierPipeline:
             if tier not in TIERS:
                 raise ValueError(f"unknown tier {tier!r}")
             cutoff = (pd.Timestamp(now) - pd.Timedelta(age)).isoformat(sep=" ")
+            if self.backend == "parquet":
+                self._recover_compact(tier)  # promote crash leftovers first
+                if not any((self.store / f"tier_{tier}").glob("batch=*")):
+                    # a tier never written yet (retention scheduled before
+                    # first ingest) is a no-op, not an abort-mid-policy crash
+                    continue
             if self.backend == "iceberg":
                 self.spark.sql(
                     f"DELETE FROM {self.iceberg.table(tier)} "
@@ -377,7 +389,8 @@ class TierPipeline:
                 )
                 self._rewrite_tier(tier, kept)
             applied[tier] = cutoff
-        self._lineage_row({"retention": applied})
+        if applied:
+            self._lineage_row({"retention": applied})
         return applied
 
     def reset(self) -> None:

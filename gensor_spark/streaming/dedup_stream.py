@@ -39,11 +39,16 @@ def dedup_stream(docs: DataFrame, watermark: str = "10 minutes",
 
     ``docs`` is a streaming DataFrame with an event-time column ``ts_col``.
     Emits each digest's first row; state expires past ``watermark``.
+
+    ``dropDuplicatesWithinWatermark`` — NOT plain ``dropDuplicates`` — is
+    what makes the bound real: plain ``dropDuplicates`` on a non-event-time
+    subset never evicts its state rows (the gap SPARK-42931 closed), so the
+    digest store would grow with corpus cardinality forever.
     """
     with_digest = docs.withColumn("_digest", F.md5(F.col(text_col)))
     return (
         with_digest.withWatermark(ts_col, watermark)
-        .dropDuplicates(["_digest"])
+        .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
     )
 

@@ -52,12 +52,7 @@ def ingest_pipeline(docs: DataFrame, rates: dict[str, float],
 
 def start_ingest_sink(survivors: DataFrame, out_dir: str,
                       trigger_once: bool = False):
-    writer = (
-        survivors.writeStream.format("parquet")
-        .option("path", f"{out_dir}/data")
-        .option("checkpointLocation", f"{out_dir}/_checkpoints")
-        .outputMode("append")
-    )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    """Same landing contract as the dedup stage's sink — one implementation."""
+    from gensor_spark.streaming.dedup_stream import start_dedup_sink
+
+    return start_dedup_sink(survivors, out_dir, trigger_once=trigger_once)

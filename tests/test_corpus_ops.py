@@ -129,7 +129,7 @@ def test_materialize_chunks_token_equality(spark):
     L = 256
     docs = synth_docs(spark, n_docs=200, seed=7, min_tok=3, max_tok=90)
     packed = pack_chunks(docs, seq_len=L, n_buckets=4)
-    chunks = materialize_chunks(docs, packed, seq_len=L)
+    chunks = materialize_chunks(docs, packed)
     rows = sorted(((r.chunk_id, r.tokens) for r in chunks.collect()))
     sizes = [len(t) for _, t in rows]
     assert all(s == L for s in sizes[:-1]) and 0 < sizes[-1] <= L
@@ -240,6 +240,17 @@ def test_prefix_filter_lossless(spark):
         (4, "the quick brown cat naps under the lazy dog tonight"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # float-ulp regression: t·n one ulp above an exact integer must not
+    # shorten the prefix (0.07·100 = 7.000000000000001 → ceil must read 7)
+    from pyspark.sql import functions as F2
+
+    row = (
+        spark.range(1)
+        .select(F2.ceil(F2.lit(0.07) * F2.lit(100) - F2.lit(1e-9)).alias("c"))
+        .collect()[0]
+    )
+    assert row.c == 7
+
     for t, expect_pairs in ((0.3, True), (0.5, True), (0.8, False)):
         exact = sorted(map(tuple, D.ngram_jaccard_pairs(docs, t).collect()))
         pref = sorted(map(tuple, D.ngram_jaccard_pairs(

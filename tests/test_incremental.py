@@ -169,6 +169,20 @@ def test_apply_retention_drops_only_expired_bins(spark, docs, tmp_path):
     assert any("retention" in r for r in pipe.lineage())
 
 
+def test_retention_on_never_written_tier_is_noop(spark, tmp_path):
+    """Retention scheduled before the first ingest must not abort the
+    policy loop — absent tiers are skipped, nothing is applied or logged,
+    and a direct read of the absent tier says so clearly."""
+    import pytest as _pytest
+
+    pipe = TierPipeline(spark, str(tmp_path / "fresh"), n_batches=2)
+    applied = pipe.apply_retention({"1m": "7 days", "1h": "90 days"},
+                                   now="2024-06-01")
+    assert applied == {}
+    with _pytest.raises(FileNotFoundError, match="tier '1m' has no data"):
+        pipe.read_tier("1m")
+
+
 def test_concurrent_batches_match_serial(spark, docs, tmp_path):
     """max_concurrent=2 (the default) produces byte-identical tiers to a
     strictly serial run — batches are disjoint and partials associative."""
