@@ -52,7 +52,6 @@ def test_stream_dedup_state_crosses_micro_batches(spark, dirs):
     """A duplicate in a LATER micro-batch is deterministically suppressed:
     the digest state from batch 1 survives into batch 2."""
     src, out = dirs
-    schema = "doc_id long, ts timestamp, text string"
     batch1 = spark.createDataFrame(
         [(0, "2024-01-01 00:00:00", "alpha"), (1, "2024-01-01 00:00:10", "beta")],
         "doc_id long, ts_s string, text string",
