@@ -65,15 +65,22 @@ def text_view_of_tokens(docs: DataFrame, tokens_col: str = "tokens",
     """Adapter: run the whole dedup stack on the north-star token table.
 
     The input shape is ``(doc_id, tokens array<int32>, n_tok, source)``
-    (BASELINE.json input_hint); joining the integer tokens with spaces
-    yields a ``text`` column whose tokenizer round-trip reproduces the
-    token stream exactly (digit runs are tokens), so every operator below
-    — exact/MinHash/SimHash/Jaccard/clustering — applies to pre-tokenized
-    sequences unchanged, shingling over token ids instead of words.
+    (BASELINE.json input_hint); each token id renders as an unambiguous
+    word — ``t<id>`` with ``-`` mapped to ``m`` (the tokenizer would strip
+    a bare minus, colliding -5 with 5) and nulls as ``tnull`` (bare
+    ``array_join`` silently drops nulls, collapsing [7,null,8] onto [7,8])
+    — so the tokenizer round-trip reproduces the token stream exactly and
+    every operator below — exact/MinHash/SimHash/Jaccard/clustering —
+    applies to pre-tokenized sequences unchanged, shingling over token ids
+    instead of words.
     """
-    joined = F.array_join(
-        F.transform(F.col(tokens_col), lambda t: t.cast("string")), " "
+    rendered = F.transform(
+        F.col(tokens_col),
+        lambda t: F.concat(
+            F.lit("t"), F.regexp_replace(t.cast("string"), "-", "m")
+        ),
     )
+    joined = F.array_join(rendered, " ", null_replacement="tnull")
     return docs.select(F.col(id_col).alias("doc_id"), joined.alias("text"))
 
 

@@ -257,6 +257,10 @@ def sample_frames(media: DataFrame, every_n: int = 30,
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder: {decoder!r}")
+    if every_n < 1:
+        # fail at the driver with a clear message, not as a buried
+        # range()-step ValueError inside a task
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

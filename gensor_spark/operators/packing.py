@@ -32,28 +32,69 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _bucket_of(col, boundaries: list) -> F.Column:
+    """Index of the range-bucket containing ``col``: count of boundaries
+    ``<=`` the value, as one aggregate fold (O(B) per row, B = #buckets).
+    A pure expression over literal boundaries — identical in every plan
+    branch that references it, which is the load-bearing property."""
+    if not boundaries:
+        return F.lit(0)
+    arr = F.array(*[F.lit(b) for b in boundaries])
+    return F.aggregate(
+        arr, F.lit(0), lambda acc, b: acc + F.when(col >= b, 1).otherwise(0)
+    )
+
+
+def _range_boundaries(df: DataFrame, order_col: str, n_buckets: int) -> list:
+    """Driver-side bucket boundaries from a deterministic bounded sample.
+
+    Works for ANY orderable key type (string doc ids included — Spark's
+    ``>=`` on strings is the same binary collation ``orderBy`` uses). The
+    sample is ~64 keys per bucket regardless of table size, so the driver
+    materializes O(buckets) keys, never O(rows). Boundaries from a sample
+    only affect bucket BALANCE; correctness is carried entirely by the
+    monotone literal comparisons.
+
+    Boundaries MUST be driver-side literals: a physical-partitioning bucket
+    id (``repartitionByRange`` + ``spark_partition_id``) is re-evaluated
+    independently in every plan branch that references it, and each range
+    exchange samples its own boundaries — two branches can disagree on a
+    row's bucket and silently corrupt the offsets (observed: 150k/200k
+    offsets wrong the moment column pruning made the branches non-identical).
+    """
+    target = n_buckets * 64
+    cnt = df.count()
+    if cnt == 0:
+        return []
+    frac = min(1.0, target / cnt)
+    keys = sorted(
+        r[0] for r in df.select(order_col).sample(False, frac, seed=7).collect()
+    )
+    if len(keys) < n_buckets:
+        return []
+    step = len(keys) / n_buckets
+    bounds = sorted({keys[int(i * step)] for i in range(1, n_buckets)})
+    return bounds
+
+
 def with_global_offset(df: DataFrame, length_col: str, order_col: str,
                        n_buckets: int | None = None,
                        out_col: str = "offset") -> DataFrame:
     """Add ``out_col`` = exclusive prefix sum of ``length_col`` in
     ``order_col`` order, without a single-task global window.
 
-    The range buckets come from ``repartitionByRange``: partition *i* holds
-    a contiguous ``order_col`` range below partition *i+1*'s (equal keys
-    colocate), so ``spark_partition_id()`` is a monotone bucket index for
-    ANY orderable key type — string doc ids included — with no separate
-    boundary-sampling action. ``n_buckets`` defaults to the cluster
-    parallelism. The per-bucket totals table has exactly ``n_buckets`` rows
-    — its own prefix-sum window runs on one task by construction and that
-    is fine (it is O(buckets), not O(rows)).
+    Buckets come from driver-side literal boundaries (see
+    ``_range_boundaries`` for why a physical-partition-id bucket is NOT
+    sound here). ``n_buckets`` defaults to the cluster parallelism. The
+    per-bucket totals table has exactly ``n_buckets`` rows — its own
+    prefix-sum window runs on one task by construction and that is fine
+    (it is O(buckets), not O(rows)).
     """
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism
-    b = (
-        df.repartitionByRange(n_buckets, F.col(order_col))
-        .withColumn("_bkt", F.spark_partition_id())
-    )
+    boundaries = _range_boundaries(df, order_col, n_buckets)
+    b = df.withColumn("_bkt", _bucket_of(F.col(order_col), boundaries))
     w_in = (
         W.partitionBy("_bkt").orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)

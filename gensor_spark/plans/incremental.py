@@ -372,12 +372,16 @@ class TierPipeline:
             if tier not in TIERS:
                 raise ValueError(f"unknown tier {tier!r}")
             cutoff = (pd.Timestamp(now) - pd.Timedelta(age)).isoformat(sep=" ")
+            # a tier never written yet (retention scheduled before first
+            # ingest) is a no-op, not an abort-mid-policy crash — both
+            # backends (iceberg tier tables are created lazily on the first
+            # merge_batch, so DELETE on them would raise)
             if self.backend == "parquet":
                 self._recover_compact(tier)  # promote crash leftovers first
                 if not any((self.store / f"tier_{tier}").glob("batch=*")):
-                    # a tier never written yet (retention scheduled before
-                    # first ingest) is a no-op, not an abort-mid-policy crash
                     continue
+            elif not self.spark.catalog.tableExists(self.iceberg.table(tier)):
+                continue
             if self.backend == "iceberg":
                 self.spark.sql(
                     f"DELETE FROM {self.iceberg.table(tier)} "

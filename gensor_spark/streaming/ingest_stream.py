@@ -29,24 +29,47 @@ from gensor_spark.streaming.dedup_stream import dedup_stream
 
 
 def quality_gate(min_chars: int = 20, min_alnum_ratio: float = 0.5,
+                 min_stopword_ratio: float = 0.0,
                  text_col: str = "text") -> Column:
-    """The standard web-corpus keep-predicate as one row-local expression."""
+    """The standard web-corpus keep-predicate as one row-local expression:
+    min length, alnum-ratio floor, and an optional stopword-ratio floor
+    (off by default — natural-language-only corpora set it to ~0.05 to
+    drop keyword-stuffed spam)."""
     feats = quality_features(F.col(text_col))
-    return (
+    gate = (
         (feats["n_chars"] >= min_chars)
         & (feats["alnum_ratio"] >= min_alnum_ratio)
         & (feats["n_tokens"] > 0)
     )
+    if min_stopword_ratio > 0:
+        gate = gate & (feats["stopword_ratio"] >= min_stopword_ratio)
+    return gate
 
 
 def ingest_pipeline(docs: DataFrame, rates: dict[str, float],
                     watermark: str = "10 minutes",
-                    min_chars: int = 20,
+                    min_chars: int = 20, min_alnum_ratio: float = 0.5,
+                    min_stopword_ratio: float = 0.0,
                     default_rate: float = 1.0) -> DataFrame:
-    """Gate → mix → dedup over a (streaming or batch) docs frame with
-    columns ``(doc_id, ts, text, source)``. Returns the surviving rows."""
-    gated = docs.filter(quality_gate(min_chars=min_chars))
+    """Gate → mix → dedup over a docs frame with columns
+    ``(doc_id, ts, text, source)``. Returns the surviving rows.
+
+    Works on a streaming frame (watermark-bounded dedup state) AND on a
+    plain batch frame — Spark rejects ``dropDuplicatesWithinWatermark`` in
+    batch mode, so the batch path uses plain digest ``dropDuplicates``
+    (state bounds are a streaming-only concern; one-survivor-per-digest
+    semantics are the same)."""
+    gated = docs.filter(quality_gate(
+        min_chars=min_chars, min_alnum_ratio=min_alnum_ratio,
+        min_stopword_ratio=min_stopword_ratio,
+    ))
     mixed = stratified_sample(gated, rates, default_rate=default_rate)
+    if not mixed.isStreaming:
+        return (
+            mixed.withColumn("_digest", F.md5(F.col("text")))
+            .dropDuplicates(["_digest"])
+            .drop("_digest")
+        )
     return dedup_stream(mixed, watermark=watermark)
 
 

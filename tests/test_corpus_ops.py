@@ -71,6 +71,27 @@ def test_chunk_stats_invariant(lengths):
     assert sum(stats.values()) == total
 
 
+def test_global_offset_with_extra_columns_and_string_keys(spark):
+    """Regression: the bucket index must be a pure driver-literal expression.
+    A physical-partitioning bucket (repartitionByRange + spark_partition_id)
+    is re-sampled independently per plan branch, and keeping ANY extra
+    column breaks exchange reuse — offsets silently corrupt (observed
+    150k/200k wrong). Also covers non-numeric order keys."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(f"d{i:05d}", rng.randint(0, 50), f"x{i}") for i in range(5000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id string, n_tok long, extra string")
+    out = with_global_offset(df, "n_tok", "doc_id", n_buckets=8)
+    got = {r.doc_id: r.offset for r in out.select("doc_id", "offset", "extra").collect()}
+    acc, want = 0, {}
+    for did, n, _ in sorted(rows):
+        want[did] = acc
+        acc += n
+    assert got == want
+
+
 def test_pack_chunks_bucket_count_irrelevant(lengths):
     a = sorted(map(tuple, pack_chunks(lengths, 10, n_buckets=1).collect()))
     b = sorted(map(tuple, pack_chunks(lengths, 10, n_buckets=5).collect()))
@@ -225,6 +246,19 @@ def test_dedup_on_token_table(spark):
     assert pairs[("a", "b")] == 1.0       # exact token-stream dup
     assert ("a", "c") in pairs and 0.5 <= pairs[("a", "c")] < 1.0
     assert not any("d" in p for p in pairs)
+
+
+def test_token_view_disambiguates_edge_tokens(spark):
+    """[7, null, 8] must NOT collide with [7, 8], nor [-5, 3] with [5, 3]
+    — the rendering escapes nulls and minus signs before the tokenizer."""
+    docs = spark.createDataFrame(
+        [("a", [7, None, 8]), ("b", [7, 8]), ("c", [-5, 3]), ("d", [5, 3])],
+        "doc_id string, tokens array<int>",
+    )
+    texts = {r.doc_id: r.text
+             for r in D.text_view_of_tokens(docs).collect()}
+    assert len(set(texts.values())) == 4
+    assert not D.exact_dedup(D.text_view_of_tokens(docs)).collect()
 
 
 # --------------------------------------------------------------------------

@@ -49,6 +49,21 @@ def test_ingest_pipeline_end_to_end(spark, dirs):
     assert texts == sorted([good, rows[5][2]])
 
 
+def test_ingest_pipeline_batch_mode(spark):
+    """The composed pipeline also runs on a plain batch frame (plain
+    digest dropDuplicates replaces the streaming-only watermarked op)."""
+    good = "a perfectly reasonable document with plenty of clean words here"
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", good, "s"),
+         (1, "2024-01-01 00:00:10", good, "s"),
+         (2, "2024-01-01 00:00:20", "x", "s")],
+        "doc_id long, ts_s string, text string, source string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "text", "source")
+    out = ingest_pipeline(df, rates={"s": 1.0}).collect()
+    assert len(out) == 1 and out[0].text == good
+
+
 def test_ingest_pipeline_batch_and_stream_agree_on_stateless_stages(spark):
     """The gate+mix stages are mode-agnostic: applying them to the same
     rows as a plain batch frame keeps exactly the rows whose keep-hash
