@@ -367,10 +367,13 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
     rounds are O(log diameter) — a 12-node chain converges in 4 rounds, not
     12. Each round is two distributed joins over the edge/label tables — no
     driver-side graph, no collected adjacency. Convergence is detected by a
-    monotone checksum: per-node labels only ever decrease, so the decimal
-    sum of labels strictly decreases until the fixpoint — one tiny aggregate
-    per round instead of a change-detection join (decimal(38,0): exact, no
-    int64 overflow at 10^9 nodes × 10^12 ids).
+    type-agnostic checksum: ``sum(xxhash64(id, root))`` over the label
+    table. Labels are a deterministic function of the round, so the sum is
+    identical between rounds iff no label changed (up to a ~2^-64-per-round
+    hash-collision probability — negligible even at 10^9 nodes × 64
+    rounds); one tiny aggregate per round instead of a change-detection
+    join, and it works for string doc ids (the north-star token table's id
+    type) where a numeric ``sum(root)`` would NULL out or throw under ANSI.
 
     Genuinely iterative, yet still oracle-checkable: the fixpoint equals the
     transitive-closure minimum, which DuckDB computes with one recursive CTE.
@@ -400,8 +403,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 64) -> DataFrame:
     )
 
     def _checksum(lbl: DataFrame):
+        # xxhash64 accepts any input type (string/long/binary), so the
+        # fixpoint test never depends on the id column's type. The decimal
+        # cast keeps the 64-bit hash sum exact (no int64 overflow on the
+        # sum, no double rounding).
         return lbl.agg(
-            F.sum(F.col("root").cast("decimal(38,0)")).alias("s")
+            F.sum(F.xxhash64("id", "root").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
     # The loop's joins are shuffle-bound JVM stages with no Python kernels,

@@ -63,13 +63,22 @@ def _range_boundaries(df: DataFrame, order_col: str, n_buckets: int) -> list:
     offsets wrong the moment column pruning made the branches non-identical).
     """
     target = n_buckets * 64
-    cnt = df.count()
-    if cnt == 0:
-        return []
-    frac = min(1.0, target / cnt)
-    keys = sorted(
-        r[0] for r in df.select(order_col).sample(False, frac, seed=7).collect()
-    )
+    # Two driver actions (count + sample-collect) are needed here; persist
+    # the single-column key projection so the upstream plan — which for
+    # pack_chunks includes the full tokenization/filter pipeline — executes
+    # once for both, not once per action. The cached frame is one pruned
+    # column, O(rows × key width), spilled to disk if it doesn't fit.
+    keys_df = df.select(order_col).persist()
+    try:
+        cnt = keys_df.count()
+        if cnt == 0:
+            return []
+        frac = min(1.0, target / cnt)
+        keys = sorted(
+            r[0] for r in keys_df.sample(False, frac, seed=7).collect()
+        )
+    finally:
+        keys_df.unpersist()
     if len(keys) < n_buckets:
         return []
     step = len(keys) / n_buckets

@@ -114,6 +114,13 @@ def resample(
     fast path (JVM-side, whole-stage codegen).
     """
     if agg_func is not None:
+        if aggs != "mean":
+            # the callable path produces exactly one output column; a named
+            # aggs list alongside it would be silently dropped otherwise
+            raise ValueError(
+                "resample(): pass either named aggs or agg_func, not both "
+                f"(got aggs={aggs!r} with agg_func={agg_func!r})"
+            )
         from pyspark.sql import types as T
 
         from gensor_spark.operators.udfkernel import per_series_map

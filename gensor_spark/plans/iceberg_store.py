@@ -92,6 +92,33 @@ class IcebergTierStore:
         finally:
             self.spark.catalog.dropTempView(view)
 
+    def count_batch(self, tier: str, batch_id: int) -> int:
+        """Row count of one batch partition from the ``.partitions`` METADATA
+        table — manifest statistics only, never a data-file scan.
+
+        This replaces a standalone ``table.filter(batch==b).count()`` data
+        job per (tier, batch): that count was exactly the
+        parallelism-independent per-job floor the parquet path eliminated
+        with ``Observation`` metrics (``_write_counted``), ×3 tiers ×N
+        batches. ``observe()`` on the MERGE source is NOT a safe substitute:
+        Iceberg's MERGE can execute the source subquery twice (touched-file
+        discovery pass + the merge pass, the second pruned by the dynamic
+        file filter), so a CollectMetrics node there can report a pass-local
+        row count. The manifests' ``record_count`` is authoritative after
+        the commit.
+        """
+        rows = self.spark.sql(
+            f"SELECT record_count FROM {self.table(tier)}.partitions "
+            f"WHERE partition.batch = {int(batch_id)}"
+        ).collect()
+        return int(rows[0][0]) if rows else 0
+
+    def drop(self, tier: str) -> None:
+        """Drop one tier table (PURGE removes data files, not just catalog
+        state) — used by ``TierPipeline.reset`` so an Iceberg-backed reset
+        actually clears tier data, mirroring the parquet rmtree."""
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table(tier)} PURGE")
+
     def read(self, tier: str) -> DataFrame:
         return self.spark.table(self.table(tier)).drop("batch")
 

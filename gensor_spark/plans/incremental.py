@@ -166,14 +166,11 @@ class TierPipeline:
         """Persist one batch's tier partials via the configured backend."""
         if self.backend == "iceberg":
             # one atomic MERGE-INTO snapshot per (tier, batch); idempotent
-            # on re-run because the merge key includes the batch id
+            # on re-run because the merge key includes the batch id.
+            # Lineage count comes from manifest metadata (count_batch), not
+            # a standalone data-scan count job — see IcebergTierStore.
             self.iceberg.merge_batch(tier, tier_df, b)
-            # partition-pruned count of this batch's contribution
-            return (
-                self.spark.table(self.iceberg.table(tier))
-                .filter(F.col("batch") == b)
-                .count()
-            )
+            return self.iceberg.count_batch(tier, b)
         return self._write_counted(
             tier_df, str(self.store / f"tier_{tier}" / f"batch={b}")
         )
@@ -398,5 +395,11 @@ class TierPipeline:
         return applied
 
     def reset(self) -> None:
+        # With the iceberg backend the tier rows live in the warehouse, not
+        # under store_dir — wiping only the ledger/lineage would leave stale
+        # tier data that a rerun MERGEs onto. Drop the tables too.
+        if self.backend == "iceberg":
+            for tier in TIERS:
+                self.iceberg.drop(tier)
         shutil.rmtree(self.store, ignore_errors=True)
         self.store.mkdir(parents=True, exist_ok=True)

@@ -227,6 +227,19 @@ def test_dup_clusters_long_chain(spark):
     assert set(out.values()) == {0} and len(out) == n + 1
 
 
+def test_dup_clusters_string_ids(spark):
+    """String doc ids (what text_view_of_tokens produces for the token
+    table) must converge past diameter 3: the old numeric convergence
+    checksum (sum(root::decimal)) threw/NULLed on strings, silently
+    stopping after one round. The xxhash64 surrogate is type-agnostic."""
+    n = 9  # chain d0-d1-...-d9, diameter 9 >> one propagation round
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{i + 1}") for i in range(n)], "id_a string, id_b string"
+    )
+    out = {r.doc_id: r.cluster_id for r in D.dup_clusters(pairs).collect()}
+    assert set(out.values()) == {"d0"} and len(out) == n + 1
+
+
 def test_dedup_on_token_table(spark):
     """The dedup stack runs unchanged on the north-star (doc_id, tokens)
     shape via the text_view adapter: a planted token-level near-dup (one

@@ -39,6 +39,61 @@ def test_iceberg_conf_keys():
     assert conf["spark.sql.catalog.ice.warehouse"] == "/tmp/wh"
 
 
+class _FakeIcebergStore:
+    """Records the call sequence; stands in for IcebergTierStore so the
+    wiring (merge → metadata count, reset → drop) is asserted without the
+    runtime jar."""
+
+    def __init__(self):
+        self.calls = []
+
+    def merge_batch(self, tier, df, b):
+        self.calls.append(("merge", tier, b))
+
+    def count_batch(self, tier, b):
+        self.calls.append(("count_batch", tier, b))
+        return 42
+
+    def drop(self, tier):
+        self.calls.append(("drop", tier))
+
+
+def test_store_tier_iceberg_uses_metadata_count(spark, tmp_path):
+    """The iceberg path must take its lineage count from count_batch
+    (manifest metadata), never from a standalone data-scan count() between
+    merge_batch and the lineage row — the parquet path's _write_counted
+    contract, mirrored."""
+    from gensor_spark.plans.incremental import TierPipeline
+
+    pipe = TierPipeline(spark, str(tmp_path / "t"), n_batches=2)
+    pipe.backend = "iceberg"
+    fake = _FakeIcebergStore()
+    pipe.iceberg = fake
+
+    class _ExplodingDF:  # any Spark action on the frame itself would raise
+        def __getattr__(self, name):
+            raise AssertionError(f"unexpected DataFrame access: {name}")
+
+    n = pipe._store_tier(_ExplodingDF(), "1m", 1)
+    assert n == 42
+    assert fake.calls == [("merge", "1m", 1), ("count_batch", "1m", 1)]
+
+
+def test_reset_iceberg_drops_tier_tables(spark, tmp_path):
+    from gensor_spark.plans.incremental import TierPipeline
+
+    pipe = TierPipeline(spark, str(tmp_path / "t"), n_batches=2)
+    pipe.backend = "iceberg"
+    fake = _FakeIcebergStore()
+    pipe.iceberg = fake
+    (pipe.store / "_ledger.json").write_text("{}")
+    pipe.reset()
+    assert [c for c in fake.calls if c[0] == "drop"] == [
+        ("drop", "1m"), ("drop", "1h"), ("drop", "1d")
+    ]
+    assert not (pipe.store / "_ledger.json").exists()
+
+
 def test_merge_into_tier_maintenance(spark, tmp_path):
     """Runs only where the Iceberg runtime jar is present (skips here)."""
     if not iceberg_available(spark):

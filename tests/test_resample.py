@@ -61,6 +61,12 @@ def test_resample_custom_agg_func_matches_pandas(spark, points_pdf, points_sdf):
         _compare(mine, oracle, ["spread"])
 
 
+def test_resample_rejects_aggs_with_agg_func(spark, points_sdf):
+    # the callable path would silently drop named aggs otherwise
+    with pytest.raises(ValueError, match="not both"):
+        resample(points_sdf, "h", ["mean", "max"], agg_func=lambda s: s.sum())
+
+
 def test_resample_dense_grid_has_nan_bins(spark):
     # FIXTURES.md `resample_gap`: points at 00:00, 00:30, 03:10 → hourly
     # resample emits dense grid [1.5, NaN, NaN, 3.0]
