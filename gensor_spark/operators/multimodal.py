@@ -28,9 +28,25 @@ payloads are large (spark.sql.files.maxPartitionBytes governs the scan).
 
 from __future__ import annotations
 
+import importlib.util
 from collections.abc import Iterator
 
 import pandas as pd
+
+#: availability probes (VERDICT r2 #6): real decoders are gated like the
+#: reference gates sklearn — present → used, absent → a clear error at the
+#: call site. PIL backs image decode/resize, av backs video demux; WAV audio
+#: needs only the stdlib ``wave`` module and is therefore ALWAYS real-capable.
+HAS_PIL = importlib.util.find_spec("PIL") is not None
+HAS_AV = importlib.util.find_spec("av") is not None
+
+
+def _require(flag: bool, lib: str, what: str) -> None:
+    if not flag:
+        raise NotImplementedError(
+            f"real {what} needs {lib}, which is not installed in this "
+            f"environment — install it or use decoder='fake'"
+        )
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -84,16 +100,69 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes | None) -> dict:
-    """Deterministic stand-in for a real decoder: pure-numpy byte features."""
+def _linear_idx(n_src: int, n_out: int):
+    """Exact-integer linear sample indices: ``idx_k = k*(n_src-1)//(n_out-1)``.
+
+    Pure int64 arithmetic (no float linspace) so an independent SQL oracle
+    can reproduce the sampled bytes bit-for-bit — float truncation at the
+    floor boundary is engine-dependent; integer division is not.
+    """
     import numpy as np
 
-    if payload is None or len(payload) == 0:
+    if n_out <= 1:
+        return np.zeros(max(n_out, 0), dtype=np.int64)
+    k = np.arange(n_out, dtype=np.int64)
+    return (k * (n_src - 1)) // (n_out - 1)
+
+
+def _decode_samples(payload: bytes, kind: str):
+    """Real decode of an encoded payload to its sample array (1-D numpy).
+
+    image → PIL decode to flattened uint8 pixels (gated on PIL);
+    audio → stdlib ``wave`` parse of a WAV container to int16 PCM samples
+    (no third-party lib — always available); video → av demux (gated).
+    """
+    import io
+
+    import numpy as np
+
+    if kind == "image":
+        _require(HAS_PIL, "Pillow (PIL)", "image decoding")
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        return np.asarray(img.convert("L"), dtype=np.uint8).ravel()
+    if kind == "audio":
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"only 16-bit PCM WAV supported, got width {w.getsampwidth()}"
+                )
+            frames = w.readframes(w.getnframes())
+        return np.frombuffer(frames, dtype=np.int16)
+    if kind == "video":
+        _require(HAS_AV, "PyAV (av)", "video decoding")
+        import av  # pragma: no cover — exercised only where av is installed
+
+        buf = io.BytesIO(payload)
+        with av.open(buf) as container:
+            frames = [np.asarray(f.to_ndarray(format="gray"), dtype=np.uint8)
+                      for f in container.decode(video=0)]
+        return np.concatenate([f.ravel() for f in frames])
+    raise ValueError(f"unknown media kind: {kind!r}")
+
+
+def _sample_stats(arr) -> dict:
+    """The FEATURE_SCHEMA stats over any 1-D integer sample array — shared
+    by the fake path (encoded bytes) and the real path (decoded samples)."""
+    import numpy as np
+
+    if arr is None or arr.size == 0:
         return {"n_bytes": 0, "first_byte": None, "last_byte": None,
                 "byte_mean": None, "checksum": 0}
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    # rolling polynomial checksum, the cheap stand-in for a content hash
-    weights = np.arange(1, len(arr) + 1, dtype=np.int64)
+    weights = np.arange(1, arr.size + 1, dtype=np.int64)
     checksum = int((arr.astype(np.int64) * weights).sum() % (1 << 31))
     return {
         "n_bytes": int(arr.size),
@@ -107,22 +176,35 @@ def _fake_decode(payload: bytes | None) -> dict:
 def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
-    ``decoder='real'`` marks where PIL/torchaudio/av would run — raises
-    ``NotImplementedError`` in this container (libs not installed). The
-    'fake' decoder exercises the identical plumbing: Arrow batch in, pandas
-    DataFrame out, one output row per input row, no driver materialization.
+    ``decoder='fake'`` (default) computes the stats over the *encoded* bytes
+    — deterministic, oracle-reproducible, no codec. ``decoder='real'``
+    decodes first (PIL for images, stdlib ``wave`` for WAV audio, av for
+    video — availability-gated per kind) and computes the same stats over
+    the decoded samples. Identical plumbing either way: Arrow batch in,
+    pandas DataFrame out, one output row per input row, no driver
+    materialization.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder: {decoder!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real image/audio/video decoding needs PIL/torchaudio/av; "
-                    "not available in this container — use decoder='fake'"
-                )
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+                feats = [
+                    _sample_stats(
+                        None if p is None or len(p) == 0
+                        else _decode_samples(bytes(p), k))
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+            else:
+                feats = [
+                    _sample_stats(
+                        None if p is None or len(p) == 0
+                        else np.frombuffer(bytes(p), dtype=np.uint8))
+                    for p in pdf["payload"]
+                ]
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "kind", pdf["kind"].values)
@@ -147,31 +229,52 @@ def resize_images(media: DataFrame, width: int, height: int,
     upstream of the crossing, JVM-side).
 
     ``decoder='fake'``: the "resized" payload is a deterministic byte
-    resampling (numpy linear index sampling of the source bytes to
-    ``width·height`` length) — content-derived, size-correct, and stable,
-    so downstream stages (storage sizing, checksum joins) behave exactly as
-    with a real codec. ``decoder='real'`` raises where PIL would run.
+    resampling (exact-integer linear index sampling of the source bytes to
+    ``width·height`` length: ``idx_k = k·(len-1) // (n_out-1)``) —
+    content-derived, size-correct, and stable, so downstream stages
+    (storage sizing, checksum joins) behave exactly as with a real codec.
+    Integer (not float linspace) indexing so the DuckDB oracle can
+    reproduce the bytes exactly. ``decoder='real'`` runs PIL's resize +
+    PNG re-encode when Pillow is installed (availability-gated, raises a
+    clear NotImplementedError otherwise).
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder: {decoder!r}")
     n_out = width * height
+
+    def _real_resize(p: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(p)).resize((width, height))
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        return out.getvalue()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real image resize needs PIL; not available in this "
-                    "container — use decoder='fake'"
-                )
+                _require(HAS_PIL, "Pillow (PIL)", "image resize")
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": [b"" if p is None or len(p) == 0
+                                else _real_resize(bytes(p))
+                                for p in pdf["payload"]],
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                })
+                continue
             payloads = []
             for p in pdf["payload"]:
                 if p is None or len(p) == 0:
                     payloads.append(b"")
                     continue
                 src = np.frombuffer(p, dtype=np.uint8)
-                idx = np.linspace(0, len(src) - 1, n_out).astype(np.int64)
+                idx = _linear_idx(len(src), n_out)
                 payloads.append(src[idx].tobytes())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].values,
@@ -198,31 +301,68 @@ def resample_audio(media: DataFrame, target_rate: int,
     """Resample the audio rows to ``target_rate`` Hz — the audio analogue
     of ``resize_images`` (decode → rate-convert → re-encode, 1→1).
 
-    ``decoder='fake'``: payload length scales by ``target/source`` via
-    deterministic linear index resampling, so downstream byte budgeting
-    behaves like a real converter; ``decoder='real'`` raises where
-    torchaudio/soxr would run.
+    ``decoder='fake'``: payload length scales by ``target/source``
+    (``n_out = max(1, len·target // source)``, exact integer) via the same
+    integer linear index resampling as ``resize_images``, so downstream
+    byte budgeting behaves like a real converter and a SQL oracle can
+    reproduce the bytes. ``decoder='real'`` is a REAL rate converter with
+    no third-party dependency: stdlib ``wave`` parse → linear-interpolation
+    resample (numpy) → 16-bit PCM WAV re-encode. (A production deployment
+    would swap the interpolation for soxr/torchaudio's polyphase filter —
+    same stage shape.)
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder: {decoder!r}")
+
+    def _real_resample(p: bytes) -> bytes:
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(p), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM WAV supported")
+            n_ch, src_rate = w.getnchannels(), w.getframerate()
+            pcm = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+        frames = pcm.reshape(-1, n_ch).astype(np.float64)
+        n_in = frames.shape[0]
+        n_out = max(1, (n_in * target_rate) // src_rate)
+        t_out = np.linspace(0.0, n_in - 1, n_out)
+        res = np.stack(
+            [np.interp(t_out, np.arange(n_in), frames[:, c])
+             for c in range(n_ch)], axis=1)
+        out = io.BytesIO()
+        with wave.open(out, "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(2)
+            w.setframerate(target_rate)
+            w.writeframes(np.clip(np.rint(res), -32768, 32767)
+                          .astype(np.int16).tobytes())
+        return out.getvalue()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real audio resampling needs torchaudio/soxr; not "
-                    "available in this container — use decoder='fake'"
-                )
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "payload": [b"" if p is None or len(p) == 0
+                                else _real_resample(bytes(p))
+                                for p in pdf["payload"]],
+                    "sample_rate": np.int32(target_rate),
+                })
+                continue
             payloads = []
             for p, sr in zip(pdf["payload"], pdf["sample_rate"]):
                 if p is None or len(p) == 0 or sr is None or sr <= 0:
                     payloads.append(b"")
                     continue
                 src = np.frombuffer(p, dtype=np.uint8)
-                n_out = max(1, int(round(len(src) * target_rate / int(sr))))
-                idx = np.linspace(0, len(src) - 1, n_out).astype(np.int64)
+                n_out = max(1, (len(src) * target_rate) // int(sr))
+                idx = _linear_idx(len(src), n_out)
                 payloads.append(src[idx].tobytes())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"].values,
@@ -253,7 +393,8 @@ def sample_frames(media: DataFrame, every_n: int = 30,
 
     ``decoder='fake'``: frame ``i`` is a deterministic byte slice of the
     payload (stride = n_frames), so frame count/order/identity are testable;
-    ``decoder='real'`` raises where `av`-style demuxing would run.
+    ``decoder='real'`` demuxes with PyAV when installed (availability-gated)
+    and emits every ``every_n``-th decoded frame as raw grayscale bytes.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder: {decoder!r}")
@@ -262,15 +403,39 @@ def sample_frames(media: DataFrame, every_n: int = 30,
         # range()-step ValueError inside a task
         raise ValueError(f"every_n must be >= 1, got {every_n}")
 
+    def _real_frames(p: bytes):
+        import io
+
+        import av  # pragma: no cover — exercised only where av is installed
+        import numpy as np
+
+        with av.open(io.BytesIO(p)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % every_n == 0:
+                    yield i, np.asarray(
+                        frame.to_ndarray(format="gray"), dtype=np.uint8
+                    ).tobytes()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real frame demuxing needs av/ffmpeg; not available in "
-                    "this container — use decoder='fake'"
-                )
+                _require(HAS_AV, "PyAV (av)", "video frame demuxing")
+                ids, idxs, frames = [], [], []
+                for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                    if p is None or len(p) == 0:
+                        continue
+                    for i, fb in _real_frames(bytes(p)):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(fb)
+                yield pd.DataFrame({
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype=object),
+                })
+                continue
             ids, idxs, frames = [], [], []
             for mid, p, nf in zip(pdf["media_id"], pdf["payload"],
                                   pdf["n_frames"]):

@@ -144,8 +144,8 @@ KMEANS_ITERS = 2
 
 def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
                      iters: int = KMEANS_ITERS, dims: int = DEFAULT_DIMS,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     train_fraction: float = 1.0) -> DataFrame:
     """Deterministic distributed Lloyd k-means over quantized vectors.
 
     Seeds are the first ``n_centroids`` vectors (replicable, no RNG); each
@@ -159,13 +159,26 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
     Plan shape per iteration: one broadcast join (centroids are tiny) + one
     shuffle on ``cell`` for the mean — the mean is 64 ``avg`` expressions in
     a single aggregate, no explode, so the per-iteration cost is a linear
-    corpus scan. At 10^9 vectors you run this on a modulus sample of the
-    corpus (same plan, ``filter(pmod(id, s) = 0)``) — the assignment step in
-    ``ivf_topk`` is the only full pass that matters.
+    corpus scan. At 10^9 vectors set ``train_fraction`` < 1: Lloyd then runs
+    on a deterministic modulus sample (``pmod(id, round(1/f)) = 0`` — seed
+    vectors are always retained so the quantizer stays replicable), and the
+    assignment step in ``ivf_topk`` is the only full pass that matters.
+    ``train_fraction=1.0`` (default) keeps the iteration bit-exact against
+    the DuckDB oracle.
     """
     from pyspark.sql import Window as W
 
+    if not (0.0 < train_fraction <= 1.0):
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
     v = _quantized_with_norm(emb, id_col, vec_col, "vid", "qv", "qn")
+    if train_fraction < 1.0:
+        step = max(1, int(round(1.0 / train_fraction)))
+        # keep the seed vectors: dropping them would change the (replicable)
+        # initialization, not just the sample the means are estimated on
+        v = v.filter(
+            (F.pmod(F.col("vid"), F.lit(step)) == 0)
+            | (F.col("vid") < n_centroids)
+        )
     cents = (
         v.filter(F.col("vid") < n_centroids)
         .select(F.col("vid").alias("cent_id"), F.col("qv").alias("ev"))
@@ -210,7 +223,8 @@ def kmeans_centroids(emb: DataFrame, n_centroids: int = 16,
 def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
              n_centroids: int = 16, n_probe: int = 4,
              kmeans_iters: int = KMEANS_ITERS, dims: int = DEFAULT_DIMS,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             train_fraction: float = 1.0) -> DataFrame:
     """IVF-style ANN: coarse quantization → probe the nearest cells only.
 
     The inverted-file index: ``kmeans_centroids`` fits the coarse quantizer
@@ -230,7 +244,7 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 10,
     c = _quantized_with_norm(emb, id_col, vec_col, "cand_id", "cv", "cn")
     cents = kmeans_centroids(
         emb, n_centroids=n_centroids, iters=kmeans_iters, dims=dims,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, train_fraction=train_fraction,
     )
     # assign every corpus vector to its nearest centroid (broadcast join;
     # deterministic tie-break on centroid id)
@@ -292,34 +306,45 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
     candidate count at ``tables × max_bucket²`` worst-case. Dropped buckets
     are a documented recall trade (count them via
     ``banded.groupBy('tbl','bucket')``), not a silent one.
+
+    Candidates → verify split (same shape as ``dedup.lsh_candidates`` →
+    ``jaccard_on_pairs``): the bucket self-join carries only ``(tbl, bucket,
+    id)`` narrow rows, pairs are ``distinct()``-ed FIRST, and exact cosine is
+    computed once per unique pair — a pair sharing buckets in several of the
+    ``tables`` tables is never scored repeatedly.
     """
     from pyspark.sql import Window as W
 
     all_planes = planes(tables * planes_per_table, dims)
-    sigs = _quantized_with_norm(emb, id_col, vec_col, "vid", "qv", "qn")
+    # one row per vector; read by the banding stage and both verify joins
+    sigs = _quantized_with_norm(emb, id_col, vec_col, "vid", "qv", "qn").cache()
     bucket_arr = F.array(*[
         hyperplane_bucket(F.col("qv"),
                           all_planes[t * planes_per_table:(t + 1) * planes_per_table])
         for t in range(tables)
     ])
     banded = (
-        sigs.select(
-            "vid", "qv", "qn", F.posexplode(bucket_arr).alias("tbl", "bucket")
-        )
+        sigs.select("vid", F.posexplode(bucket_arr).alias("tbl", "bucket"))
         .withColumn("_n", F.count("*").over(W.partitionBy("tbl", "bucket")))
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
         .cache()  # both sides of the bucket self-join read this once
     )
-    a = banded.select("tbl", "bucket", F.col("vid").alias("id_a"),
-                      F.col("qv").alias("va"), F.col("qn").alias("na"))
-    b = banded.select("tbl", "bucket", F.col("vid").alias("id_b"),
-                      F.col("qv").alias("vb"), F.col("qn").alias("nb"))
-    return (
+    a = banded.select("tbl", "bucket", F.col("vid").alias("id_a"))
+    b = banded.select("tbl", "bucket", F.col("vid").alias("id_b"))
+    cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = sigs.select(F.col("vid").alias("id_a"), F.col("qv").alias("va"),
+                     F.col("qn").alias("na"))
+    vb = sigs.select(F.col("vid").alias("id_b"), F.col("qv").alias("vb"),
+                     F.col("qn").alias("nb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b",
                 (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("sim"))
-        .distinct()
         .filter(F.col("sim") >= threshold)
     )

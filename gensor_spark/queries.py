@@ -292,42 +292,40 @@ FROM pts p JOIN stats s USING (doc_id, source)
 # outlier masks (gensor analysis/outliers.py)
 # --------------------------------------------------------------------------
 
-def q_outliers_zscore_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gensor_spark.operators.outliers import zscore_global
+def q_outliers_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global z-score + global IQR outliers in one result (``method`` column)
+    — both paths of gensor's ``detect_outliers`` global family
+    (analysis/outliers.py) exercised by a single driver entry."""
+    from gensor_spark.operators.outliers import iqr_global, zscore_global
 
-    flagged = zscore_global(_points(spark, sf_dir), threshold=2.0)
-    return flagged.filter("is_outlier").select(
-        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    pts = _points(spark, sf_dir)
+    z = zscore_global(pts, threshold=2.0).filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v"),
+        F.lit("zscore").alias("method"),
     )
+    i = iqr_global(pts, k=1.5).filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v"),
+        F.lit("iqr").alias("method"),
+    )
+    return z.unionAll(i)
 
 
-SQL_OUTLIERS_ZSCORE_GLOBAL = f"""
+SQL_OUTLIERS_GLOBAL = f"""
 WITH pts AS ({_PTS_SQL}),
-s AS (SELECT doc_id, source, avg(value) mu, stddev_pop(value) sigma
-      FROM pts GROUP BY 1,2)
-SELECT p.doc_id, p.source, p.seq, ROUND(p.value + 1e-9, 6) AS v
-FROM pts p JOIN s USING (doc_id, source)
+sz AS (SELECT doc_id, source, avg(value) mu, stddev_pop(value) sigma
+       FROM pts GROUP BY 1,2),
+si AS (SELECT doc_id, source,
+              CAST(quantile_cont(value, 0.25) AS DOUBLE) q1,
+              CAST(quantile_cont(value, 0.75) AS DOUBLE) q3
+       FROM pts GROUP BY 1,2)
+SELECT p.doc_id, p.source, p.seq, ROUND(p.value + 1e-9, 6) AS v,
+       'zscore' AS method
+FROM pts p JOIN sz s USING (doc_id, source)
 WHERE abs(p.value - s.mu) / s.sigma > 2.0
-"""
-
-
-def q_outliers_iqr_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gensor_spark.operators.outliers import iqr_global
-
-    flagged = iqr_global(_points(spark, sf_dir), k=1.5)
-    return flagged.filter("is_outlier").select(
-        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
-    )
-
-
-SQL_OUTLIERS_IQR_GLOBAL = f"""
-WITH pts AS ({_PTS_SQL}),
-s AS (SELECT doc_id, source,
-             CAST(quantile_cont(value, 0.25) AS DOUBLE) q1,
-             CAST(quantile_cont(value, 0.75) AS DOUBLE) q3
-      FROM pts GROUP BY 1,2)
-SELECT p.doc_id, p.source, p.seq, ROUND(p.value + 1e-9, 6) AS v
-FROM pts p JOIN s USING (doc_id, source)
+UNION ALL
+SELECT p.doc_id, p.source, p.seq, ROUND(p.value + 1e-9, 6) AS v,
+       'iqr' AS method
+FROM pts p JOIN si s USING (doc_id, source)
 WHERE p.value < s.q1 - 1.5 * (s.q3 - s.q1) OR p.value > s.q3 + 1.5 * (s.q3 - s.q1)
 """
 
@@ -361,20 +359,41 @@ FROM r WHERE n = 20 AND abs(value - mu) / sigma > 2.0
 # smoothing (gensor processing/smoothing.py:10-66)
 # --------------------------------------------------------------------------
 
-def q_smooth_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_smooth_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered rolling mean + rolling median smoothing in one result
+    (``method`` column) — both of gensor ``smooth_data``'s methods
+    (processing/smoothing.py:10-66) exercised by a single driver entry."""
     from gensor_spark.operators.masking import smooth
 
-    out = smooth(_points(spark, sf_dir), window=5, method="rolling_mean")
-    return out.select("doc_id", "source", "seq", _r6(F.col("value")).alias("smoothed"))
+    pts = _points(spark, sf_dir)
+    mean = smooth(pts, window=5, method="rolling_mean").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("smoothed"),
+        F.lit("mean").alias("method"),
+    )
+    med = smooth(pts, window=5, method="rolling_median").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("smoothed"),
+        F.lit("median").alias("method"),
+    )
+    return mean.unionAll(med)
 
 
-SQL_SMOOTH_ROLLING_MEAN = f"""
+SQL_SMOOTH_ROLLING = f"""
 WITH pts AS ({_PTS_SQL})
 SELECT doc_id, source, seq,
-       ROUND(CASE WHEN count(*) OVER w = 5 THEN avg(value) OVER w END + 1e-9, 6) AS smoothed
+       ROUND(CASE WHEN count(*) OVER w = 5 THEN avg(value) OVER w END + 1e-9, 6) AS smoothed,
+       'mean' AS method
 FROM pts
 WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+UNION ALL
+SELECT doc_id, source, seq,
+       ROUND(CASE WHEN count(*) OVER w2 = 5
+                  THEN CAST(quantile_cont(value, 0.5) OVER w2 AS DOUBLE) END + 1e-9,
+             6) AS smoothed,
+       'median' AS method
+FROM pts
+WINDOW w2 AS (PARTITION BY doc_id, source ORDER BY seq
+              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
 """
 
 
@@ -487,33 +506,38 @@ def _minute_binned(spark: SparkSession, sf_dir: str, src: str) -> DataFrame:
                       F.col("mean").alias("value"))
 
 
-def _q_mask(mode: str):
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from gensor_spark.operators.masking import mask_with
+def q_mask_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mask_with`` keep + remove in one result (``mode`` column): the two
+    modes partition the input, so one driver entry checks both semantics
+    (gensor ``Dataset.mask_with`` core/dataset.py)."""
+    from gensor_spark.operators.masking import mask_with
 
-        clicks = _minute_binned(spark, sf_dir, "click")
-        errors = _minute_binned(spark, sf_dir, "error").select("ts")
+    clicks = _minute_binned(spark, sf_dir, "click")
+    errors = _minute_binned(spark, sf_dir, "error").select("ts")
+
+    def side(mode: str) -> DataFrame:
         out = mask_with(clicks, errors, mode=mode)
         return out.select(
             "doc_id", "source",
             F.date_format("ts", TS_FMT_SPARK).alias("bin_ts"),
             _r6(F.col("value")).alias("v"),
+            F.lit(mode).alias("mode"),
         )
 
-    return q
+    return side("keep").unionAll(side("remove"))
 
 
-def _sql_mask(op: str) -> str:
-    return f"""
-    WITH pts AS ({_PTS_SQL}),
-    clicks AS (
-      SELECT doc_id, source, date_trunc('minute', ts) AS bin, AVG(value) AS v
-      FROM pts WHERE source = 'click' GROUP BY 1, 2, 3
-    ),
-    errs AS (SELECT DISTINCT date_trunc('minute', ts) AS bin FROM pts WHERE source = 'error')
-    SELECT doc_id, source, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts, ROUND(v + 1e-9, 6) AS v
-    FROM clicks WHERE bin {op} (SELECT bin FROM errs)
-    """
+SQL_MASK_WHERE = f"""
+WITH pts AS ({_PTS_SQL}),
+clicks AS (
+  SELECT doc_id, source, date_trunc('minute', ts) AS bin, AVG(value) AS v
+  FROM pts WHERE source = 'click' GROUP BY 1, 2, 3
+),
+errs AS (SELECT DISTINCT date_trunc('minute', ts) AS bin FROM pts WHERE source = 'error')
+SELECT doc_id, source, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts, ROUND(v + 1e-9, 6) AS v,
+       CASE WHEN bin IN (SELECT bin FROM errs) THEN 'keep' ELSE 'remove' END AS mode
+FROM clicks
+"""
 
 
 def q_concat_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,25 +846,6 @@ FROM pts
 """
 
 
-def q_smooth_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gensor_spark.operators.masking import smooth
-
-    out = smooth(_points(spark, sf_dir), window=5, method="rolling_median")
-    return out.select("doc_id", "source", "seq", _r6(F.col("value")).alias("smoothed"))
-
-
-SQL_SMOOTH_ROLLING_MEDIAN = f"""
-WITH pts AS ({_PTS_SQL})
-SELECT doc_id, source, seq,
-       ROUND(CASE WHEN count(*) OVER w = 5
-                  THEN CAST(quantile_cont(value, 0.5) OVER w AS DOUBLE) END + 1e-9,
-             6) AS smoothed
-FROM pts
-WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
-             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
-"""
-
-
 # --------------------------------------------------------------------------
 # multi-agg resample (gensor resample(agg_func=...) custom aggregators)
 # --------------------------------------------------------------------------
@@ -974,6 +979,9 @@ FROM documents
 # registry
 # --------------------------------------------------------------------------
 
+# Registry order matters: the driver's correctness gate checks the FIRST 50
+# entries of ``queries()``; every oracle-backed query must therefore precede
+# the (exactly two) no-oracle UDF kernels, which sit at the very end.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_1m": _q_rollup("1m"),
     "rollup_1h": _q_rollup("1h"),
@@ -984,25 +992,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transform_difference": q_transform_difference,
     "transform_log_sqrt": q_transform_log_sqrt,
     "scalers": q_scalers,
-    "outliers_zscore_global": q_outliers_zscore_global,
-    "outliers_iqr_global": q_outliers_iqr_global,
+    "outliers_global": q_outliers_global,
     "outliers_zscore_rolling": q_outliers_zscore_rolling,
-    "smooth_rolling_mean": q_smooth_rolling_mean,
+    "smooth_rolling": q_smooth_rolling,
     "gapfill_locf": q_gapfill_locf,
     "gapfill_interpolate": q_gapfill_interpolate,
-    "mask_keep": _q_mask("keep"),
-    "mask_remove": _q_mask("remove"),
+    "mask_where": q_mask_where,
     "concat_dedup": q_concat_dedup,
     "gap_sessions": q_gap_sessions,
     "compensation_heads": q_compensation_heads,
     "outliers_iqr_rolling": q_outliers_iqr_rolling,
     "outliers_hampel": q_outliers_hampel,
-    "outliers_lof": q_outliers_lof,
-    "outliers_isolation_forest": q_outliers_isolation_forest,
     "catalog_select": q_catalog_select,
     "resample_custom_q90": q_resample_custom_q90,
     "transform_boxcox": q_transform_boxcox,
-    "smooth_rolling_median": q_smooth_rolling_median,
     "resample_1h_multi": q_resample_1h_multi,
     "coverage_diff": q_coverage_diff,
     "tokens_roundtrip": q_tokens_roundtrip,
@@ -1011,6 +1014,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 from gensor_spark.queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(TEXT_QUERIES)
+
+# no-oracle UDF kernels last (outside the driver's oracle window by design;
+# both are parity-pinned in pytest instead — tests/test_operators.py)
+QUERIES["outliers_lof"] = q_outliers_lof
+QUERIES["outliers_isolation_forest"] = q_outliers_isolation_forest
 
 ORACLES: dict[str, str] = {
     "rollup_1m": _sql_rollup("minute"),
@@ -1022,14 +1030,12 @@ ORACLES: dict[str, str] = {
     "transform_difference": SQL_TRANSFORM_DIFFERENCE,
     "transform_log_sqrt": SQL_TRANSFORM_LOG_SQRT,
     "scalers": SQL_SCALERS,
-    "outliers_zscore_global": SQL_OUTLIERS_ZSCORE_GLOBAL,
-    "outliers_iqr_global": SQL_OUTLIERS_IQR_GLOBAL,
+    "outliers_global": SQL_OUTLIERS_GLOBAL,
     "outliers_zscore_rolling": SQL_OUTLIERS_ZSCORE_ROLLING,
-    "smooth_rolling_mean": SQL_SMOOTH_ROLLING_MEAN,
+    "smooth_rolling": SQL_SMOOTH_ROLLING,
     "gapfill_locf": SQL_GAPFILL_LOCF,
     "gapfill_interpolate": SQL_GAPFILL_INTERPOLATE,
-    "mask_keep": _sql_mask("IN"),
-    "mask_remove": _sql_mask("NOT IN"),
+    "mask_where": SQL_MASK_WHERE,
     "concat_dedup": SQL_CONCAT_DEDUP,
     "gap_sessions": SQL_GAP_SESSIONS,
     "compensation_heads": SQL_COMPENSATION_HEADS,
@@ -1040,7 +1046,6 @@ ORACLES: dict[str, str] = {
     "catalog_select": SQL_CATALOG_SELECT,
     "resample_custom_q90": SQL_RESAMPLE_CUSTOM_Q90,
     "transform_boxcox": SQL_TRANSFORM_BOXCOX,
-    "smooth_rolling_median": SQL_SMOOTH_ROLLING_MEDIAN,
     "resample_1h_multi": SQL_RESAMPLE_1H_MULTI,
     "coverage_diff": SQL_COVERAGE_DIFF,
     "tokens_roundtrip": SQL_TOKENS_ROUNDTRIP,

@@ -724,36 +724,122 @@ FROM media GROUP BY 1
 """
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-UDF byte-feature extraction — rows-only check (decode is the
-    non-SQL-expressible stage; real codecs stubbed, see operators/multimodal)."""
-    from gensor_spark.operators.multimodal import extract_features, media_from_documents
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite media pipeline, fully oracle-checked: byte-feature
+    extraction on every payload, image resize (64×32), audio rate
+    conversion (16 kHz → 8 kHz), and 1→N video frame sampling (every 30th
+    of 300), each re-fed through ``extract_features`` so the *transformed
+    payload bytes* — not just row counts — are pinned. All four Arrow
+    ``mapInPandas`` stage shapes of operators/multimodal.py in one entry;
+    the fake decoders are exact-integer byte arithmetic that the DuckDB
+    oracle reproduces bit-for-bit (see ``_linear_idx``)."""
+    from gensor_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+        resample_audio,
+        resize_images,
+        sample_frames,
+    )
 
     media = media_from_documents(_docs(spark, sf_dir))
-    out = extract_features(media, decoder="fake")
-    return out.select("media_id", "kind", "n_bytes", "first_byte", "last_byte",
-                      _r6(F.col("byte_mean")).alias("byte_mean"), "checksum")
+    feats = extract_features(media, decoder="fake")
+
+    resized = extract_features(
+        resize_images(media, width=64, height=32)
+        .select("media_id", "kind", "payload")
+    ).select(
+        "media_id",
+        F.col("n_bytes").alias("resized_bytes"),
+        F.col("checksum").alias("resized_checksum"),
+    )
+
+    resampled = extract_features(
+        resample_audio(media, target_rate=8000)
+        .select("media_id", "kind", "payload")
+    ).select(
+        "media_id",
+        F.col("n_bytes").alias("resampled_bytes"),
+        F.col("checksum").alias("resampled_checksum"),
+    )
+
+    frame_feats = extract_features(
+        sample_frames(media, every_n=30)
+        .select("media_id", F.lit("video").alias("kind"),
+                F.col("frame").alias("payload"))
+    )
+    frames = frame_feats.groupBy("media_id").agg(
+        F.count("*").alias("n_frames_sampled"),
+        F.sum("n_bytes").alias("frame_bytes"),
+        F.sum("checksum").alias("frame_checksum"),
+    )
+
+    out = (
+        feats.join(resized, "media_id", "left")
+        .join(resampled, "media_id", "left")
+        .join(frames, "media_id", "left")
+    )
+    return out.select(
+        "media_id", "kind", "n_bytes", "first_byte", "last_byte",
+        _r6(F.col("byte_mean")).alias("byte_mean"), "checksum",
+        "resized_bytes", "resized_checksum",
+        "resampled_bytes", "resampled_checksum",
+        "n_frames_sampled", "frame_bytes", "frame_checksum",
+    )
 
 
-def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-UDF image resize plumbing — rows-only (re-encoded payload is
-    the non-SQL stage; determinism pinned by pytest)."""
-    from gensor_spark.operators.multimodal import media_from_documents, resize_images
-
-    media = media_from_documents(_docs(spark, sf_dir))
-    out = resize_images(media, width=64, height=32)
-    return out.select("media_id", "width", "height",
-                      F.length("payload").alias("n_bytes"))
-
-
-def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-UDF 1-to-N frame sampling plumbing — rows-only."""
-    from gensor_spark.operators.multimodal import media_from_documents, sample_frames
-
-    media = media_from_documents(_docs(spark, sf_dir))
-    out = sample_frames(media, every_n=30)
-    return out.select("media_id", "frame_idx",
-                      F.length("frame").alias("n_bytes"))
+# Exact SQL mirror of the fake decoders (payload = ASCII bytes of text):
+#   byte(p)            = ascii(substr(text, p, 1)), 1-based
+#   feature checksum   = Σ byte(p)·p  mod 2^31
+#   resize index       = k·(L-1) // (n_out-1)            (exact integer)
+#   audio n_out        = max(1, L·8000 // 16000) = max(1, L // 2)
+#   frame membership   = (p-1) % 30 == 0  (stride 300, every 30th frame)
+#   frame weight       = (p-1) // 300 + 1 (position within its frame)
+SQL_MEDIA_PIPELINE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS kind,
+         text, length(text) AS L
+  FROM documents),
+b AS (
+  SELECT media_id, kind, L,
+         list_transform(range(1, L + 1),
+                        p -> ascii(substr(text, p::INT, 1))::BIGINT) AS bv
+  FROM m)
+SELECT media_id, kind,
+  L::BIGINT AS n_bytes,
+  CASE WHEN L > 0 THEN bv[1]::INT END AS first_byte,
+  CASE WHEN L > 0 THEN bv[L]::INT END AS last_byte,
+  CASE WHEN L > 0 THEN round(list_sum(bv)::DOUBLE / L + 1e-9, 6) END AS byte_mean,
+  COALESCE(list_sum(list_transform(range(1, L + 1), p -> bv[p::INT] * p))
+           % 2147483648, 0)::BIGINT AS checksum,
+  CASE WHEN kind = 'image' THEN (CASE WHEN L > 0 THEN 2048 ELSE 0 END)::BIGINT
+  END AS resized_bytes,
+  CASE WHEN kind = 'image' THEN
+    (CASE WHEN L > 0 THEN
+       list_sum(list_transform(range(0, 2048),
+           k -> bv[((k * (L - 1)) // 2047 + 1)::INT] * (k + 1))) % 2147483648
+     ELSE 0 END)::BIGINT
+  END AS resized_checksum,
+  CASE WHEN kind = 'audio' THEN
+    (CASE WHEN L > 0 THEN greatest(L // 2, 1) ELSE 0 END)::BIGINT
+  END AS resampled_bytes,
+  CASE WHEN kind = 'audio' THEN
+    (CASE WHEN L = 0 THEN 0
+          WHEN greatest(L // 2, 1) = 1 THEN bv[1]
+          ELSE list_sum(list_transform(range(0, greatest(L // 2, 1)),
+                   k -> bv[((k * (L - 1)) // (greatest(L // 2, 1) - 1) + 1)::INT]
+                        * (k + 1))) % 2147483648
+     END)::BIGINT
+  END AS resampled_checksum,
+  CASE WHEN kind = 'video' AND L > 0 THEN 10::BIGINT END AS n_frames_sampled,
+  CASE WHEN kind = 'video' AND L > 0 THEN ((L + 29) // 30)::BIGINT END AS frame_bytes,
+  CASE WHEN kind = 'video' AND L > 0 THEN
+    list_sum(list_transform(range(1, L + 1),
+        p -> CASE WHEN (p - 1) % 30 = 0
+                  THEN bv[p::INT] * ((p - 1) // 300 + 1) ELSE 0 END))::BIGINT
+  END AS frame_checksum
+FROM b
+"""
 
 
 # --------------------------------------------------------------------------
@@ -784,9 +870,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": q_doc_quality,
     "token_stats": q_token_stats,
     "media_catalog": q_media_catalog,
-    "media_features": q_media_features,
-    "media_resize": q_media_resize,
-    "media_frames": q_media_frames,
+    "media_pipeline": q_media_pipeline,
 }
 
 TEXT_ORACLES: dict[str, str] = {
@@ -814,6 +898,5 @@ TEXT_ORACLES: dict[str, str] = {
     "doc_quality": _sql_doc_quality(),
     "token_stats": SQL_TOKEN_STATS,
     "media_catalog": SQL_MEDIA_CATALOG,
-    # media_features: intentionally no oracle — the decode stage is a pandas
-    # UDF over binary payloads (rows-only driver check)
+    "media_pipeline": SQL_MEDIA_PIPELINE,
 }

@@ -65,17 +65,102 @@ def test_resample_audio_rate_and_length(media):
     assert sorted(r.media_id for r in out) == sorted(src_lens)
     for r in out:
         assert r.sample_rate == 8000
-        # builder rate is 16000 → half the samples (rounded)
-        assert len(r.payload) == max(1, round(src_lens[r.media_id] * 0.5))
+        # builder rate is 16000 → half the samples (exact integer floor)
+        assert len(r.payload) == max(1, src_lens[r.media_id] // 2)
 
 
-def test_real_decoder_raises_at_call_site(media):
-    with pytest.raises(Exception, match="NotImplementedError|real"):
-        resize_images(media, 8, 8, decoder="real").collect()
-    with pytest.raises(Exception, match="NotImplementedError|real"):
-        sample_frames(media, decoder="real").collect()
-    with pytest.raises(Exception, match="NotImplementedError|real"):
+def test_real_decoder_gated_on_availability(media):
+    """decoder='real' is availability-gated (VERDICT r2 #6): without the lib
+    it raises a clear NotImplementedError naming the dependency; with it the
+    real path runs (exercised by the WAV tests below for audio, and by the
+    PIL tests in environments that have Pillow)."""
+    from gensor_spark.operators.multimodal import HAS_AV, HAS_PIL
+
+    if not HAS_PIL:
+        with pytest.raises(Exception, match="Pillow|decoder='fake'"):
+            resize_images(media, 8, 8, decoder="real").collect()
+    if not HAS_AV:
+        with pytest.raises(Exception, match="PyAV|decoder='fake'"):
+            sample_frames(media, decoder="real").collect()
+    # the derived media table's payloads are text bytes, not containers —
+    # the real decoder must reject them, never silently fake-decode
+    with pytest.raises(Exception):
         extract_features(media, decoder="real").collect()
+
+
+def _wav_bytes(samples, rate=16000):
+    import io
+    import wave
+
+    import numpy as np
+
+    out = io.BytesIO()
+    with wave.open(out, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="int16").tobytes())
+    return out.getvalue()
+
+
+def test_real_audio_features_decode_wav(spark):
+    """The audio real path needs only stdlib ``wave`` — it runs here for
+    real: features are computed over decoded int16 PCM samples, not the
+    encoded container bytes."""
+    import numpy as np
+
+    samples = [0, 1000, -2000, 3000, -4000, 500]
+    rows = [(1, "audio", bytearray(_wav_bytes(samples)), None, None, 16000, None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, "
+              "height int, sample_rate int, n_frames int")
+    r = extract_features(media, decoder="real").collect()[0]
+    assert r.n_bytes == len(samples)           # decoded samples, not bytes
+    assert r.first_byte == 0 and r.last_byte == 500
+    assert np.isclose(r.byte_mean, np.mean(samples))
+
+
+def test_real_audio_resample_roundtrip(spark):
+    """Real WAV 16 kHz → 8 kHz: output parses as WAV at the target rate with
+    half the frames; even-index samples survive linear interpolation."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from gensor_spark.operators.multimodal import resample_audio
+
+    samples = np.arange(0, 8000, 100, dtype=np.int16)  # 80 frames
+    rows = [(1, "audio", bytearray(_wav_bytes(samples)), None, None, 16000, None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, "
+              "height int, sample_rate int, n_frames int")
+    out = resample_audio(media, target_rate=8000, decoder="real").collect()[0]
+    with wave.open(io.BytesIO(bytes(out.payload)), "rb") as w:
+        assert w.getframerate() == 8000
+        assert w.getnframes() == len(samples) // 2
+        got = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    # t_out = linspace(0, 79, 40) lands between grid points; values must
+    # stay inside the source range and increase like the source ramp
+    assert got[0] == samples[0]
+    assert (np.diff(got.astype(int)) > 0).all()
+
+
+def test_real_image_resize_with_pil(spark):
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — self-skips without Pillow
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+    rows = [(1, "image", bytearray(buf.getvalue()), 16, 16, None, None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, width int, "
+              "height int, sample_rate int, n_frames int")
+    out = resize_images(media, width=4, height=2, decoder="real").collect()[0]
+    img = Image.open(io.BytesIO(bytes(out.payload)))
+    assert img.size == (4, 2)
 
 
 def test_feature_extraction_matches_local(media):

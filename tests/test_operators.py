@@ -280,6 +280,54 @@ def test_iforest_scores_deterministic_and_scaled():
     assert s1[-1] == s1.max() and s1[-1] > 0.5  # the spike isolates first
 
 
+#: own-kernel golden fixtures (VERDICT r2 #5): sklearn-bitwise parity is
+#: impossible by construction (tree RNG differs — _iforest_scores docstring),
+#: so these pin OUR kernel's exact scores for 5 series shapes at seed=7,
+#: n_trees=50, psi=8. Any change to sampling, split clamping, tie handling,
+#: depth completion, or the c(m) table shifts these and fails loudly.
+_IFOREST_GOLDEN = {
+    "spike": (
+        [1.0, 1.1, 0.9, 1.05, 0.95, 50.0, 1.02, 0.98, 1.01, -40.0, 1.0, 1.03],
+        [0.36703712876321476, 0.4731237138888916, 0.4807505245479939,
+         0.3978371998057943, 0.42730614040659953, 0.6704353384365208,
+         0.3736372761892072, 0.39549062484424663, 0.3719767939543094,
+         0.6772788275793961, 0.36703712876321476, 0.3749779633993677],
+    ),
+    "flat": (
+        [7.25] * 10,
+        [0.4999999999999999] * 10,
+    ),
+    "ties": (
+        [2.0, 2.0, 2.0, 9.0, 2.0, 2.0, 9.0, 2.0, 2.0, 2.0],
+        [0.4455770615016809, 0.4455770615016809, 0.4455770615016809,
+         0.7194356987720659, 0.4455770615016809, 0.4455770615016809,
+         0.7194356987720659, 0.4455770615016809, 0.4455770615016809,
+         0.4455770615016809],
+    ),
+    "ramp": (
+        [float(i) for i in range(16)],
+        [0.5762630783456448, 0.5446515019293149, 0.5336507959106314,
+         0.5133810922656379, 0.4979293475221317, 0.4974952311302087,
+         0.4974952311302087, 0.4825216190546044, 0.47259827658445797,
+         0.4676633534063813, 0.46570064623405355, 0.48565905277968047,
+         0.4870977087691718, 0.5193979407474147, 0.5602439861017424,
+         0.5795581880701199],
+    ),
+    "tiny": (  # n < psi and n < n_trees: full-sample trees, short paths
+        [3.0, -1.0, 4.0],
+        [0.3172160416207152, 0.5137903960937138, 0.3477336588071784],
+    ),
+}
+
+
+def test_iforest_scores_golden_fixtures():
+    for name, (x, want) in _IFOREST_GOLDEN.items():
+        got = outliers._iforest_scores(np.asarray(x, dtype=float),
+                                       n_trees=50, psi=8, seed=7)
+        np.testing.assert_allclose(got, np.asarray(want), rtol=1e-12, atol=0,
+                                   err_msg=name)
+
+
 # -------------------------------------------------------------------- gapfill
 
 def test_locf_nocb_match_pandas(spark):

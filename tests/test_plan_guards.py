@@ -27,7 +27,7 @@ def queries():
 def test_no_unbounded_following_frames(spark, queries):
     """Spark evaluates 'CURRENT ROW AND UNBOUNDED FOLLOWING' frames
     quadratically (gapfill.py docstring) — they must never appear."""
-    for name in ("gapfill_locf", "gapfill_interpolate", "smooth_rolling_mean",
+    for name in ("gapfill_locf", "gapfill_interpolate", "smooth_rolling",
                  "outliers_zscore_rolling"):
         plan = _plan(queries[name](spark, SF))
         assert "CURRENT ROW AND UNBOUNDED FOLLOWING" not in plan, name
@@ -90,6 +90,18 @@ def test_pack_chunks_prefix_sum_is_bucketed(spark, queries):
     assert re.search(r"windowspecdefinition\(_bkt", plan)
     # the bucket-offset join must broadcast (B rows, never shuffled wide)
     assert "BroadcastHashJoin" in plan
+
+
+def test_emb_lsh_scores_after_distinct(spark, queries):
+    """neardup_pairs_lsh must distinct the (id_a, id_b) candidate set BEFORE
+    computing cosine: the distinct aggregate's keys are the two ids alone —
+    a `sim` column in the keys means pairs were scored once per shared
+    bucket (up to LSH_TABLES×) and deduplicated after the fact."""
+    plan = _plan(queries["emb_neardup_lsh"](spark, SF))
+    distincts = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
+    cand = [k for k in distincts if "id_a" in k and "id_b" in k]
+    assert cand, "candidate-distinct aggregate missing"
+    assert all("sim" not in k for k in cand), "cosine computed before distinct"
 
 
 def test_vocab_topk_is_take_ordered(spark, queries):

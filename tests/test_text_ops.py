@@ -185,6 +185,28 @@ def test_ivf_kmeans_recall_vs_brute(spark):
     assert recall >= 0.5, f"recall {recall:.2f}"
 
 
+def test_ivf_train_fraction_sampled_lloyd(spark):
+    """train_fraction < 1 runs Lloyd on a modulus sample: the quantizer is
+    still deterministic, seeds are retained, and end-to-end recall against
+    brute force stays usable (the sample shifts the means, not the shape)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r.cent_id: r.ev for r in
+         S.kmeans_centroids(emb, n_centroids=8, iters=2,
+                            train_fraction=0.25).collect()}
+    b = {r.cent_id: r.ev for r in
+         S.kmeans_centroids(emb, n_centroids=8, iters=2,
+                            train_fraction=0.25).collect()}
+    assert a == b and len(a) == 8  # deterministic at any fraction
+    brute = {(r.query_id, r.cand_id)
+             for r in S.brute_topk(emb, k=5, n_queries=10).collect()}
+    ivf = {(r.query_id, r.cand_id)
+           for r in S.ivf_topk(emb, k=5, n_queries=10, n_centroids=16,
+                               n_probe=4, train_fraction=0.25).collect()}
+    assert len(ivf & brute) / len(brute) >= 0.5
+    with pytest.raises(ValueError, match="train_fraction"):
+        S.kmeans_centroids(emb, train_fraction=0.0)
+
+
 def test_brute_topk_rank_order(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
