@@ -172,7 +172,14 @@ def resample(
     spans = agged.groupBy(*keys).agg(
         F.min("bin_ts").alias("_lo"), F.max("bin_ts").alias("_hi")
     )
-    grid = spans.select(
+    # The span aggregate is tiny in BYTES but each row explodes into a full
+    # bin sequence — AQE's byte-based coalescing would run the explode 1-2
+    # wide and serialize the grid generation (and its shuffle write). An
+    # explicit count repartition is never coalesced, so the explode always
+    # runs at full parallelism regardless of the coalescing profile (same
+    # defeat as udfkernel.per_series_map's kernel stages).
+    n = points.sparkSession.sparkContext.defaultParallelism
+    grid = spans.repartition(n, F.xxhash64(*keys)).select(
         *keys,
         F.explode(
             F.sequence("_lo", "_hi", F.expr(f"interval {step} seconds"))

