@@ -1,0 +1,112 @@
+"""asof_join vs DuckDB's native ASOF JOIN + pandas merge_asof.
+
+Oracle-grade check without a driver registry slot: DuckDB implements the
+exact semantics (latest right ts ≤ left ts, ties match), so both physical
+strategies (per-key window; bucketed boundary-carry) are verified against
+it on events-derived series, plus targeted edge fixtures.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gensor_spark.operators.asof import asof_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    base = ev.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("source"),
+        "ts", "value",
+    )
+    left = base.filter("source = 'click'").drop("source") \
+               .withColumnRenamed("value", "lv")
+    right = base.filter("source = 'view'").drop("source") \
+                .withColumnRenamed("value", "rv")
+    return left, right
+
+
+def _oracle(keys_sql="doc_id"):
+    return f"""
+    SELECT l.doc_id, l.ts, l.lv, r.ts AS right_ts, r.rv
+    FROM left_t l ASOF LEFT JOIN right_t r
+      ON l.{keys_sql} = r.{keys_sql} AND l.ts >= r.ts
+    """
+
+
+def _duck(left_pdf, right_pdf):
+    con = duckdb.connect()
+    con.register("left_t", left_pdf)
+    con.register("right_t", right_pdf)
+    return con.execute(_oracle()).df()
+
+
+def _canon(pdf):
+    pdf = pdf[["doc_id", "ts", "lv", "right_ts", "rv"]].copy()
+    for c in ("ts", "right_ts"):
+        pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+    return pdf.sort_values(["doc_id", "ts", "lv"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("bucket", [None, 6 * 3600])
+def test_asof_matches_duckdb(spark, sides, bucket):
+    left, right = sides
+    got = asof_join(left, right, keys=("doc_id",),
+                    bucket_seconds=bucket).toPandas()
+    want = _duck(left.toPandas(), right.toPandas())
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_asof_ties_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0),
+         ("a", "2024-01-01 00:20:00", 2.0),
+         ("a", "2024-01-01 02:00:00", 3.0),
+         ("b", "2024-01-01 00:00:30", 4.0)],
+        "doc_id string, ts string, lv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 10.0),   # tie: must match (<=)
+         ("a", "2024-01-01 00:15:00", 11.0),
+         ("b", "2024-01-01 01:00:00", 12.0)],  # after b's left row: no match
+        "doc_id string, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    rows = {(r.doc_id, str(r.ts)): (r.rv, r.right_ts)
+            for r in asof_join(left, right, keys=("doc_id",)).collect()}
+    assert rows[("a", "2024-01-01 00:10:00")][0] == 10.0   # exact-ts tie
+    assert rows[("a", "2024-01-01 00:20:00")][0] == 11.0
+    assert rows[("a", "2024-01-01 02:00:00")][0] == 11.0   # stale but matched
+    assert rows[("b", "2024-01-01 00:00:30")][0] is None   # nothing prior
+
+    tol = {(r.doc_id, str(r.ts)): r.rv
+           for r in asof_join(left, right, keys=("doc_id",),
+                              tolerance_seconds=1800).collect()}
+    assert tol[("a", "2024-01-01 00:20:00")] == 11.0
+    assert tol[("a", "2024-01-01 02:00:00")] is None       # > 30 min stale
+
+
+def test_asof_bucketed_boundary_carry(spark):
+    """The only right row sits many empty buckets before the left rows —
+    the carry must propagate it across the hole."""
+    left = spark.createDataFrame(
+        [("a", "2024-01-05 00:00:00", 1.0),    # bucket start, carry must win
+         ("a", "2024-01-09 13:37:00", 2.0)],
+        "doc_id string, ts string, lv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:01", 42.0)],
+        "doc_id string, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, keys=("doc_id",),
+                    bucket_seconds=3600).collect()
+    assert sorted((r.lv, r.rv) for r in out) == [(1.0, 42.0), (2.0, 42.0)]
+    # the carry is synthetic: the reported match ts must be the REAL right ts
+    assert all(str(r.right_ts) == "2024-01-01 00:00:01" for r in out)
