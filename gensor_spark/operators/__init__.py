@@ -6,6 +6,12 @@ from gensor_spark.operators.points import (
 )
 from gensor_spark.operators.resample import resample, FREQ_SECONDS
 from gensor_spark.operators.rollup import rollup_tier, cascade_tier, finalize_tier
+from gensor_spark.operators.asof import asof_join
+from gensor_spark.operators.plotdata import (
+    coverage_segments,
+    m4_downsample,
+    outlier_overlay,
+)
 
 __all__ = [
     "docs_to_points",
@@ -17,4 +23,8 @@ __all__ = [
     "rollup_tier",
     "cascade_tier",
     "finalize_tier",
+    "asof_join",
+    "m4_downsample",
+    "outlier_overlay",
+    "coverage_segments",
 ]

@@ -58,3 +58,67 @@ def repetition_stats(docs: DataFrame, k: int = 3, text_col: str = "text",
             ).alias("top_frac"),
         )
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    vocab_broadcast_cap: int | None = None,
+) -> DataFrame:
+    """Unigram-LM perplexity scoring — the KenLM-proxy quality filter.
+
+    Trains add-``alpha`` (Laplace) unigram log-probabilities from the corpus
+    itself (one token-count aggregate), then scores every document by its
+    mean token log-prob and perplexity ``exp(-avg_logprob)``. Low-probability
+    token soup (lorem, base64 blobs, wrong-language spill) scores high
+    perplexity; fluent in-distribution text scores low — the standard cheap
+    stand-in for a trained LM filter at corpus-bootstrap time.
+
+    Output: ``(doc_id, n_tok, avg_logprob, ppl)``; empty docs keep
+    ``n_tok=0`` with null score (mask-don't-crash).
+
+    Shape at scale: token counts are one partial-aggregated shuffle; scoring
+    joins each token occurrence to its count. With the default
+    ``vocab_broadcast_cap=None`` the join shuffles on the token (exact at
+    any vocab size). Setting a cap broadcasts only the top-``cap`` tokens
+    and treats everything rarer as OOV at the unseen-token probability —
+    the web-scale path (zipf vocab ⇒ the head covers ~all occurrences) at
+    the cost of under-weighting rare-token logprobs toward the OOV floor.
+    """
+    from gensor_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    # counts feed both the logprob table and the (N, V) normalizer; persist
+    # so the tokenize+count plan executes once, not once per consumer
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c")).persist()
+    # global scalars as a broadcast 1-row cross join — no driver action, the
+    # whole scorer stays one lazy plan
+    norm = F.broadcast(counts.agg(
+        (F.sum("c") + F.lit(alpha) * F.count("*")).cast("double").alias("_denom")
+    ))
+    lp = counts.crossJoin(norm).select(
+        "tok", F.log((F.col("c") + F.lit(alpha)) / F.col("_denom")).alias("lp")
+    )
+    if vocab_broadcast_cap is not None:
+        lp = F.broadcast(
+            lp.orderBy(F.desc("lp"), "tok").limit(vocab_broadcast_cap)
+        )
+    scored = (
+        toks.join(lp, "tok", "left")
+        .crossJoin(norm)
+        .withColumn("lp", F.coalesce("lp", F.log(F.lit(alpha) / F.col("_denom"))))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"), F.avg("lp").alias("avg_logprob"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+        "avg_logprob",
+        F.exp(-F.col("avg_logprob")).alias("ppl"),
+    )

@@ -304,3 +304,56 @@ def test_prefix_filter_lossless(spark):
             docs, t, prefix_filter=True).collect()))
         assert exact == pref  # lossless at every threshold
         assert bool(exact) == expect_pairs  # and non-trivial where expected
+
+
+def test_unigram_logprob_scores_vs_duckdb(spark):
+    """Perplexity scorer vs a DuckDB implementation of the identical
+    Laplace unigram model over the same tokenizer."""
+    import duckdb
+    import pandas as pd
+
+    from gensor_spark.operators.quality import unigram_logprob_scores
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = unigram_logprob_scores(docs).toPandas()
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                   x -> x != '')) AS tok
+          FROM documents),
+        counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        norm AS (SELECT sum(c) + count(*) AS denom FROM counts),
+        scored AS (
+          SELECT t.doc_id, count(*) AS n_tok,
+                 avg(ln((c.c + 1.0) / n.denom)) AS avg_logprob
+          FROM toks t JOIN counts c USING (tok) CROSS JOIN norm n
+          GROUP BY 1)
+        SELECT d.doc_id, coalesce(s.n_tok, 0) AS n_tok, s.avg_logprob,
+               exp(-s.avg_logprob) AS ppl
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """).df()
+
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(g["n_tok"]) == list(w["n_tok"])
+    pd.testing.assert_series_equal(g["avg_logprob"], w["avg_logprob"],
+                                   rtol=1e-12, check_exact=False)
+
+    # cap >= vocab size: identical to exact. tiny cap: rare tokens fall to
+    # the OOV floor, so scores can only get worse (more negative)
+    exact = {r.doc_id: r.avg_logprob for _, r in g.iterrows()}
+    capped = {r.doc_id: r.avg_logprob
+              for r in unigram_logprob_scores(docs, vocab_broadcast_cap=5)
+              .collect()}
+    assert all(capped[d] <= exact[d] + 1e-12 for d in exact
+               if exact[d] is not None)
+    full = {r.doc_id: r.avg_logprob
+            for r in unigram_logprob_scores(docs, vocab_broadcast_cap=10**6)
+            .collect()}
+    assert all(abs(full[d] - exact[d]) < 1e-12 for d in exact
+               if exact[d] is not None)
