@@ -103,6 +103,17 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
     tier_sec = sum(timings[n] for n in TIER_QUERIES if n in timings)
     total_sec = sum(timings.values())
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    # host-weather stamp: this VM's memory bandwidth intermittently
+    # collapses 10-100x (scripts/hostcheck.py; BENCH/BASELINE.md r3) —
+    # triad < ~5 GB/s means the walls above measured the host, not the
+    # engine. Recorded so a degraded bench is distinguishable from a slow one.
+    try:
+        from scripts.hostcheck import triad_gbps
+
+        host_triad = triad_gbps(n=20_000_000, repeats=2)
+    except Exception:
+        host_triad = None
     return {
         "metric": "total_query_sec",
         "value": round(total_sec, 3),
@@ -113,6 +124,7 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
         "tier_sec": round(tier_sec, 3),
         "points_per_sec": round(rolled_points / tier_sec, 1) if tier_sec else None,
         "cpus": cpus,
+        "host_triad_gbps": host_triad,
         **scale,
     }
 
