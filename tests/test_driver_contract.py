@@ -37,6 +37,21 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
     assert not missing, f"oracle without query: {missing}"
 
 
+def test_all_oracled_queries_inside_driver_window():
+    """The driver's correctness gate checks the FIRST 50 registry entries
+    only (VERDICT r2 #1: 7 queries silently fell outside it). Invariant:
+    every oracle-backed query precedes every no-oracle one, and the
+    oracle-backed prefix fits the 50-entry window."""
+    qs, os_ = _entry_mod.queries(), _entry_mod.oracle_sql()
+    names = list(qs)
+    oracled = [n for n in names if n in os_]
+    assert len(oracled) <= 50, f"{len(oracled)} oracled queries > 50-entry window"
+    assert names[: len(oracled)] == oracled, (
+        "no-oracle entries interleave the oracle-backed prefix: "
+        f"{[n for n in names[:len(oracled)] if n not in os_]}"
+    )
+
+
 @pytest.mark.parametrize("name", _query_names())
 def test_query_matches_oracle(spark, name):
     qs, oracles = _entry_mod.queries(), _entry_mod.oracle_sql()
