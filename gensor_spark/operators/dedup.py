@@ -556,3 +556,52 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    higher_is_better: bool = True,
+) -> DataFrame:
+    """Keep the best-scoring document of every duplicate cluster.
+
+    ``dup_clusters`` assigns min-id canonical labels; production dedup
+    usually keeps the *highest-quality* member instead (longest, lowest
+    perplexity, best source — any ``score_col``, e.g.
+    ``quality.unigram_logprob_scores().avg_logprob``). Unclustered docs
+    (absent from ``clusters``) are their own singleton cluster and always
+    survive. Ties break on the smallest doc id — deterministic at any
+    parallelism.
+
+    Output: ``docs``' full rows for the survivors plus their ``cluster_id``
+    (the doc's own id for singletons).
+
+    Shape at scale: one left join to attach cluster ids, one
+    ``min_by/max_by`` aggregate per cluster (partial-aggregated — no window
+    over the corpus, no sort), one semi join back. Nothing exceeds the
+    cluster-count cardinality between the joins.
+    """
+    order = F.struct(
+        (-F.col("_score") if higher_is_better else F.col("_score")).alias("s"),
+        F.col(id_col).alias("i"),
+    )
+    labeled = docs.join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    ).withColumn(
+        # null scores lose to any real score (but a fully-null cluster
+        # still keeps exactly one member, by id)
+        "_score",
+        F.coalesce(
+            F.col(score_col).cast("double"),
+            F.lit(float("-inf") if higher_is_better else float("inf")),
+        ),
+    )
+    winners = labeled.groupBy("cluster_id").agg(
+        F.min_by(F.col(id_col), order).alias(id_col)
+    )
+    return labeled.join(winners, ["cluster_id", id_col], "leftsemi") \
+                  .drop("_score")

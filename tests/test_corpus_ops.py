@@ -357,3 +357,34 @@ def test_unigram_logprob_scores_vs_duckdb(spark):
             .collect()}
     assert all(abs(full[d] - exact[d]) < 1e-12 for d in exact
                if exact[d] is not None)
+
+
+def test_cluster_representatives_keep_best(spark):
+    from gensor_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, "short", 0.2), (2, "longer text", 0.9), (3, "mid", 0.5),
+         (4, "solo", 0.1), (5, "nulls", None), (6, "nulls2", None)],
+        "doc_id long, text string, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    # best-q wins in cluster 1; singleton 4 survives; all-null cluster
+    # keeps its min id
+    out = {r.doc_id: r.cluster_id
+           for r in cluster_representatives(docs, clusters, "q").collect()}
+    assert out == {2: 1, 4: 4, 5: 5}
+
+    # lower-is-better flips the winner (e.g. perplexity)
+    low = {r.doc_id for r in cluster_representatives(
+        docs, clusters, "q", higher_is_better=False).collect()}
+    assert low == {1, 4, 5}
+
+    # tie on score → smallest id, deterministic
+    tied = spark.createDataFrame(
+        [(7, "a", 1.0), (8, "b", 1.0)], "doc_id long, text string, q double")
+    tc = spark.createDataFrame([(7, 7), (8, 7)], "doc_id long, cluster_id long")
+    assert [r.doc_id for r in
+            cluster_representatives(tied, tc, "q").collect()] == [7]
