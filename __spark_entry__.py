@@ -20,9 +20,9 @@ if str(_REPO) not in sys.path:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 1h retention-tier rollup (count/min/max/mean/last) on sf0.001."""
-    from gensor_spark.queries import QUERIES
+    from gensor_spark.queries import _q_rollup
 
-    return QUERIES["rollup_1h"](spark, "/root/testdata/sf0.001")
+    return _q_rollup("1h")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -7,6 +7,7 @@ from gensor_spark.operators.points import (
 from gensor_spark.operators.resample import resample, FREQ_SECONDS
 from gensor_spark.operators.rollup import rollup_tier, cascade_tier, finalize_tier
 from gensor_spark.operators.asof import asof_join
+from gensor_spark.operators.decontaminate import contamination_stats
 from gensor_spark.operators.plotdata import (
     coverage_segments,
     m4_downsample,
@@ -24,6 +25,7 @@ __all__ = [
     "cascade_tier",
     "finalize_tier",
     "asof_join",
+    "contamination_stats",
     "m4_downsample",
     "outlier_overlay",
     "coverage_segments",

@@ -94,6 +94,28 @@ def _sql_rollup(unit: str) -> str:
     """
 
 
+def q_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three retention tiers (1m/1h/1d) in one driver entry, tagged by a
+    ``tier`` column — the same per-tier plans the driver used to check as
+    three separate rows, union-ed so the correctness window spends one slot
+    on the rollup family instead of three. ``bench.py`` still times the
+    tiers individually (the headline metric is per-tier throughput)."""
+    parts = [
+        _q_rollup(t)(spark, sf_dir).select(F.lit(t).alias("tier"), "*")
+        for t in ("1m", "1h", "1d")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+SQL_ROLLUP_TIERS = " UNION ALL ".join(
+    f"SELECT '{t}' AS tier, * FROM ({_sql_rollup(u)}) r_{t}"
+    for t, u in (("1m", "minute"), ("1h", "hour"), ("1d", "day"))
+)
+
+
 # --------------------------------------------------------------------------
 # dense resample (pandas parity: empty bins materialize as NULL)
 # --------------------------------------------------------------------------
@@ -208,40 +230,35 @@ FROM pts GROUP BY 1, 2
 # transforms (gensor processing/transform.py; quirks preserved)
 # --------------------------------------------------------------------------
 
-def q_transform_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gensor_spark.operators.transforms import difference
-
-    out = difference(_points(spark, sf_dir), periods=1)
-    return out.select("doc_id", "source", "seq", _r6(F.col("value")).alias("diff"))
-
-
-SQL_TRANSFORM_DIFFERENCE = f"""
-WITH pts AS ({_PTS_SQL}),
-d AS (
-  SELECT doc_id, source, seq,
-         value - lag(value) OVER (PARTITION BY doc_id, source ORDER BY seq) AS diff
-  FROM pts
-)
-SELECT doc_id, source, seq, ROUND(diff + 1e-9, 6) AS diff FROM d WHERE diff IS NOT NULL
-"""
-
-
-def q_transform_log_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gensor_spark.operators.transforms import log_transform, sqrt_transform
+def q_transforms_pointwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``difference`` + ``log``/``sqrt`` (≤0 pass-through quirk) in one
+    driver entry over the same ``(doc_id, source, seq)`` grain. ``diff`` is
+    NULL on each series' first row (the operator itself drops those rows —
+    gensor's ``.diff().dropna()``; the left join restores the grain)."""
+    from gensor_spark.operators.transforms import (
+        difference,
+        log_transform,
+        sqrt_transform,
+    )
 
     pts = _points(spark, sf_dir)
+    d = difference(pts, periods=1).select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("diff")
+    )
     # exercise both branches of the <=0 pass-through quirk: shift values down
-    shifted = (F.col("value") - F.lit(5.0)).alias("x")
-    return pts.select(
+    ls = pts.select(
         "doc_id", "source", "seq",
         _r6(log_transform(F.col("value") - F.lit(5.0))).alias("logv"),
         _r6(sqrt_transform(F.col("value") - F.lit(5.0))).alias("sqrtv"),
     )
+    return ls.join(d, ["doc_id", "source", "seq"], "left")
 
 
-SQL_TRANSFORM_LOG_SQRT = f"""
+SQL_TRANSFORMS_POINTWISE = f"""
 WITH pts AS ({_PTS_SQL})
 SELECT doc_id, source, seq,
+       ROUND(value - lag(value) OVER (PARTITION BY doc_id, source ORDER BY seq)
+             + 1e-9, 6) AS diff,
        ROUND(CASE WHEN value - 5.0 <= 0 THEN value - 5.0 ELSE ln(value - 5.0) END + 1e-9, 6) AS logv,
        ROUND(CASE WHEN value - 5.0 <= 0 THEN value - 5.0 ELSE sqrt(value - 5.0) END + 1e-9, 6) AS sqrtv
 FROM pts
@@ -330,28 +347,44 @@ WHERE p.value < s.q1 - 1.5 * (s.q3 - s.q1) OR p.value > s.q3 + 1.5 * (s.q3 - s.q
 """
 
 
-def q_outliers_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gensor_spark.operators.outliers import zscore_rolling
+def q_outliers_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score + rolling IQR outlier flags in one result
+    (``method`` column) — both windowed paths of gensor's
+    ``detect_outliers`` (analysis/outliers.py) in a single driver entry,
+    mirroring how ``outliers_global`` already folds its two methods."""
+    from gensor_spark.operators.outliers import iqr_rolling, zscore_rolling
 
-    flagged = zscore_rolling(_points(spark, sf_dir), window=20, threshold=2.0)
-    return flagged.filter("is_outlier").select(
-        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    pts = _points(spark, sf_dir)
+    z = zscore_rolling(pts, window=20, threshold=2.0).filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v"),
+        F.lit("zscore").alias("method"),
     )
+    i = iqr_rolling(pts, window=20, k=1.5).filter("is_outlier").select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v"),
+        F.lit("iqr").alias("method"),
+    )
+    return z.unionAll(i)
 
 
-SQL_OUTLIERS_ZSCORE_ROLLING = f"""
+SQL_OUTLIERS_ROLLING = f"""
 WITH pts AS ({_PTS_SQL}),
 r AS (
   SELECT doc_id, source, seq, value,
          count(*) OVER w AS n,
          avg(value) OVER w AS mu,
-         stddev_pop(value) OVER w AS sigma
+         stddev_pop(value) OVER w AS sigma,
+         CAST(quantile_cont(value, 0.25) OVER w AS DOUBLE) AS q1,
+         CAST(quantile_cont(value, 0.75) OVER w AS DOUBLE) AS q3
   FROM pts
   WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
 )
-SELECT doc_id, source, seq, ROUND(value + 1e-9, 6) AS v
+SELECT doc_id, source, seq, ROUND(value + 1e-9, 6) AS v, 'zscore' AS method
 FROM r WHERE n = 20 AND abs(value - mu) / sigma > 2.0
+UNION ALL
+SELECT doc_id, source, seq, ROUND(value + 1e-9, 6) AS v, 'iqr' AS method
+FROM r
+WHERE n = 20 AND (value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1))
 """
 
 
@@ -408,18 +441,32 @@ def _dense_15min_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF + time-weighted interpolation over the dense 15-minute grid in
+    one driver entry and ONE plan: both fills are window columns over the
+    same series partitioning, so the grid (the expensive part — resample +
+    per-series spine) materializes once, not once per method."""
     from pyspark.sql import Window as W2
 
-    dense = _dense_15min_mean(spark, sf_dir)
-    w = W2.partitionBy("doc_id", "source").orderBy("bin_ts").rowsBetween(
+    from gensor_spark.operators import gapfill
+
+    dense = _dense_15min_mean(spark, sf_dir).withColumnRenamed("bin_ts", "ts")
+    dense = dense.withColumn(
+        "seq",
+        F.row_number().over(W2.partitionBy("doc_id", "source").orderBy("ts")) - 1,
+    )
+    w = W2.partitionBy("doc_id", "source").orderBy("seq").rowsBetween(
         W2.unboundedPreceding, 0
     )
-    filled = F.last("value", ignorenulls=True).over(w)
-    return dense.select(
+    both = dense.withColumn(
+        "locf", F.last("value", ignorenulls=True).over(w)
+    )
+    filled = gapfill.interpolate(both, method="time")
+    return filled.select(
         "doc_id", "source",
-        F.date_format("bin_ts", TS_FMT_SPARK).alias("bin_ts"),
-        _r6(filled).alias("filled"),
+        F.date_format("ts", TS_FMT_SPARK).alias("bin_ts"),
+        _r6(F.col("locf")).alias("filled_locf"),
+        _r6(F.col("value")).alias("filled_interp"),
     )
 
 
@@ -443,34 +490,7 @@ dense AS (
 )
 """
 
-SQL_GAPFILL_LOCF = f"""
-WITH {_SQL_DENSE_15}
-SELECT doc_id, source, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts,
-       ROUND(last_value(v IGNORE NULLS) OVER (
-         PARTITION BY doc_id, source ORDER BY bin
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS filled
-FROM dense
-"""
-
-
-def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W2
-
-    from gensor_spark.operators import gapfill
-
-    dense = _dense_15min_mean(spark, sf_dir).withColumnRenamed("bin_ts", "ts")
-    dense = dense.withColumn(
-        "seq", F.row_number().over(W2.partitionBy("doc_id", "source").orderBy("ts")) - 1
-    )
-    filled = gapfill.interpolate(dense, method="time")
-    return filled.select(
-        "doc_id", "source",
-        F.date_format("ts", TS_FMT_SPARK).alias("bin_ts"),
-        _r6(F.col("value")).alias("filled"),
-    )
-
-
-SQL_GAPFILL_INTERPOLATE = f"""
+SQL_GAPFILL = f"""
 WITH {_SQL_DENSE_15},
 x AS (
   SELECT doc_id, source, bin, v, epoch(bin) AS pos,
@@ -485,12 +505,13 @@ x AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT doc_id, source, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts,
+       ROUND(prev_v + 1e-9, 6) AS filled_locf,
        ROUND(CASE
          WHEN v IS NOT NULL THEN v
          WHEN prev_v IS NULL THEN NULL
          WHEN next_v IS NULL THEN prev_v
          ELSE prev_v + (next_v - prev_v) * (pos - prev_x) / (next_x - prev_x)
-       END + 1e-9, 6) AS filled
+       END + 1e-9, 6) AS filled_interp
 FROM x
 """
 
@@ -661,32 +682,6 @@ WHERE NOT (water_column < 0 OR water_column <= 0.0)
 # --------------------------------------------------------------------------
 # rolling IQR + Hampel + LOF outliers (gensor analysis/outliers.py)
 # --------------------------------------------------------------------------
-
-def q_outliers_iqr_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gensor_spark.operators.outliers import iqr_rolling
-
-    flagged = iqr_rolling(_points(spark, sf_dir), window=20, k=1.5)
-    return flagged.filter("is_outlier").select(
-        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
-    )
-
-
-SQL_OUTLIERS_IQR_ROLLING = f"""
-WITH pts AS ({_PTS_SQL}),
-r AS (
-  SELECT doc_id, source, seq, value,
-         count(*) OVER w AS n,
-         CAST(quantile_cont(value, 0.25) OVER w AS DOUBLE) AS q1,
-         CAST(quantile_cont(value, 0.75) OVER w AS DOUBLE) AS q3
-  FROM pts
-  WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
-               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-)
-SELECT doc_id, source, seq, ROUND(value + 1e-9, 6) AS v
-FROM r
-WHERE n = 20 AND (value < q1 - 1.5 * (q3 - q1) OR value > q3 + 1.5 * (q3 - q1))
-"""
-
 
 def q_outliers_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gensor_spark.operators.outliers import hampel
@@ -976,6 +971,113 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# as-of join (operators/asof.py — the general form of gensor's baro
+# alignment, processing/compensation.py; DuckDB ASOF JOIN is the oracle)
+# --------------------------------------------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event picks the latest prior purchase by the same user
+    (≤, ties match), via the BUCKETED scale path (boundary-carry) so the
+    driver verifies the shape that survives zipf-hot series — the default
+    single-window path is pinned equal to it in tests/test_asof.py."""
+    from gensor_spark.operators.asof import asof_join
+
+    pts = _points(spark, sf_dir)
+    clicks = pts.filter(F.col("source") == "click").select(
+        "doc_id", "ts", F.col("value").alias("lval")
+    )
+    buys = pts.filter(F.col("source") == "purchase").select(
+        "doc_id", "ts", F.col("value").alias("rval")
+    )
+    out = asof_join(clicks, buys, keys=("doc_id",), bucket_seconds=6 * 3600)
+    return out.select(
+        "doc_id",
+        F.date_format("ts", TS_FMT_SPARK_US).alias("ts"),
+        _r6(F.col("lval")).alias("lval"),
+        F.date_format("right_ts", TS_FMT_SPARK_US).alias("right_ts"),
+        _r6(F.col("rval")).alias("rval"),
+    )
+
+
+SQL_ASOF_JOIN = f"""
+WITH pts AS ({_PTS_SQL}),
+l AS (SELECT doc_id, ts, value AS lval FROM pts WHERE source = 'click'),
+r AS (SELECT doc_id, ts, value AS rval FROM pts WHERE source = 'purchase')
+SELECT l.doc_id,
+       strftime(l.ts, '{TS_FMT_DUCK_US}') AS ts,
+       ROUND(l.lval + 1e-9, 6) AS lval,
+       strftime(r.ts, '{TS_FMT_DUCK_US}') AS right_ts,
+       ROUND(r.rval + 1e-9, 6) AS rval
+FROM l ASOF LEFT JOIN r ON l.doc_id = r.doc_id AND l.ts >= r.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# M4 plot downsampling (operators/plotdata.py — the data half of gensor's
+# plot surfaces, core/dataset.py:486+; ≤4 points per series×pixel)
+# --------------------------------------------------------------------------
+
+_M4_BINS = 48
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gensor_spark.operators.plotdata import m4_downsample
+
+    # pre-collapse any (series, ts) duplicates so first/last picks are
+    # deterministic at any parallelism (the testdata has none; belt+braces)
+    pts = (
+        _points(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy("doc_id", "source", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = m4_downsample(pts, bins=_M4_BINS)
+    return out.select(
+        "doc_id", "source", "bin",
+        F.date_format("ts", TS_FMT_SPARK_US).alias("ts"),
+        _r6(F.col("value")).alias("v"),
+        "role",
+    )
+
+
+SQL_M4_DOWNSAMPLE = f"""
+WITH pts AS ({_PTS_SQL}),
+p AS (
+  SELECT doc_id, source, ts, max(value) AS value
+  FROM pts WHERE value IS NOT NULL GROUP BY 1, 2, 3
+),
+s AS (SELECT doc_id, source, min(ts) AS lo, max(ts) AS hi FROM p GROUP BY 1, 2),
+b AS (
+  SELECT p.doc_id, p.source, p.ts, p.value,
+         least({_M4_BINS} - 1,
+               floor((epoch_us(p.ts) - epoch_us(s.lo)) * {_M4_BINS}
+                     / greatest(epoch_us(s.hi) - epoch_us(s.lo), 1)))::INT AS bin
+  FROM p JOIN s USING (doc_id, source)
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id, source, bin ORDER BY ts) AS rf,
+         row_number() OVER (PARTITION BY doc_id, source, bin ORDER BY ts DESC) AS rl,
+         row_number() OVER (PARTITION BY doc_id, source, bin ORDER BY value, ts) AS rmin,
+         row_number() OVER (PARTITION BY doc_id, source, bin ORDER BY value DESC, ts DESC) AS rmax
+  FROM b
+),
+u AS (
+  SELECT doc_id, source, bin, ts, value, 'first' AS role FROM r WHERE rf = 1
+  UNION ALL
+  SELECT doc_id, source, bin, ts, value, 'last' FROM r WHERE rl = 1
+  UNION ALL
+  SELECT doc_id, source, bin, ts, value, 'min' FROM r WHERE rmin = 1
+  UNION ALL
+  SELECT doc_id, source, bin, ts, value, 'max' FROM r WHERE rmax = 1
+)
+SELECT doc_id, source, bin, strftime(ts, '{TS_FMT_DUCK_US}') AS ts,
+       ROUND(value + 1e-9, 6) AS v, min(role) AS role
+FROM u GROUP BY doc_id, source, bin, ts, value
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -983,31 +1085,28 @@ FROM documents
 # entries of ``queries()``; every oracle-backed query must therefore precede
 # the (exactly two) no-oracle UDF kernels, which sit at the very end.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "rollup_1m": _q_rollup("1m"),
-    "rollup_1h": _q_rollup("1h"),
-    "rollup_1d": _q_rollup("1d"),
+    "rollup_tiers": q_rollup_tiers,
     "resample_15min_dense": q_resample_15min_dense,
     "coverage_info": q_coverage_info,
     "trend_ols": q_trend_ols,
-    "transform_difference": q_transform_difference,
-    "transform_log_sqrt": q_transform_log_sqrt,
+    "transforms_pointwise": q_transforms_pointwise,
     "scalers": q_scalers,
     "outliers_global": q_outliers_global,
-    "outliers_zscore_rolling": q_outliers_zscore_rolling,
+    "outliers_rolling": q_outliers_rolling,
     "smooth_rolling": q_smooth_rolling,
-    "gapfill_locf": q_gapfill_locf,
-    "gapfill_interpolate": q_gapfill_interpolate,
+    "gapfill": q_gapfill,
     "mask_where": q_mask_where,
     "concat_dedup": q_concat_dedup,
     "gap_sessions": q_gap_sessions,
     "compensation_heads": q_compensation_heads,
-    "outliers_iqr_rolling": q_outliers_iqr_rolling,
     "outliers_hampel": q_outliers_hampel,
     "catalog_select": q_catalog_select,
     "resample_custom_q90": q_resample_custom_q90,
     "transform_boxcox": q_transform_boxcox,
     "resample_1h_multi": q_resample_1h_multi,
     "coverage_diff": q_coverage_diff,
+    "asof_join": q_asof_join,
+    "m4_downsample": q_m4_downsample,
     "tokens_roundtrip": q_tokens_roundtrip,
 }
 
@@ -1021,25 +1120,20 @@ QUERIES["outliers_lof"] = q_outliers_lof
 QUERIES["outliers_isolation_forest"] = q_outliers_isolation_forest
 
 ORACLES: dict[str, str] = {
-    "rollup_1m": _sql_rollup("minute"),
-    "rollup_1h": _sql_rollup("hour"),
-    "rollup_1d": _sql_rollup("day"),
+    "rollup_tiers": SQL_ROLLUP_TIERS,
     "resample_15min_dense": SQL_RESAMPLE_15MIN,
     "coverage_info": SQL_COVERAGE_INFO,
     "trend_ols": SQL_TREND_OLS,
-    "transform_difference": SQL_TRANSFORM_DIFFERENCE,
-    "transform_log_sqrt": SQL_TRANSFORM_LOG_SQRT,
+    "transforms_pointwise": SQL_TRANSFORMS_POINTWISE,
     "scalers": SQL_SCALERS,
     "outliers_global": SQL_OUTLIERS_GLOBAL,
-    "outliers_zscore_rolling": SQL_OUTLIERS_ZSCORE_ROLLING,
+    "outliers_rolling": SQL_OUTLIERS_ROLLING,
     "smooth_rolling": SQL_SMOOTH_ROLLING,
-    "gapfill_locf": SQL_GAPFILL_LOCF,
-    "gapfill_interpolate": SQL_GAPFILL_INTERPOLATE,
+    "gapfill": SQL_GAPFILL,
     "mask_where": SQL_MASK_WHERE,
     "concat_dedup": SQL_CONCAT_DEDUP,
     "gap_sessions": SQL_GAP_SESSIONS,
     "compensation_heads": SQL_COMPENSATION_HEADS,
-    "outliers_iqr_rolling": SQL_OUTLIERS_IQR_ROLLING,
     "outliers_hampel": SQL_OUTLIERS_HAMPEL,
     # outliers_lof: intentionally no oracle (Arrow-UDF kNN; rows-only check)
     # outliers_isolation_forest: no oracle (randomized trees; rows-only check)
@@ -1048,6 +1142,8 @@ ORACLES: dict[str, str] = {
     "transform_boxcox": SQL_TRANSFORM_BOXCOX,
     "resample_1h_multi": SQL_RESAMPLE_1H_MULTI,
     "coverage_diff": SQL_COVERAGE_DIFF,
+    "asof_join": SQL_ASOF_JOIN,
+    "m4_downsample": SQL_M4_DOWNSAMPLE,
     "tokens_roundtrip": SQL_TOKENS_ROUNDTRIP,
 }
 

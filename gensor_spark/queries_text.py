@@ -209,10 +209,26 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment: connected components (iterative
-    min-label propagation) over the SimHash near-pair graph."""
-    pairs = D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
-    return D.dup_clusters(pairs)
+    """Duplicate-cluster assignment + representative selection: connected
+    components (iterative min-label propagation) over the SimHash near-pair
+    graph, then ``cluster_representatives`` keeps the best member per
+    cluster (longest text in bytes, ties to the smallest id). Grain: every
+    document, singletons as their own cluster — ``kept`` marks survivors."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.simhash_pairs(docs, max_hamming=3)
+    clusters = D.dup_clusters(pairs)
+    scored = docs.select("doc_id", F.octet_length("text").alias("score"))
+    survivors = D.cluster_representatives(scored, clusters, "score")
+    reps = survivors.select("cluster_id", F.col("doc_id").alias("rep_id"))
+    labeled = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col("doc_id")))
+    )
+    return labeled.join(reps, "cluster_id").select(
+        "doc_id", "cluster_id", "rep_id",
+        (F.col("doc_id") == F.col("rep_id")).alias("kept"),
+    )
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
@@ -561,8 +577,22 @@ reach(id, r) AS (
   SELECT u, u FROM edges
   UNION
   SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+lab AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+         strlen(d.text) AS score
+  FROM documents d LEFT JOIN cl USING (doc_id)
+),
+rep AS (
+  SELECT cluster_id, doc_id AS rep_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY score DESC, doc_id) AS rn
+        FROM lab) ranked
+  WHERE rn = 1
 )
-SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+SELECT l.doc_id, l.cluster_id, r.rep_id, l.doc_id = r.rep_id AS kept
+FROM lab l JOIN rep r USING (cluster_id)
 """
 
 
@@ -843,6 +873,127 @@ FROM b
 
 
 # --------------------------------------------------------------------------
+# corpus quality: unigram-LM perplexity, benchmark decontamination,
+# token-native repetition (operators/quality.py, operators/decontaminate.py)
+# --------------------------------------------------------------------------
+
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (add-1) mean token log-prob per doc — the KenLM-proxy
+    quality filter, trained on the corpus itself in the same lazy plan."""
+    from gensor_spark.operators.quality import unigram_logprob_scores
+
+    out = unigram_logprob_scores(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tok", _r6(F.col("avg_logprob")).alias("avg_logprob")
+    )
+
+
+SQL_PERPLEXITY = f"""
+WITH toks AS ({_TOKS_SQL}),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+norm AS (SELECT (sum(c) + 1.0 * count(*))::DOUBLE AS denom FROM counts),
+lp AS (SELECT tok, ln((c + 1.0) / denom) AS lp FROM counts, norm),
+scored AS (SELECT doc_id, count(*) AS n_tok, avg(lp) AS avg_logprob
+           FROM tok JOIN lp USING (tok) GROUP BY 1)
+SELECT d.doc_id, coalesce(s.n_tok, 0) AS n_tok,
+       ROUND(s.avg_logprob + 1e-9, 6) AS avg_logprob
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+_DECON_N = 5       # gram size for benchmark-overlap detection
+_DECON_SPLIT = 17  # doc_id % SPLIT == 0 plays the held-out benchmark
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 17th doc plays the held-out eval
+    set; the rest of the corpus is flagged on distinct 5-gram collisions
+    (the planted near-duplicates make the overlap non-trivial)."""
+    from gensor_spark.operators.decontaminate import contamination_stats
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % _DECON_SPLIT == 0)
+    corpus = docs.filter(F.col("doc_id") % _DECON_SPLIT != 0)
+    out = contamination_stats(corpus, bench, n=_DECON_N)
+    return out.select(
+        "doc_id", "n_grams", "overlap_grams",
+        _r6(F.col("overlap_frac")).alias("overlap_frac"),
+        "contaminated",
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS ({_TOKS_SQL}),
+sh AS (SELECT DISTINCT doc_id, s
+       FROM toks, LATERAL (SELECT unnest({_shingle_sql(_DECON_N)}) AS s) u),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECON_SPLIT} = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % {_DECON_SPLIT} != 0),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY 1),
+hit AS (SELECT c.doc_id, count(*) AS k FROM corpus c JOIN bench USING (s) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(t.n_grams, 0) AS n_grams,
+       coalesce(h.k, 0) AS overlap_grams,
+       ROUND(coalesce(h.k::DOUBLE / t.n_grams, 0.0) + 1e-9, 6) AS overlap_frac,
+       coalesce(h.k, 0) >= 1 AS contaminated
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id % {_DECON_SPLIT} != 0
+"""
+
+
+_TOKREP_VOCAB = 32768  # synthetic vocab size for the token-table rendering
+_TOKREP_K = 3
+
+
+def q_token_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats computed ON the north-star token shape
+    ``(doc_id, tokens array<int>)``: text is tokenized to synthetic int ids
+    (md5 mod vocab), adapted through ``text_view_of_tokens``, and the same
+    ``repetition_stats`` plan runs over token-id n-grams — the driver-checked
+    proof that the quality stack works on pre-tokenized sequences."""
+    from gensor_spark.operators.quality import repetition_stats
+
+    docs = _docs(spark, sf_dir)
+    ids = F.transform(
+        T.tokens(F.col("text")),
+        lambda t: (T.md5int(t) % _TOKREP_VOCAB).cast("int"),
+    )
+    tok_tbl = docs.select("doc_id", ids.alias("tokens"))
+    out = repetition_stats(D.text_view_of_tokens(tok_tbl), k=_TOKREP_K)
+    return out.select(
+        "doc_id", "total_grams", "distinct_grams",
+        _r6(F.col("dup_frac")).alias("dup_frac"),
+        _r6(F.col("top_frac")).alias("top_frac"),
+    )
+
+
+SQL_TOKEN_REPETITION = f"""
+WITH toksrc AS ({_TOKS_SQL}),
+tt AS (SELECT doc_id,
+              list_transform(
+                toks,
+                t -> 't' || (({_md5int_sql('t')}) % {_TOKREP_VOCAB})::VARCHAR
+              ) AS toks
+       FROM toksrc),
+grams AS (SELECT doc_id, g
+          FROM tt, LATERAL (SELECT unnest({_shingle_sql(_TOKREP_K)}) AS g) u),
+per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+per_doc AS (SELECT doc_id, sum(c)::BIGINT AS total_grams,
+                   count(*) AS distinct_grams, max(c) AS top
+            FROM per_gram GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.total_grams, 0) AS total_grams,
+       coalesce(p.distinct_grams, 0) AS distinct_grams,
+       ROUND(coalesce((p.total_grams - p.distinct_grams)::DOUBLE / p.total_grams,
+                      0.0) + 1e-9, 6) AS dup_frac,
+       ROUND(coalesce(p.top::DOUBLE / p.total_grams, 0.0) + 1e-9, 6) AS top_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -869,6 +1020,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
     "token_stats": q_token_stats,
+    "perplexity": q_perplexity,
+    "decontaminate": q_decontaminate,
+    "token_repetition": q_token_repetition,
     "media_catalog": q_media_catalog,
     "media_pipeline": q_media_pipeline,
 }
@@ -897,6 +1051,9 @@ TEXT_ORACLES: dict[str, str] = {
     "lang_id": _sql_lang_id(),
     "doc_quality": _sql_doc_quality(),
     "token_stats": SQL_TOKEN_STATS,
+    "perplexity": SQL_PERPLEXITY,
+    "decontaminate": SQL_DECONTAMINATE,
+    "token_repetition": SQL_TOKEN_REPETITION,
     "media_catalog": SQL_MEDIA_CATALOG,
     "media_pipeline": SQL_MEDIA_PIPELINE,
 }

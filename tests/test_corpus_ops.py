@@ -388,3 +388,37 @@ def test_cluster_representatives_keep_best(spark):
     tc = spark.createDataFrame([(7, 7), (8, 7)], "doc_id long, cluster_id long")
     assert [r.doc_id for r in
             cluster_representatives(tied, tc, "q").collect()] == [7]
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+def test_contamination_stats(spark):
+    from gensor_spark.operators.decontaminate import contamination_stats
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated text with no benchmark overlap at all"),
+            (2, "ab"),  # < n tokens: no grams, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over the fence")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           contamination_stats(corpus, bench, n=5).collect()}
+    # doc 0 shares exactly 3 of its 6 distinct 5-grams with the benchmark
+    assert out[0].contaminated and out[0].overlap_grams == 3
+    assert out[0].n_grams == 6 and out[0].overlap_frac == 0.5
+    assert not out[1].contaminated and out[1].overlap_grams == 0
+    assert out[2].n_grams == 0 and not out[2].contaminated
+    assert out[2].overlap_frac == 0.0
+
+    # min_overlap raises the collision bar
+    strict = {r.doc_id: r.contaminated for r in
+              contamination_stats(corpus, bench, n=5, min_overlap=4).collect()}
+    assert strict == {0: False, 1: False, 2: False}

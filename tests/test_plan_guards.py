@@ -27,14 +27,15 @@ def queries():
 def test_no_unbounded_following_frames(spark, queries):
     """Spark evaluates 'CURRENT ROW AND UNBOUNDED FOLLOWING' frames
     quadratically (gapfill.py docstring) — they must never appear."""
-    for name in ("gapfill_locf", "gapfill_interpolate", "smooth_rolling",
-                 "outliers_zscore_rolling"):
+    for name in ("gapfill", "smooth_rolling", "outliers_rolling"):
         plan = _plan(queries[name](spark, SF))
         assert "CURRENT ROW AND UNBOUNDED FOLLOWING" not in plan, name
 
 
-def test_rollup_is_single_shuffle_two_phase(spark, queries):
-    plan = _plan(queries["rollup_1h"](spark, SF))
+def test_rollup_is_single_shuffle_two_phase(spark):
+    from gensor_spark.queries import _q_rollup
+
+    plan = _plan(_q_rollup("1h")(spark, SF))
     assert len(re.findall(r"\bExchange\b", plan)) == 1
     assert "partial_" in plan  # map-side combine present
 
@@ -109,3 +110,18 @@ def test_vocab_topk_is_take_ordered(spark, queries):
     never a global Sort of the vocab table."""
     plan = _plan(queries["vocab_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_benchmark_broadcast(spark, queries):
+    """The benchmark gram set is small by construction and must broadcast —
+    the corpus side never shuffles on the gram key (decontaminate.py)."""
+    plan = _plan(queries["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_no_cartesian(spark, queries):
+    """The bucketed as-of path is union + window + one tiny carry aggregate:
+    no join may degenerate to a broadcast nested loop / cartesian product."""
+    plan = _plan(queries["asof_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
