@@ -66,6 +66,22 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
             **bench_queries,
         }
 
+    # bench-only variant (no driver slot): IVF with the production
+    # modulus-sampled Lloyd training — quantifies the k-means cost the
+    # exact-oracle query (train_fraction=1.0) pays for bit-exactness
+    def _ivf_sampled(spark_, sf_dir_):
+        from pyspark.sql import functions as F
+
+        from gensor_spark.operators import similarity as S
+        from gensor_spark.queries_text import _emb
+
+        return S.ivf_topk(_emb(spark_, sf_dir_), k=5, n_queries=10,
+                          n_centroids=16, n_probe=4,
+                          train_fraction=0.25).select(
+            "query_id", "cand_id", "rank", F.round("sim", 6).alias("sim"))
+
+    bench_queries["ann_ivf_topk_t25"] = _ivf_sampled
+
     names = queries_subset or list(bench_queries)
     unknown = [n for n in names if n not in bench_queries]
     if unknown:
@@ -129,6 +145,27 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
         host_triad = triad_gbps(n=20_000_000, repeats=2)
     except Exception:
         host_triad = None
+    # Spark-shaped control: the box has a SECOND degradation mode that the
+    # numpy/ALU probes miss — JVM shuffle+sort+window throughput drops 5-8×
+    # while triad/spin read healthy (r3: the unmodified r2 checkout replayed
+    # 62s on work it recorded at 9.4s, with 186 GB/s triad@32). This fixed
+    # window job (same physical profile as the window-chain queries) is the
+    # within-JVM yardstick: walls above should be read relative to it.
+    try:
+        t0 = time.perf_counter()
+        (
+            spark.range(8_000_000)
+            .selectExpr("id % 997 AS k", "id", "cast(id % 10007 as double) AS v")
+            .selectExpr(
+                "k", "v",
+                "sum(v) OVER (PARTITION BY k ORDER BY id "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs",
+            )
+            .write.format("noop").mode("overwrite").save()
+        )
+        window_probe = round(time.perf_counter() - t0, 3)
+    except Exception:
+        window_probe = None
     return {
         "metric": "total_query_sec",
         "value": round(total_sec, 3),
@@ -140,6 +177,7 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
         "points_per_sec": round(rolled_points / tier_sec, 1) if tier_sec else None,
         "cpus": cpus,
         "host_triad_gbps": host_triad,
+        "window_probe_sec": window_probe,
         **scale,
     }
 
