@@ -442,10 +442,11 @@ def _dense_15min_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LOCF + time-weighted interpolation over the dense 15-minute grid in
-    one driver entry and ONE plan: both fills are window columns over the
-    same series partitioning, so the grid (the expensive part — resample +
-    per-series spine) materializes once, not once per method."""
+    """LOCF + NOCB + time-weighted interpolation over the dense 15-minute
+    grid in one driver entry and ONE plan: all three fills are window
+    columns over the same series partitioning (NOCB shares interpolation's
+    descending sort), so the grid (the expensive part — resample + per-series
+    spine) materializes once, not once per method."""
     from pyspark.sql import Window as W2
 
     from gensor_spark.operators import gapfill
@@ -468,12 +469,14 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = dense.withColumn(
         "locf", F.last("value", ignorenulls=True).over(w)
-    )
+    ).withColumn("vnocb", F.col("value"))
+    both = gapfill.nocb(both, value_col="vnocb")  # shares interp's desc sort
     filled = gapfill.interpolate(both, method="time")
     return filled.select(
         "doc_id", "source",
         F.date_format("ts", TS_FMT_SPARK).alias("bin_ts"),
         _r6(F.col("locf")).alias("filled_locf"),
+        _r6(F.col("vnocb")).alias("filled_nocb"),
         _r6(F.col("value")).alias("filled_interp"),
     )
 
@@ -514,6 +517,7 @@ x AS (
 )
 SELECT doc_id, source, strftime(bin, '{TS_FMT_DUCK}') AS bin_ts,
        ROUND(prev_v + 1e-9, 6) AS filled_locf,
+       ROUND(next_v + 1e-9, 6) AS filled_nocb,
        ROUND(CASE
          WHEN v IS NOT NULL THEN v
          WHEN prev_v IS NULL THEN NULL
