@@ -110,3 +110,63 @@ def test_asof_bucketed_boundary_carry(spark):
     assert sorted((r.lv, r.rv) for r in out) == [(1.0, 42.0), (2.0, 42.0)]
     # the carry is synthetic: the reported match ts must be the REAL right ts
     assert all(str(r.right_ts) == "2024-01-01 00:00:01" for r in out)
+
+
+# --------------------------------------------------------------------------
+# merge_asof parity: direction= and allow_exact_matches= (pandas oracle)
+# --------------------------------------------------------------------------
+
+def _pandas_asof(left_pdf, right_pdf, **kw):
+    out = pd.merge_asof(
+        left_pdf.sort_values("ts"),
+        right_pdf.sort_values("ts").rename(columns={"ts": "right_ts"}),
+        left_on="ts", right_on="right_ts", by="doc_id", **kw,
+    )
+    return out[["doc_id", "ts", "lv", "right_ts", "rv"]]
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("bucket", [None, 6 * 3600])
+def test_asof_directions_match_pandas(spark, sides, direction, bucket):
+    left, right = sides
+    got = asof_join(left, right, keys=("doc_id",), direction=direction,
+                    bucket_seconds=bucket).toPandas()
+    want = _pandas_asof(left.toPandas(), right.toPandas(),
+                        direction=direction)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_strict_inequality(spark, direction):
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0)],
+        "doc_id string, ts string, lv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 10.0),   # exact tie
+         ("a", "2024-01-01 00:05:00", 11.0),   # strictly before
+         ("a", "2024-01-01 00:15:00", 12.0)],  # strictly after
+        "doc_id string, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    loose = asof_join(left, right, keys=("doc_id",),
+                      direction=direction).collect()[0]
+    strict = asof_join(left, right, keys=("doc_id",), direction=direction,
+                       allow_exact_matches=False).collect()[0]
+    assert loose.rv == 10.0                      # tie matches either way
+    assert strict.rv == (11.0 if direction == "backward" else 12.0)
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0)],
+        "doc_id string, ts string, lv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:05:00", 11.0),   # 5 min before
+         ("a", "2024-01-01 00:15:00", 12.0)],  # 5 min after: exact tie
+        "doc_id string, ts string, rv double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = asof_join(left, right, keys=("doc_id",),
+                    direction="nearest").collect()[0]
+    assert row.rv == 11.0 and str(row.right_ts) == "2024-01-01 00:05:00"
