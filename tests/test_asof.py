@@ -170,3 +170,54 @@ def test_asof_nearest_tie_prefers_backward(spark):
     row = asof_join(left, right, keys=("doc_id",),
                     direction="nearest").collect()[0]
     assert row.rv == 11.0 and str(row.right_ts) == "2024-01-01 00:05:00"
+
+
+# --------------------------------------------------------------------------
+# randomized property: every (direction, strictness, bucketing) combination
+# matches pandas merge_asof on irregular multi-key series with ties
+# --------------------------------------------------------------------------
+
+def test_asof_randomized_full_parity(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(n, keys):
+        return pd.DataFrame({
+            "doc_id": rng.choice(keys, size=n),
+            # second-resolution with deliberate collisions across sides
+            "ts": base + pd.to_timedelta(rng.integers(0, 5000, size=n) * 7,
+                                         unit="s"),
+            "v": np.round(rng.normal(size=n), 3),
+        })
+
+    left_pdf = mk(400, ["a", "b", "c"]).rename(columns={"v": "lv"})
+    # right must be unique per (key, ts): with ties there, "the" as-of match
+    # is implementation-defined (pandas keeps its sort-order-last row, a
+    # distributed window keeps encounter-order-last) — not a semantics bug
+    right_pdf = (
+        mk(300, ["a", "b", "d"]).rename(columns={"v": "rv"})
+        .drop_duplicates(["doc_id", "ts"]).reset_index(drop=True)
+    )
+    left = spark.createDataFrame(left_pdf)
+    right = spark.createDataFrame(right_pdf)
+
+    for direction in ("backward", "forward", "nearest"):
+        for exact in (True, False):
+            for bucket in (None, 3600):
+                got = asof_join(
+                    left, right, keys=("doc_id",), direction=direction,
+                    allow_exact_matches=exact, bucket_seconds=bucket,
+                ).toPandas()
+                want = pd.merge_asof(
+                    left_pdf.sort_values(["ts", "lv"]),
+                    right_pdf.sort_values("ts").rename(
+                        columns={"ts": "right_ts"}),
+                    left_on="ts", right_on="right_ts", by="doc_id",
+                    direction=direction, allow_exact_matches=exact,
+                )[["doc_id", "ts", "lv", "right_ts", "rv"]]
+                pd.testing.assert_frame_equal(
+                    _canon(got), _canon(want),
+                    obj=f"{direction}/exact={exact}/bucket={bucket}",
+                )
