@@ -8,6 +8,7 @@ from gensor_spark.operators.resample import resample, FREQ_SECONDS
 from gensor_spark.operators.rollup import rollup_tier, cascade_tier, finalize_tier
 from gensor_spark.operators.asof import asof_join
 from gensor_spark.operators.decontaminate import contamination_stats
+from gensor_spark.operators.intervaljoin import interval_join
 from gensor_spark.operators.plotdata import (
     coverage_segments,
     m4_downsample,
@@ -26,6 +27,7 @@ __all__ = [
     "finalize_tier",
     "asof_join",
     "contamination_stats",
+    "interval_join",
     "m4_downsample",
     "outlier_overlay",
     "coverage_segments",

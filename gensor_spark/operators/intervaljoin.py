@@ -1,0 +1,108 @@
+"""Distributed interval (range) join: points ↔ labeled time intervals.
+
+The second time-series join Spark lacks a scalable native form for
+(the first being as-of, ``operators/asof.py``): match every point to the
+interval(s) ``[start_ts, end_ts)`` containing it — maintenance windows,
+deployment periods, fieldwork campaigns (gensor masks the latter with a
+per-day equality trick, ``gensor/processing/compensation.py``; this is the
+general containment form).
+
+Why not a plain theta join: ``points JOIN ivs ON p.ts >= iv.start AND
+p.ts < iv.end`` has no equi-key, so Catalyst plans BroadcastNestedLoopJoin
+— O(points × intervals) comparisons and a broadcast requirement. Fine for
+tens of intervals, fatal at millions.
+
+Scale shape (the standard bucket-grid decomposition): pick a bucket width
+``B``; each interval EXPLODES to one row per covered bucket (cost:
+interval span / B rows — bounded by ``max_buckets_per_interval``); each
+point maps to exactly one bucket; the join becomes an EQUI join on
+``(keys, bucket)`` followed by the exact containment filter. Shuffle is
+linear in points + interval-bucket rows, hot buckets spread like any
+equi-join (AQE skew-split applies), and nothing is broadcast. Choose ``B``
+near the median interval length: shorter ⇒ more interval rows, longer ⇒
+more false candidates filtered after the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KEYS = ("doc_id",)
+
+_US = 1_000_000
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: tuple[str, ...] = KEYS,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 86400,
+    how: str = "inner",
+    max_buckets_per_interval: int = 100_000,
+) -> DataFrame:
+    """Join each point to every interval with ``start ≤ ts < end``.
+
+    ``how``: 'inner' (matched points only, one row per (point, interval))
+    or 'left' (every point, interval columns NULL when uncovered).
+    Intervals wider than ``max_buckets_per_interval × bucket_seconds``
+    raise rather than explode unboundedly — raise ``bucket_seconds``
+    for genuinely huge spans.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    span = bucket_seconds * _US
+
+    def us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    iv_cols = [c for c in intervals.columns
+               if c not in keys and c not in (start_col, end_col)]
+
+    lo = F.floor(us(F.col(start_col)) / span)
+    # end is EXCLUSIVE: an interval ending exactly on a bucket edge does
+    # not cover that bucket
+    hi = F.floor((us(F.col(end_col)) - 1) / span)
+    n_buckets = (hi - lo + 1).cast("long")
+    guarded = intervals.withColumn(
+        "_nb",
+        F.when(n_buckets <= max_buckets_per_interval, n_buckets).otherwise(
+            F.raise_error(F.concat(
+                F.lit("interval spans more than "
+                      f"{max_buckets_per_interval} buckets of "
+                      f"{bucket_seconds}s: "),
+                F.col(start_col).cast("string"), F.lit(" .. "),
+                F.col(end_col).cast("string"),
+            ))
+        ),
+    )
+    iv_b = guarded.filter(F.col("_nb") > 0).select(
+        *keys, start_col, end_col, *iv_cols,
+        F.explode(F.sequence(lo, hi)).alias("_bkt"),
+    )
+
+    pts_b = points.withColumn(
+        "_bkt", F.floor(us(F.col(ts_col)) / span)
+    ).alias("p")
+    iv_b = iv_b.alias("v")
+
+    # containment rides INSIDE the join condition: the planner keeps the
+    # (keys, _bkt) equality as SMJ keys and applies the range predicate as
+    # the join filter, so 'left' emits its null row exactly when no
+    # candidate in the point's bucket contains it — no anti-join round trip
+    cond = F.col("p._bkt") == F.col("v._bkt")
+    for k in keys:
+        cond = cond & (F.col(f"p.{k}") == F.col(f"v.{k}"))
+    cond = cond & (
+        (us(F.col(f"p.{ts_col}")) >= us(F.col(f"v.{start_col}")))
+        & (us(F.col(f"p.{ts_col}")) < us(F.col(f"v.{end_col}")))
+    )
+    return pts_b.join(iv_b, cond, how).select(
+        *[F.col(f"p.{c}") for c in points.columns],
+        F.col(f"v.{start_col}").alias(start_col),
+        F.col(f"v.{end_col}").alias(end_col),
+        *[F.col(f"v.{c}").alias(c) for c in iv_cols],
+    )

@@ -1,0 +1,111 @@
+"""interval_join vs a DuckDB theta-join oracle + edge fixtures."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gensor_spark.operators.intervaljoin import interval_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.select(
+        F.col("user_id").cast("string").alias("doc_id"), "ts",
+        F.col("value").alias("v"),
+    )
+    # deterministic synthetic intervals: every 6h window where the user had
+    # an error event, padded ±1h — irregular, overlapping-free per key
+    ivs = (
+        ev.filter("event_type = 'error'")
+        .select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            (F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 21600) * 21600 - 3600
+            )).alias("start_ts"),
+            (F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 21600) * 21600 + 25200
+            )).alias("end_ts"),
+            F.lit("incident").alias("label"),
+        )
+        .distinct()
+    )
+    return pts, ivs
+
+
+def _canon(pdf):
+    pdf = pdf[["doc_id", "ts", "v", "start_ts", "end_ts", "label"]].copy()
+    for c in ("ts", "start_ts", "end_ts"):
+        pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+@pytest.mark.parametrize("bucket", [3600, 86400])
+def test_interval_join_matches_duckdb(spark, sides, how, bucket):
+    pts, ivs = sides
+    got = interval_join(pts, ivs, keys=("doc_id",), how=how,
+                        bucket_seconds=bucket).toPandas()
+    con = duckdb.connect()
+    con.register("p", pts.toPandas())
+    con.register("iv", ivs.toPandas())
+    join_kw = "JOIN" if how == "inner" else "LEFT JOIN"
+    want = con.execute(f"""
+        SELECT p.doc_id, p.ts, p.v, iv.start_ts, iv.end_ts, iv.label
+        FROM p {join_kw} iv
+          ON p.doc_id = iv.doc_id
+         AND p.ts >= iv.start_ts AND p.ts < iv.end_ts
+    """).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    assert len(got) > 0
+    if how == "inner":
+        assert len(got) < pts.count()  # join is selective, not degenerate
+
+
+def test_interval_join_edges(spark):
+    pts = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0),   # == start: contained
+         ("a", "2024-01-01 06:00:00", 2.0),   # == end: excluded
+         ("a", "2024-03-15 12:00:00", 3.0),   # inside a 90-day interval
+         ("a", "2024-06-01 00:00:00", 4.0),   # uncovered
+         ("b", "2024-01-01 01:00:00", 5.0)],  # other key, overlapping ivs
+        "doc_id string, ts_s string, v double",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    ivs = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-01 06:00:00", "short"),
+         ("a", "2024-01-10 00:00:00", "2024-04-10 00:00:00", "quarter"),
+         ("b", "2024-01-01 00:00:00", "2024-01-01 02:00:00", "x"),
+         ("b", "2024-01-01 00:30:00", "2024-01-01 03:00:00", "y")],
+        "doc_id string, s string, e string, label string",
+    ).select("doc_id", F.col("s").cast("timestamp").alias("start_ts"),
+             F.col("e").cast("timestamp").alias("end_ts"), "label")
+
+    inner = interval_join(pts, ivs, keys=("doc_id",), bucket_seconds=3600)
+    rows = sorted((r.v, r.label) for r in inner.collect())
+    # v=1 in 'short' (start-inclusive); v=2 NOT (end-exclusive); v=3 in the
+    # 2160-bucket 'quarter'; v=4 nowhere; v=5 in BOTH b-intervals
+    assert rows == [(1.0, "short"), (3.0, "quarter"), (5.0, "x"), (5.0, "y")]
+
+    left = interval_join(pts, ivs, keys=("doc_id",), bucket_seconds=3600,
+                         how="left")
+    null_vs = sorted(r.v for r in left.collect() if r.label is None)
+    assert null_vs == [2.0, 4.0]
+
+    with pytest.raises(Exception, match="buckets"):
+        interval_join(pts, ivs, keys=("doc_id",), bucket_seconds=3600,
+                      max_buckets_per_interval=10).collect()
+
+
+def test_interval_join_plan_is_equi(spark, sides):
+    """The whole point: containment must ride an EQUI join on the bucket
+    grid, never a BroadcastNestedLoopJoin/CartesianProduct."""
+    pts, ivs = sides
+    plan = interval_join(pts, ivs, keys=("doc_id",))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
