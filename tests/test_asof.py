@@ -1,9 +1,10 @@
 """asof_join vs DuckDB's native ASOF JOIN + pandas merge_asof.
 
-Oracle-grade check without a driver registry slot: DuckDB implements the
-exact semantics (latest right ts ≤ left ts, ties match), so both physical
-strategies (per-key window; bucketed boundary-carry) are verified against
-it on events-derived series, plus targeted edge fixtures.
+The driver additionally oracle-checks the bucketed backward path as the
+`asof_join` registry query; here BOTH physical strategies (per-key window;
+bucketed boundary-carry) × every direction/strictness combination are
+verified against DuckDB and pandas on events-derived series, plus targeted
+edge fixtures and a randomized full-parity sweep.
 """
 
 from __future__ import annotations
