@@ -27,9 +27,11 @@ Two physical strategies, same semantics:
 
 ``direction='forward'`` reuses the backward machinery on a NEGATED time
 axis (``_ord = -unix_micros(ts)``): "earliest right ≥ left" is "latest
-right ≤ left" in mirrored time, carries included. ``'nearest'`` composes
-one pass each way and keeps the closer match per left row (exact-distance
-ties go backward, matching pandas).
+right ≤ left" in mirrored time, carries included. ``'nearest'`` runs ONE
+union pass that carries both the nearest-prior and the nearest-next right
+payload over the same key partition (two sort orders, one shuffle — the
+gapfill-interpolate pattern) and keeps the closer match per left row
+(exact-distance ties go backward, matching pandas).
 
 Output: every left row + ``right_ts`` + the requested right columns
 (NULL when no match exists within ``direction``/``tolerance``).
@@ -50,6 +52,30 @@ def _micros(c):
     # and a session-tz (UTC-pinned, session.py) interpretation for NTZ —
     # monotone either way, and both sides of the join get the same mapping
     return F.unix_micros(c.cast("timestamp"))
+
+
+def _nullsafe_join(a: DataFrame, b: DataFrame, cols: list[str],
+                   how: str) -> DataFrame:
+    """Join on ``cols`` with NULL-safe equality (<=>), keeping ``a``'s
+    columns plus ``b``'s non-join columns (none for semi joins).
+
+    The carry grids join on the as-of KEY columns; window partitioning
+    groups NULL keys into a real group, so the carry plumbing must match
+    them too — a plain column-list join would silently drop every null-key
+    carry (and with it all cross-bucket null-key matches).
+    """
+    aa, bb = a.alias("_nsa"), b.alias("_nsb")
+    cond = None
+    for c in cols:
+        e = F.col(f"_nsa.{c}").eqNullSafe(F.col(f"_nsb.{c}"))
+        cond = e if cond is None else cond & e
+    j = aa.join(bb, cond, how)
+    if how in ("leftsemi", "semi", "left_semi", "leftanti", "anti"):
+        return j
+    keep = [F.col(f"_nsa.{c}") for c in a.columns] + [
+        F.col(f"_nsb.{c}") for c in b.columns if c not in cols
+    ]
+    return j.select(*keep)
 
 
 def asof_join(
@@ -171,10 +197,10 @@ def _with_boundary_carry(rhs: DataFrame, lhs: DataFrame,
     left_buckets = lhs.select(
         *keys, bucket.alias("_bkt")
     ).distinct()
-    grid = (
+    grid = _nullsafe_join(
         left_buckets.unionByName(last_per_bucket.select(*keys, "_bkt"))
-        .distinct()
-        .join(last_per_bucket, [*keys, "_bkt"], "left")
+        .distinct(),
+        last_per_bucket, [*keys, "_bkt"], "left",
     )
     w = (
         W.partitionBy(*keys).orderBy("_bkt")
@@ -182,10 +208,13 @@ def _with_boundary_carry(rhs: DataFrame, lhs: DataFrame,
         # in the main window directly
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    carries = (
+    carries = _nullsafe_join(
         grid.withColumn("_carry", F.last("_pay", ignorenulls=True).over(w))
-        .filter(F.col("_carry").isNotNull())
-        .join(left_buckets, [*keys, "_bkt"], "leftsemi")
+        .filter(F.col("_carry").isNotNull()),
+        left_buckets, [*keys, "_bkt"], "leftsemi",
+    )
+    carries = (
+        carries
         .select(
             *keys,
             # the carry's position is synthetic (bucket start in _ord
@@ -202,40 +231,162 @@ def _with_boundary_carry(rhs: DataFrame, lhs: DataFrame,
 
 def _nearest(left, right, keys, ts_col, right_cols, tolerance_seconds,
              bucket_seconds, allow_exact_matches) -> DataFrame:
-    """direction='nearest': one backward and one forward pass, keep the
-    closer match per left row (exact ties → backward, pandas parity).
+    """direction='nearest' in ONE window pass: union both sides once, carry
+    the nearest-prior right payload (LOCF frame) AND the nearest-next one
+    (NOCB frame) over the same key partition — two sort orders over one
+    Exchange — then keep the closer match per left row (exact-distance ties
+    go backward, pandas parity).
 
-    The left side gets a per-row id (row_number within its series) so the
-    two passes re-align row-for-row even with duplicate timestamps; full
-    duplicates are interchangeable, so tie order inside the id window is
-    irrelevant to the result.
+    vs the previous two-plan form (full backward pass + full forward pass
+    + row-id re-join): one shuffle instead of three, no synthetic row id,
+    and left rows with NULL key columns behave exactly like the
+    single-direction paths (window partitioning groups them; the old inner
+    re-join silently dropped them only for 'nearest').
+
+    Tie tags per ordering: the backward ordering wants right rows before
+    left at equal ts when tie-matching (≤) and after when strict; the
+    forward ordering wants the mirror (a frame starting at currentRow sees
+    equal-ts rights only if they sort after the left row). Carries pin the
+    extremes of both orderings: backward carry (-1, -1) at the bucket
+    start, forward carry (3, 3) at the bucket end — each rides its own
+    payload column so the LOCF frame can never pick a forward carry (whose
+    real ts is later than everything in the bucket) and vice versa.
     """
+    payload = F.struct(
+        F.col(ts_col).alias("_rts"), *[F.col(c) for c in right_cols]
+    )
+    pay_t = right.select(payload.alias("_p")).schema["_p"].dataType
     left_extra = [c for c in left.columns if c not in keys and c != ts_col]
-    idw = W.partitionBy(*keys).orderBy(ts_col, *left_extra)
-    lid = left.withColumn("_lid", F.row_number().over(idw))
 
-    common = dict(keys=keys, ts_col=ts_col, right_cols=right_cols,
-                  tolerance_seconds=tolerance_seconds,
-                  bucket_seconds=bucket_seconds,
-                  allow_exact_matches=allow_exact_matches)
-    b = asof_join(lid, right, direction="backward", **common)
-    f = asof_join(lid, right, direction="forward", **common)
+    tb_right = 0 if allow_exact_matches else 2
+    tf_right = 2 if allow_exact_matches else 0
 
-    fsel = f.select(
-        *keys, "_lid",
-        F.col("right_ts").alias("_f_rts"),
-        *[F.col(c).alias(f"_f_{c}") for c in right_cols],
+    lhs = left.select(
+        *keys, ts_col,
+        _micros(F.col(ts_col)).alias("_ord"),
+        F.lit(1).alias("_tb"), F.lit(1).alias("_tf"),
+        F.lit(None).cast(pay_t).alias("_pb"),
+        F.lit(None).cast(pay_t).alias("_pf"),
+        *left_extra,
+        F.lit(True).alias("_is_left"),
     )
-    j = b.join(fsel, [*keys, "_lid"])
-    dist_b = F.abs(_micros(F.col(ts_col)) - _micros(F.col("right_ts")))
-    dist_f = F.abs(_micros(F.col(ts_col)) - _micros(F.col("_f_rts")))
-    take_f = F.col("right_ts").isNull() | (
-        F.col("_f_rts").isNotNull() & (dist_f < dist_b)
+    rhs = right.select(
+        *keys, ts_col,
+        _micros(F.col(ts_col)).alias("_ord"),
+        F.lit(tb_right).alias("_tb"), F.lit(tf_right).alias("_tf"),
+        payload.alias("_pb"), payload.alias("_pf"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_extra],
+        F.lit(False).alias("_is_left"),
     )
-    picked = [
-        F.when(take_f, F.col("_f_rts")).otherwise(F.col("right_ts")).alias("right_ts"),
-        *[F.when(take_f, F.col(f"_f_{c}")).otherwise(F.col(c)).alias(c)
-          for c in right_cols],
-    ]
-    return j.select(*keys, ts_col, *[c for c in left_extra if c != "_lid"],
-                    *picked)
+
+    if bucket_seconds is not None:
+        span = bucket_seconds * _US
+        bucket = F.floor(F.col("_ord") / span).cast("long")
+        carries = _nearest_carries(rhs, lhs, keys, ts_col, span, pay_t,
+                                   left_extra, left)
+        rows = (
+            lhs.withColumn("_bkt", bucket)
+            .unionByName(rhs.withColumn("_bkt", bucket))
+            .unionByName(carries)
+        )
+        part = [*keys, "_bkt"]
+    else:
+        rows = lhs.unionByName(rhs)
+        part = list(keys)
+
+    wb = (
+        W.partitionBy(*part)
+        .orderBy(F.col("_ord").asc(), F.col("_tb").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(*part)
+        .orderBy(F.col("_ord").asc(), F.col("_tf").asc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    m = (
+        rows.withColumn("_mb", F.last("_pb", ignorenulls=True).over(wb))
+        .withColumn("_mf", F.first("_pf", ignorenulls=True).over(wf))
+        .filter(F.col("_is_left"))
+    )
+    if tolerance_seconds is not None:
+        tol = tolerance_seconds * _US
+        lts = _micros(F.col(ts_col))
+        m = m.withColumn(
+            "_mb", F.when(F.abs(lts - _micros(F.col("_mb._rts"))) <= tol,
+                          F.col("_mb"))
+        ).withColumn(
+            "_mf", F.when(F.abs(lts - _micros(F.col("_mf._rts"))) <= tol,
+                          F.col("_mf"))
+        )
+    dist_b = F.abs(_micros(F.col(ts_col)) - _micros(F.col("_mb._rts")))
+    dist_f = F.abs(_micros(F.col(ts_col)) - _micros(F.col("_mf._rts")))
+    take_f = F.col("_mb").isNull() | (
+        F.col("_mf").isNotNull() & (dist_f < dist_b)
+    )
+    picked = m.withColumn(
+        "_m", F.when(take_f, F.col("_mf")).otherwise(F.col("_mb"))
+    )
+    return picked.select(
+        *keys, ts_col, *left_extra,
+        F.col("_m._rts").alias("right_ts"),
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
+    )
+
+
+def _nearest_carries(rhs, lhs, keys, ts_col, span, pay_t, left_extra,
+                     left) -> DataFrame:
+    """Both boundary carries for the nearest single-pass plan from ONE
+    (key, bucket) grid: the best earlier-bucket right row pinned to each
+    occupied left bucket's start (backward, tags -1/-1, payload in ``_pb``
+    only) and the best later-bucket right row pinned to its end (forward,
+    tags 3/3, payload in ``_pf`` only). Cardinality: keys × occupied
+    buckets — negligible next to the data (same argument as
+    ``_with_boundary_carry``).
+    """
+    bucket = F.floor(F.col("_ord") / span).cast("long")
+    rhs_b = rhs.withColumn("_bkt", bucket)
+    per_bucket = rhs_b.groupBy(*keys, "_bkt").agg(
+        F.max_by("_pb", F.col("_ord")).alias("_last"),
+        F.min_by("_pb", F.col("_ord")).alias("_first"),
+    )
+    left_buckets = lhs.select(*keys, bucket.alias("_bkt")).distinct()
+    grid = _nullsafe_join(
+        left_buckets.unionByName(per_bucket.select(*keys, "_bkt"))
+        .distinct(),
+        per_bucket, [*keys, "_bkt"], "left",
+    )
+    wprev = (W.partitionBy(*keys).orderBy("_bkt")
+             .rowsBetween(W.unboundedPreceding, -1))
+    wnext = (W.partitionBy(*keys).orderBy("_bkt")
+             .rowsBetween(1, W.unboundedFollowing))
+    carried = _nullsafe_join(
+        grid.select(
+            *keys, "_bkt",
+            F.last("_last", ignorenulls=True).over(wprev).alias("_cb"),
+            F.first("_first", ignorenulls=True).over(wnext).alias("_cf"),
+        ),
+        left_buckets, [*keys, "_bkt"], "leftsemi",
+    )
+
+    def shape(pos, tag, pb, pf, keep):
+        return carried.filter(keep).select(
+            *keys,
+            F.lit(None).cast(left.schema[ts_col].dataType).alias(ts_col),
+            pos.cast("long").alias("_ord"),
+            F.lit(tag).alias("_tb"), F.lit(tag).alias("_tf"),
+            pb.alias("_pb"), pf.alias("_pf"),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+              for c in left_extra],
+            F.lit(False).alias("_is_left"),
+            "_bkt",
+        )
+
+    back = shape(F.col("_bkt") * span, -1,
+                 F.col("_cb"), F.lit(None).cast(pay_t),
+                 F.col("_cb").isNotNull())
+    fwd = shape((F.col("_bkt") + 1) * span - 1, 3,
+                F.lit(None).cast(pay_t), F.col("_cf"),
+                F.col("_cf").isNotNull())
+    return back.unionByName(fwd)

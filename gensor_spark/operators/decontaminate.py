@@ -14,10 +14,12 @@ matches the shape the published filters use (13-gram collision for GPT-3).
 Shape at scale: the corpus side is one explode + per-doc ``distinct`` (a
 composite-key partial aggregate); the benchmark side collapses to its
 distinct gram set, which is SMALL by construction (benchmarks are thousands
-of documents, not billions) and is therefore **broadcast** — the 100 TB
-corpus never shuffles on gram, each executor probes a local hash set. If a
-benchmark ever outgrew the broadcast threshold the same plan minus
-``F.broadcast`` degrades gracefully to a shuffle join on the gram key.
+of documents, not billions) and is therefore **broadcast** by default — the
+100 TB corpus never shuffles on gram, each executor probes a local hash
+set. The hint is a parameter (``broadcast=False``), not an assumption: a
+caller whose "benchmark" side is large (e.g. decontaminating against another
+big corpus slice) passes ``broadcast=False`` and the identical plan runs as
+a shuffle join on the gram key instead of blowing the broadcast limit.
 """
 
 from __future__ import annotations
@@ -35,12 +37,18 @@ def contamination_stats(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Per-doc benchmark-overlap stats: ``(doc_id, n_grams, overlap_grams,
     overlap_frac, contaminated)``.
 
     Docs shorter than ``n`` tokens have no grams — they keep ``n_grams=0``,
     ``overlap_frac=0.0`` and are never contaminated (mask-don't-crash).
+
+    ``broadcast``: hint the benchmark gram set to every executor (the
+    default — right for real eval benchmarks, which are thousands of docs).
+    Pass ``False`` when the benchmark side is itself corpus-sized; the join
+    then shuffles on the gram key instead of broadcasting.
     """
 
     def gram_rows(df: DataFrame, with_id: bool) -> DataFrame:
@@ -54,8 +62,9 @@ def contamination_stats(
     bench_grams = gram_rows(benchmark, with_id=False)
 
     totals = doc_grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    bench_side = F.broadcast(bench_grams) if broadcast else bench_grams
     hits = (
-        doc_grams.join(F.broadcast(bench_grams), "g")
+        doc_grams.join(bench_side, "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("overlap_grams"))
     )

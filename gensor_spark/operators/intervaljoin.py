@@ -69,7 +69,12 @@ def interval_join(
     n_buckets = (hi - lo + 1).cast("long")
     guarded = intervals.withColumn(
         "_nb",
-        F.when(n_buckets <= max_buckets_per_interval, n_buckets).otherwise(
+        # null-bounded intervals must NOT fall through to raise_error (a
+        # null n_buckets makes the <= condition null): mask-don't-crash —
+        # they keep a null _nb and are dropped by the _nb > 0 filter below
+        F.when(n_buckets.isNull(), F.lit(None).cast("long"))
+        .when(n_buckets <= max_buckets_per_interval, n_buckets)
+        .otherwise(
             F.raise_error(F.concat(
                 F.lit("interval spans more than "
                       f"{max_buckets_per_interval} buckets of "

@@ -11,8 +11,16 @@ equi-only; stream-stream interval joins emit EVERY right row in the
 interval, not the latest). ``foreachBatch`` is the sanctioned composition
 point: each micro-batch is a bounded DataFrame, so the full batch operator
 — including the bucketed hot-key path and ``direction``/``tolerance`` —
-applies unchanged, and the parquet sink stays exactly-once per epoch via
-the checkpointed commit log.
+applies unchanged.
+
+Delivery contract: ``foreachBatch`` itself is at-least-once — a failed (or
+failed-to-commit) epoch is REPLAYED on restart — so the sink must make the
+replay idempotent. Each epoch writes its rows to its own
+``{out_dir}/data/epoch=<epoch_id>`` partition directory in overwrite mode:
+a replayed epoch overwrites exactly its own output and nothing else, which
+composes the at-least-once replay into exactly-once results on disk.
+Readers take ``spark.read.parquet(f"{out_dir}/data")`` and get the epoch id
+back as an ordinary discovered partition column.
 
 Semantics note: the reference table is re-read per micro-batch (it may be a
 slowly-growing table — e.g. the landing zone of another stream); matches
@@ -50,7 +58,9 @@ def asof_enrich_stream(
     def _enrich(batch: DataFrame, epoch_id: int) -> None:
         right = right_source() if callable(right_source) else right_source
         out = asof_join(batch, right, keys=keys, **asof_kwargs)
-        out.write.mode("append").parquet(f"{out_dir}/data")
+        # idempotent per-epoch sink: a replayed epoch overwrites its own
+        # partition dir, never appends a duplicate (see module docstring)
+        out.write.mode("overwrite").parquet(f"{out_dir}/data/epoch={epoch_id}")
 
     writer = (
         stream.writeStream.foreachBatch(_enrich)

@@ -222,3 +222,36 @@ def test_asof_randomized_full_parity(spark):
                     _canon(got), _canon(want),
                     obj=f"{direction}/exact={exact}/bucket={bucket}",
                 )
+
+
+def test_asof_nearest_keeps_null_keys(spark):
+    """Left rows with NULL key columns must survive 'nearest' exactly like
+    the single-direction paths (regression: the old two-pass form re-joined
+    on the keys and silently dropped them only for 'nearest')."""
+    left = spark.createDataFrame(
+        [(None, "2024-01-01 01:00:00", 1.0),
+         ("a", "2024-01-01 01:00:00", 2.0)],
+        "doc_id string, ts_s string, lv double",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "lv")
+    right = spark.createDataFrame(
+        [(None, "2024-01-01 00:30:00", 10.0),
+         ("a", "2024-01-01 01:10:00", 11.0)],
+        "doc_id string, ts_s string, rv double",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "rv")
+
+    for bucket in (None, 3600):
+        got = {r.lv: r.rv for r in asof_join(
+            left, right, keys=("doc_id",), direction="nearest",
+            bucket_seconds=bucket,
+        ).collect()}
+        # the null-key left row is PRESENT; window partitioning groups null
+        # keys, so it matches the null-key right row (SQL-join semantics
+        # would give no match — either is defensible, grouping is what the
+        # backward/forward paths already do, so nearest must agree)
+        assert set(got) == {1.0, 2.0}, f"bucket={bucket}"
+        assert got[2.0] == 11.0
+        backward = {r.lv: r.rv for r in asof_join(
+            left, right, keys=("doc_id",), direction="backward",
+            bucket_seconds=bucket,
+        ).collect()}
+        assert got[1.0] == backward[1.0] == 10.0

@@ -106,3 +106,36 @@ def test_stream_asof_growing_reference(spark, dirs):
     # epoch-1 row is NOT rewritten; epoch-2 row sees the newer reference
     assert rows[1.0] == (10.0, "2024-01-01 00:30:00")
     assert rows[2.0] == (11.0, "2024-01-01 00:45:00")
+
+
+def test_stream_asof_epoch_replay_is_idempotent(spark, dirs):
+    """foreachBatch is at-least-once: a replayed epoch must overwrite its
+    own epoch partition, not append a duplicate. Simulate the worst replay
+    (a lost commit log — every epoch re-fires with the same ids over the
+    same input) and require byte-identical results."""
+    src, out = dirs
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0),
+         ("b", "2024-01-01 00:20:00", 2.0)],
+        "doc_id string, ts_s string, lv double",
+    ).select("doc_id", _ts("ts_s").alias("ts"), "lv")
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:05:00", 10.0)],
+        "doc_id string, ts_s string, rv double",
+    ).select("doc_id", _ts("ts_s").alias("ts"), "rv")
+    left.write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(left.schema).parquet(src)
+        q = asof_enrich_stream(stream, right, out, keys=("doc_id",),
+                               trigger_once=True)
+        q.awaitTermination(120)
+        return sorted(
+            (r.doc_id, str(r.ts), r.lv, r.rv)
+            for r in spark.read.parquet(f"{out}/data").collect()
+        )
+
+    first = run()
+    assert len(first) == 2
+    shutil.rmtree(f"{out}/_checkpoints")  # lose the commit log → full replay
+    assert run() == first

@@ -109,3 +109,22 @@ def test_interval_join_plan_is_equi(spark, sides):
         .queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_null_bounded_intervals_dropped(spark):
+    """An interval with a NULL bound is dropped (mask-don't-crash), never
+    routed into the too-many-buckets raise_error branch."""
+    pts = spark.createDataFrame(
+        [("a", "2024-01-01 01:00:00", 1.0)],
+        "doc_id string, ts_s string, v double",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    ivs = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-01 02:00:00", "ok"),
+         ("a", None, "2024-01-01 02:00:00", "null_start"),
+         ("a", "2024-01-01 00:00:00", None, "null_end")],
+        "doc_id string, s string, e string, label string",
+    ).select("doc_id", F.col("s").cast("timestamp").alias("start_ts"),
+             F.col("e").cast("timestamp").alias("end_ts"), "label")
+    got = interval_join(pts, ivs, keys=("doc_id",),
+                        bucket_seconds=3600).collect()
+    assert [(r.v, r.label) for r in got] == [(1.0, "ok")]
