@@ -101,6 +101,13 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
         else:
             _materialize(df)
         timings[name] = round(time.perf_counter() - t0, 3)
+        # operators that cache intra-plan intermediates (LSH band tables,
+        # shingle indexes, token counts) register them in the cache pool;
+        # the query's action is done, so release before the next query —
+        # this keeps a full bench run's executor storage flat
+        from gensor_spark.plans.caching import release_caches
+
+        release_caches()
         print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     # at-scale tier throughput: the sf0.1 events tiers are so small that

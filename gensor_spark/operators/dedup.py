@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from gensor_spark.plans.caching import pooled_cache
+
 from gensor_spark.functions.text import md5int, shingles, tokens
 
 DEFAULT_NUM_PERM = 32
@@ -286,9 +288,9 @@ def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.5,
     — the cache is the single-job analogue).
     """
     sigs = minhash_signature(docs, num_perm=num_perm, k=k, base_hash=base_hash)
-    bands_df = lsh_bands(sigs, bands=bands, base_hash=base_hash).cache()
+    bands_df = pooled_cache(lsh_bands(sigs, bands=bands, base_hash=base_hash))
     cands = lsh_candidates(bands_df)
-    sh = shingle_rows(docs, k=k).cache()
+    sh = pooled_cache(shingle_rows(docs, k=k))
     return jaccard_on_pairs(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -311,7 +313,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     scale, where rare-shingle prefixes shrink the join input ~|prefix|/n per
     side and skip the frequent-shingle posting lists entirely.
     """
-    sh = shingle_rows(docs, k=k).cache()
+    sh = pooled_cache(shingle_rows(docs, k=k))
     if prefix_filter:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         ranked = (
@@ -537,7 +539,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         raise ValueError("banded join is only exact for max_hamming <= bands-1")
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sh = simhash_docs(docs, bits, text_col=text_col, id_col=id_col).cache()
+    sh = pooled_cache(
+        simhash_docs(docs, bits, text_col=text_col, id_col=id_col))
     band_arr = F.array(*[
         F.expr(f"shiftright(simhash, {b * band_bits}) & {mask}")
         for b in range(bands)

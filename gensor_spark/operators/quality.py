@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gensor_spark.plans.caching import pooled_cache
+
 from gensor_spark.functions.text import shingles, tokens
 
 
@@ -94,8 +96,9 @@ def unigram_logprob_scores(
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
     # counts feed both the logprob table and the (N, V) normalizer; persist
-    # so the tokenize+count plan executes once, not once per consumer
-    counts = toks.groupBy("tok").agg(F.count("*").alias("c")).persist()
+    # so the tokenize+count plan executes once, not once per consumer —
+    # released by the caller via plans.caching.release_caches()
+    counts = pooled_cache(toks.groupBy("tok").agg(F.count("*").alias("c")))
     # global scalars as a broadcast 1-row cross join — no driver action, the
     # whole scorer stays one lazy plan
     norm = F.broadcast(counts.agg(

@@ -27,6 +27,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gensor_spark.plans.caching import pooled_cache
+
 #: fixed-point quantization scale for cross-engine exactness
 SCALE = 1000
 
@@ -317,7 +319,8 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
 
     all_planes = planes(tables * planes_per_table, dims)
     # one row per vector; read by the banding stage and both verify joins
-    sigs = _quantized_with_norm(emb, id_col, vec_col, "vid", "qv", "qn").cache()
+    sigs = pooled_cache(
+        _quantized_with_norm(emb, id_col, vec_col, "vid", "qv", "qn"))
     bucket_arr = F.array(*[
         hyperplane_bucket(F.col("qv"),
                           all_planes[t * planes_per_table:(t + 1) * planes_per_table])
@@ -328,8 +331,10 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
         .withColumn("_n", F.count("*").over(W.partitionBy("tbl", "bucket")))
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
-        .cache()  # both sides of the bucket self-join read this once
     )
+    # both sides of the bucket self-join read this once; released by the
+    # caller via plans.caching.release_caches() after the consuming action
+    banded = pooled_cache(banded)
     a = banded.select("tbl", "bucket", F.col("vid").alias("id_a"))
     b = banded.select("tbl", "bucket", F.col("vid").alias("id_b"))
     cand = (

@@ -422,3 +422,25 @@ def test_contamination_stats(spark):
     strict = {r.doc_id: r.contaminated for r in
               contamination_stats(corpus, bench, n=5, min_overlap=4).collect()}
     assert strict == {0: False, 1: False, 2: False}
+
+
+def test_cache_pool_releases_operator_caches(spark):
+    """Operators that cache intra-plan intermediates register them in the
+    plans.caching pool; release_caches() after the consuming action must
+    unpersist every one (the long-lived-session leak fix)."""
+    from gensor_spark.operators.dedup import simhash_pairs
+    from gensor_spark.plans.caching import _POOL, release_caches
+
+    release_caches()  # start clean regardless of earlier tests
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta"), ("d2", "alpha beta gamma delta"),
+         ("d3", "something else entirely")],
+        "doc_id string, text string",
+    )
+    simhash_pairs(docs, max_hamming=3).collect()
+    assert len(_POOL) >= 1
+    cached = list(_POOL)
+    assert any(df.storageLevel.useMemory for df in cached)
+    n = release_caches()
+    assert n == len(cached) and not _POOL
+    assert all(not df.storageLevel.useMemory for df in cached)
