@@ -527,13 +527,19 @@ def simhash_col(text_col, bits: int = SIMHASH_BITS):
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   bits: int = SIMHASH_BITS, bands: int = SIMHASH_BANDS,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  include_signatures: bool = False) -> DataFrame:
     """Pairs within ``max_hamming`` SimHash bits, via banded pigeonhole.
 
     Splitting ``bits`` into ``bands`` byte-bands: a pair with Hamming
     distance ≤ bands-1 must agree exactly on ≥ 1 band (pigeonhole), so the
     bucket join is lossless for ``max_hamming ≤ bands - 1`` — this is exact,
     not approximate. Verification is ``bit_count(a XOR b)``.
+
+    ``include_signatures=True`` adds each side's raw signature as
+    ``sig_a``/``sig_b`` (free — both ride the band join already), letting a
+    single downstream check verify the signature computation and the banded
+    join together.
     """
     if max_hamming > bands - 1:
         raise ValueError("banded join is only exact for max_hamming <= bands-1")
@@ -551,11 +557,14 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                       F.col("simhash").alias("sim_a"))
     b = banded.select("band", "band_val", F.col("doc_id").alias("id_b"),
                       F.col("simhash").alias("sim_b"))
+    sig_cols = ([F.col("sim_a").alias("sig_a"), F.col("sim_b").alias("sig_b")]
+                if include_signatures else [])
     return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
-                F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+                F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"),
+                *sig_cols)
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -1025,6 +1025,66 @@ FROM l ASOF LEFT JOIN r ON l.doc_id = r.doc_id AND l.ts >= r.ts
 
 
 # --------------------------------------------------------------------------
+# interval (range) join (operators/intervaljoin.py — the general containment
+# form of gensor's per-day fieldwork mask, processing/compensation.py;
+# DuckDB theta join is the oracle)
+# --------------------------------------------------------------------------
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every point joined to each 'incident' interval containing it, where
+    incidents are the ±1h-padded 6h windows in which the series logged an
+    error event — via the bucket-grid equi-join (never a nested-loop; plan
+    guard in tests/test_intervaljoin.py). 'left' keeps uncovered points
+    with NULL interval bounds, so both match and no-match paths are
+    hash-verified."""
+    from gensor_spark.operators.intervaljoin import interval_join
+
+    pts = _points(spark, sf_dir).select("doc_id", "source", "ts", "value")
+    ev = load_table(spark, sf_dir, "events")
+    win = F.floor(F.unix_timestamp("ts") / 21600) * 21600
+    ivs = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.timestamp_seconds(win - 3600).alias("start_ts"),
+            F.timestamp_seconds(win + 25200).alias("end_ts"),
+        )
+        .distinct()
+    )
+    out = interval_join(pts, ivs, keys=("doc_id",), bucket_seconds=21600,
+                        how="left")
+    return out.select(
+        "doc_id", "source",
+        F.date_format("ts", TS_FMT_SPARK_US).alias("ts"),
+        _r6(F.col("value")).alias("v"),
+        F.date_format("start_ts", TS_FMT_SPARK_US).alias("start_ts"),
+        F.date_format("end_ts", TS_FMT_SPARK_US).alias("end_ts"),
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH pts AS ({_PTS_SQL}),
+p AS (SELECT doc_id, source, ts, value FROM pts),
+iv AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS doc_id,
+         make_timestamp(((floor(epoch(ts) / 21600) * 21600 - 3600)::BIGINT)
+                        * 1000000) AS start_ts,
+         make_timestamp(((floor(epoch(ts) / 21600) * 21600 + 25200)::BIGINT)
+                        * 1000000) AS end_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT p.doc_id, p.source,
+       strftime(p.ts, '{TS_FMT_DUCK_US}') AS ts,
+       ROUND(p.value + 1e-9, 6) AS v,
+       strftime(iv.start_ts, '{TS_FMT_DUCK_US}') AS start_ts,
+       strftime(iv.end_ts, '{TS_FMT_DUCK_US}') AS end_ts
+FROM p LEFT JOIN iv
+  ON p.doc_id = iv.doc_id
+ AND p.ts >= iv.start_ts AND p.ts < iv.end_ts
+"""
+
+
+# --------------------------------------------------------------------------
 # M4 plot downsampling (operators/plotdata.py — the data half of gensor's
 # plot surfaces, core/dataset.py:486+; ≤4 points per series×pixel)
 # --------------------------------------------------------------------------
@@ -1118,6 +1178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resample_1h_multi": q_resample_1h_multi,
     "coverage_diff": q_coverage_diff,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "m4_downsample": q_m4_downsample,
     "tokens_roundtrip": q_tokens_roundtrip,
 }
@@ -1155,6 +1216,7 @@ ORACLES: dict[str, str] = {
     "resample_1h_multi": SQL_RESAMPLE_1H_MULTI,
     "coverage_diff": SQL_COVERAGE_DIFF,
     "asof_join": SQL_ASOF_JOIN,
+    "interval_join": SQL_INTERVAL_JOIN,
     "m4_downsample": SQL_M4_DOWNSAMPLE,
     "tokens_roundtrip": SQL_TOKENS_ROUNDTRIP,
 }

@@ -256,10 +256,10 @@ WHERE cnt::DOUBLE / (na.n + nb.n - cnt) >= 0.5
 # SimHash (32 bits, 4 byte-bands, exact for Hamming <= 3)
 # --------------------------------------------------------------------------
 
-def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_docs(_docs(spark, sf_dir))
-
-
+# NOTE: the former standalone ``simhash_signatures`` driver query is merged
+# into ``simhash_pairs`` (include_signatures=True exposes sig_a/sig_b, so one
+# oracle row verifies signatures AND the banded join) — its slot in the
+# driver's 50-entry window went to ``interval_join`` (queries.py).
 SQL_SIMHASH_SIGNATURES = f"""
 WITH toks AS ({_TOKS_SQL}),
 tok AS (SELECT doc_id, t FROM toks, LATERAL (SELECT unnest(toks) AS t) u),
@@ -276,7 +276,8 @@ FROM documents d LEFT JOIN sig ON sig.doc_id = d.doc_id
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3,
+                           include_signatures=True)
 
 
 _SH_BB = D.SIMHASH_BITS // D.SIMHASH_BANDS
@@ -287,10 +288,11 @@ WITH sig AS ({SQL_SIMHASH_SIGNATURES}),
 banded AS (SELECT doc_id, simhash, band, (simhash >> (band * {_SH_BB})) & {_SH_MASK} AS band_val
            FROM sig CROSS JOIN (SELECT unnest(range({D.SIMHASH_BANDS})) AS band)),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming,
+                 a.simhash AS sig_a, b.simhash AS sig_b
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+SELECT id_a, id_b, hamming, sig_a, sig_b FROM pairs WHERE hamming <= 3
 """
 
 
@@ -1010,7 +1012,6 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "repetition_quality": q_repetition_quality,
     "vocab_topk": q_vocab_topk,
-    "simhash_signatures": q_simhash_signatures,
     "simhash_pairs": q_simhash_pairs,
     "emb_neardup_brute": q_emb_neardup_brute,
     "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -1041,7 +1042,6 @@ TEXT_ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "repetition_quality": SQL_REPETITION_QUALITY,
     "vocab_topk": SQL_VOCAB_TOPK,
-    "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "emb_neardup_brute": SQL_EMB_NEARDUP_BRUTE,
     "emb_neardup_lsh": _sql_emb_neardup_lsh(),

@@ -139,3 +139,39 @@ def test_stream_asof_epoch_replay_is_idempotent(spark, dirs):
     assert len(first) == 2
     shutil.rmtree(f"{out}/_checkpoints")  # lose the commit log → full replay
     assert run() == first
+
+
+def test_stream_asof_late_out_of_order_epochs(spark, dirs):
+    """Left rows arriving in a LATER epoch with EARLIER event times (late
+    data) are still enriched correctly per their own timestamps — the as-of
+    match is a function of event time, not arrival epoch — and earlier
+    epochs' rows are not rewritten."""
+    src, out = dirs
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:15:00", 10.0),
+         ("a", "2024-01-01 01:15:00", 11.0)],
+        "doc_id string, ts_s string, rv double",
+    ).select("doc_id", _ts("ts_s").alias("ts"), "rv")
+    schema = "doc_id string, ts timestamp, lv double"
+
+    def feed(rows):
+        spark.createDataFrame(
+            rows, "doc_id string, ts_s string, lv double",
+        ).select("doc_id", _ts("ts_s").alias("ts"), "lv") \
+         .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = asof_enrich_stream(stream, right, out, keys=("doc_id",),
+                               trigger_once=True)
+        q.awaitTermination(120)
+
+    # epoch 0: an on-time point after the second reference row
+    feed([("a", "2024-01-01 02:00:00", 1.0)])
+    # epoch 1: a LATE point whose event time precedes everything in epoch 0
+    feed([("a", "2024-01-01 00:20:00", 2.0)])
+
+    rows = {r.lv: (r.rv, str(r.right_ts), r.epoch)
+            for r in spark.read.parquet(f"{out}/data").collect()}
+    assert rows[1.0][:2] == (11.0, "2024-01-01 01:15:00")
+    # the late row matched the ≤-00:20 reference despite arriving last
+    assert rows[2.0][:2] == (10.0, "2024-01-01 00:15:00")
+    assert rows[1.0][2] == 0 and rows[2.0][2] == 1  # epochs preserved
