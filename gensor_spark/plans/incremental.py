@@ -49,9 +49,13 @@ from pyspark.sql import functions as F
 
 from gensor_spark.operators.rollup import (
     _merge_partials,
+    _merge_partials_narrow,
     cascade_tier,
+    cascade_tier_narrow,
     finalize_tier,
     rollup_docs_arrow,
+    rollup_docs_arrow_narrow,
+    widen_partials,
 )
 
 TIERS = ("1m", "1h", "1d")
@@ -69,6 +73,7 @@ class TierPipeline:
         max_concurrent: int = 2,
         backend: str = "parquet",
         iceberg_namespace: str = "local.gensor",
+        narrow_partials: bool = False,
     ) -> None:
         self.spark = spark
         self.store = Path(store_dir)
@@ -90,6 +95,16 @@ class TierPipeline:
         #: north-star compression stage: also write each batch's series as
         #: Gorilla/delta-of-delta blobs (codecs/gorilla.py, Arrow UDF)
         self.encode_blobs = encode_blobs
+        #: store/shuffle tier partials in the NARROW physical schema
+        #: (int32 bin ordinals, float32 extrema — operators/rollup.py):
+        #: ~45% narrower numeric payload per partial row through the Arrow
+        #: boundary, the cascade shuffles and the parquet store. Lossless
+        #: iff |token| < 2^24 (asserted in the kernel); read_tier widens
+        #: back, so finalized outputs are bit-identical either way.
+        #: Parquet backend only (the Iceberg tier tables keep wide rows).
+        self.narrow_partials = narrow_partials
+        if narrow_partials and backend != "parquet":
+            raise ValueError("narrow_partials requires the parquet backend")
         #: batches in flight at once. Spark schedules concurrent jobs from
         #: driver threads task-by-task, so a second batch's heavy stages fill
         #: the slots the first batch leaves idle during its commit/small-stage
@@ -209,19 +224,33 @@ class TierPipeline:
         # raw-point shuffle; bit-identical to rollup_tier(docs_to_points(...)).
         # Persisted so the 1h cascade reuses the in-memory partials instead of
         # a parquet read-back round trip (another ~2 floor jobs per batch).
-        m1 = rollup_docs_arrow(
-            batch_docs, "1m", tick_seconds=self.tick_seconds, keys=self.keys
-        ).persist()
+        if self.narrow_partials:
+            m1 = rollup_docs_arrow_narrow(
+                batch_docs, "1m", tick_seconds=self.tick_seconds,
+                keys=self.keys,
+            ).persist()
+        else:
+            m1 = rollup_docs_arrow(
+                batch_docs, "1m", tick_seconds=self.tick_seconds,
+                keys=self.keys,
+            ).persist()
         h1: DataFrame | None = None
         try:
             counts["1m"] = self._store_tier(m1, "1m", b)
             # coarser tiers cascade from the (much smaller) finer tier —
             # never re-read the raw points
-            h1 = cascade_tier(m1, "1h", keys=self.keys).persist()
-            counts["1h"] = self._store_tier(h1, "1h", b)
-            counts["1d"] = self._store_tier(
-                cascade_tier(h1, "1d", keys=self.keys), "1d", b
-            )
+            if self.narrow_partials:
+                h1 = cascade_tier_narrow(m1, "1m", "1h", keys=self.keys).persist()
+                counts["1h"] = self._store_tier(h1, "1h", b)
+                counts["1d"] = self._store_tier(
+                    cascade_tier_narrow(h1, "1h", "1d", keys=self.keys), "1d", b
+                )
+            else:
+                h1 = cascade_tier(m1, "1h", keys=self.keys).persist()
+                counts["1h"] = self._store_tier(h1, "1h", b)
+                counts["1d"] = self._store_tier(
+                    cascade_tier(h1, "1d", keys=self.keys), "1d", b
+                )
         finally:
             m1.unpersist()
             if h1 is not None:
@@ -296,8 +325,28 @@ class TierPipeline:
             df = self.spark.read.option("basePath", str(base)).parquet(
                 *[str(p) for p in parts]
             ).drop("batch")
-        merged = _merge_partials(df, [*self.keys, "bin_ts"])
+        if self.narrow_partials:
+            merged = widen_partials(
+                _merge_partials_narrow(df, [*self.keys, "bin"]),
+                tier, self.tick_seconds,
+            )
+        else:
+            merged = _merge_partials(df, [*self.keys, "bin_ts"])
         return finalize_tier(merged) if finalize else merged
+
+    def _read_merged_storage(self, tier: str) -> DataFrame:
+        """Merged tier in its STORAGE schema (narrow stays narrow) — the
+        input for compaction/retention rewrites, which must not change the
+        physical schema of the tier directory."""
+        self._recover_compact(tier)
+        base = self.store / f"tier_{tier}"
+        parts = sorted(base.glob("batch=*"))
+        df = self.spark.read.option("basePath", str(base)).parquet(
+            *[str(p) for p in parts]
+        ).drop("batch")
+        if self.narrow_partials:
+            return _merge_partials_narrow(df, [*self.keys, "bin"])
+        return _merge_partials(df, [*self.keys, "bin_ts"])
 
     def _compact_paths(self, tier: str) -> tuple[Path, Path, Path]:
         base = self.store / f"tier_{tier}"
@@ -344,7 +393,7 @@ class TierPipeline:
         if self.backend == "iceberg":
             self.iceberg.compact(tier)  # rewrite_data_files, atomic snapshot
             return
-        self._rewrite_tier(tier, self.read_tier(tier, finalize=False))
+        self._rewrite_tier(tier, self._read_merged_storage(tier))
 
     def apply_retention(self, policy: dict[str, str], now) -> dict[str, str]:
         """Enforce per-tier retention windows: the 'retention' in retention
@@ -385,9 +434,19 @@ class TierPipeline:
                     f"WHERE bin_ts < TIMESTAMP '{cutoff}'"
                 )
             else:
-                kept = self.read_tier(tier, finalize=False).filter(
-                    F.col("bin_ts") >= F.lit(cutoff).cast("timestamp")
-                )
+                merged = self._read_merged_storage(tier)
+                if self.narrow_partials:
+                    # bin_ts = epoch0 + bin·step ≥ cutoff ⇔ bin ≥ ceil(…)
+                    from gensor_spark.operators.rollup import TIER_SECONDS
+
+                    step_us = TIER_SECONDS[tier] * 1_000_000
+                    cut_us = int(pd.Timestamp(cutoff).value // 1000)
+                    min_bin = -((1_704_067_200_000_000 - cut_us) // step_us)
+                    kept = merged.filter(F.col("bin") >= min_bin)
+                else:
+                    kept = merged.filter(
+                        F.col("bin_ts") >= F.lit(cutoff).cast("timestamp")
+                    )
                 self._rewrite_tier(tier, kept)
             applied[tier] = cutoff
         if applied:

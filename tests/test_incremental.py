@@ -230,3 +230,30 @@ def test_pipeline_tiers_match_pandas_reference(spark, docs, tmp_path):
         # so its naive timestamps are the same instants
         want["bin_ts"] = want["bin_ts"].dt.tz_localize(None)
         _assert_tiers_equal(got, want)
+
+
+def test_narrow_partials_match_wide_exactly(spark, docs, tmp_path):
+    """The narrow physical schema (int32 bin ordinals, float32 extrema) is a
+    pure representation change: finalized tiers are bit-identical to the
+    wide pipeline's, through ingest, compaction and retention."""
+    wide = TierPipeline(spark, str(tmp_path / "w"), n_batches=3)
+    narrow = TierPipeline(spark, str(tmp_path / "n"), n_batches=3,
+                          narrow_partials=True)
+    wide.run(docs)
+    narrow.run(docs)
+    for tier in ("1m", "1h", "1d"):
+        _assert_tiers_equal(_tier_pdf(wide.read_tier(tier)),
+                            _tier_pdf(narrow.read_tier(tier)))
+
+    # compaction keeps the narrow storage schema and the same results
+    narrow.compact("1h")
+    _assert_tiers_equal(_tier_pdf(wide.read_tier("1h")),
+                        _tier_pdf(narrow.read_tier("1h")))
+
+    # retention drops the same bins in both representations
+    cutoff_now = "2024-01-02 00:00:00"
+    wide.apply_retention({"1m": "12 hours"}, cutoff_now)
+    narrow.apply_retention({"1m": "12 hours"}, cutoff_now)
+    a, b = _tier_pdf(wide.read_tier("1m")), _tier_pdf(narrow.read_tier("1m"))
+    assert len(a) > 0
+    _assert_tiers_equal(a, b)
