@@ -9,6 +9,7 @@ from gensor_spark.operators.rollup import rollup_tier, cascade_tier, finalize_ti
 from gensor_spark.operators.asof import asof_join
 from gensor_spark.operators.decontaminate import contamination_stats
 from gensor_spark.operators.intervaljoin import interval_join
+from gensor_spark.operators.seriesstats import ewma, series_corr, cusum_changepoint
 from gensor_spark.operators.plotdata import (
     coverage_segments,
     m4_downsample,
@@ -28,6 +29,9 @@ __all__ = [
     "asof_join",
     "contamination_stats",
     "interval_join",
+    "ewma",
+    "series_corr",
+    "cusum_changepoint",
     "m4_downsample",
     "outlier_overlay",
     "coverage_segments",

@@ -1,0 +1,179 @@
+"""Per-series statistics beyond gensor's surface: EWMA smoothing,
+cross-series correlation, and CUSUM change-point detection.
+
+gensor smooths only with centered rolling mean/median
+(``/root/reference/gensor/processing/smoothing.py:10-66``); real sensor and
+token-rate pipelines also want exponentially-weighted smoothing, pairwise
+series correlation (which loggers co-move?) and change detection (when did a
+series shift regime?). All three follow this engine's established physical
+shapes:
+
+- ``ewma`` is a sequential per-series recurrence — the one class of operator
+  the repo sanctions as a batched Arrow kernel (udfkernel.py: Hampel, LOF,
+  Box-Cox MLE). One shuffle on the series key, pandas-exact semantics.
+- ``series_corr`` is pure Catalyst: bin → mean → self equi-join on the bin →
+  ``corr`` aggregate. Two shuffles (bin agg, pair agg); the join is an SMJ on
+  the bin key, never a cartesian, so the O(S²) pair space is only realized
+  where two series actually share bins.
+- ``cusum_changepoint`` (Taylor's cumulative-sum chart: C_t = Σ(x_i − x̄),
+  change point at argmax |C_t|) is window algebra — running sum over an
+  ordered frame plus an unbounded-frame mean — with NO clamp recurrence, so
+  unlike Page's CUSUM it needs no sequential kernel and stays whole-stage
+  codegen end to end.
+
+Scale notes (100 TB): ``ewma`` and ``cusum_changepoint`` shuffle once on the
+series key and stream; skewed hot series are bounded by per-series length,
+not key cardinality. ``series_corr``'s pair fan-out is quadratic in series
+that SHARE a bin — callers at web scale pre-select series (top coverage /
+one tenant) exactly like every published correlation-matrix job; the
+``min_overlap`` filter runs inside the aggregate, after the map-side partial.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KEYS = ("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# EWMA (pandas .ewm parity)
+# ---------------------------------------------------------------------------
+
+def _ewma_kernel(x: np.ndarray, alpha: float, adjust: bool, ignore_na: bool) -> np.ndarray:
+    """pandas ``Series.ewm(alpha, adjust, ignore_na).mean()`` — via pandas
+    itself: the kernel is already vectorized C and parity is by construction."""
+    return (
+        pd.Series(x).ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na).mean().to_numpy()
+    )
+
+
+def ewma(
+    points: DataFrame,
+    alpha: float,
+    adjust: bool = True,
+    ignore_na: bool = False,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series, pandas-exact.
+
+    ``adjust=True`` divides by the decaying weight sum (unbiased start);
+    ``adjust=False`` is the plain recurrence y_t = α·x_t + (1−α)·y_{t−1}.
+    NaN handling mirrors pandas: missing values propagate the previous
+    smoothed value; ``ignore_na`` controls whether gaps still age weights.
+
+    Sequential recurrence → batched Arrow kernel (udfkernel.per_series_map):
+    one JVM↔Python crossing per ~10k-row batch, never per series or per row.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    schema = T.StructType(points.schema.fields + [T.StructField(out_col, T.DoubleType())])
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.reset_index(drop=True)
+        out[out_col] = _ewma_kernel(
+            out[value_col].to_numpy(dtype=float), alpha, adjust, ignore_na
+        )
+        return out
+
+    return per_series_map(points, per_series, schema, keys=keys)
+
+
+# ---------------------------------------------------------------------------
+# cross-series correlation matrix
+# ---------------------------------------------------------------------------
+
+def series_corr(
+    points: DataFrame,
+    bin: str = "hour",
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Pairwise Pearson correlation between every two series that share
+    ≥ ``min_overlap`` time bins.
+
+    Plan: ``date_trunc`` bin → per-(series, bin) mean (shuffle 1, partial
+    map-side agg) → self equi-join on ``bin_ts`` (SMJ/shuffled-hash on the
+    bin — the containment of the pair space to co-occurring bins is what
+    keeps this from being a cartesian) → ``corr`` per ordered pair
+    (shuffle 2). Population corr over the bin means; the ``sid_a < sid_b``
+    ordering halves the space and drops self-pairs.
+
+    Output: ``sid_a, sid_b, n_overlap, corr`` where ``sid`` is the
+    '|'-joined series key (kept single-column so the pair agg shuffles one
+    narrow key instead of 2·len(keys) columns).
+    """
+    sid = F.concat_ws("|", *[F.col(k) for k in keys])
+    binned = (
+        points.withColumn("bin_ts", F.date_trunc(bin, F.col(ts_col)))
+        .withColumn("sid", sid)
+        .groupBy("sid", "bin_ts")
+        .agg(F.avg(value_col).alias("v"))
+    )
+    a = binned.select(F.col("sid").alias("sid_a"), "bin_ts", F.col("v").alias("va"))
+    b = binned.select(F.col("sid").alias("sid_b"), "bin_ts", F.col("v").alias("vb"))
+    pairs = a.join(b, "bin_ts").filter(F.col("sid_a") < F.col("sid_b"))
+    return (
+        pairs.groupBy("sid_a", "sid_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.corr("va", "vb").alias("corr"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point (Taylor's cumulative-sum chart)
+# ---------------------------------------------------------------------------
+
+def cusum_changepoint(
+    points: DataFrame,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Single most-likely level-shift point per series.
+
+    Taylor's CUSUM chart: C_t = Σ_{i≤t} (x_i − x̄); the estimated change
+    point is the t maximizing |C_t| and the magnitude ``cusum_range``
+    = max C − min C is the shift evidence (0 for a constant series).
+    Ties on |C_t| break to the earliest ``order_col``.
+
+    Pure window algebra — running sum over the ordered frame + an
+    unbounded-frame mean — so the whole operator stays in whole-stage
+    codegen: one shuffle on the series key serves every window, then a
+    ``min_by`` pass per series. No Python, no clamp recurrence (that is
+    Page's CUSUM, a different, sequential statistic).
+    """
+    ordered = W.partitionBy(*keys).orderBy(order_col)
+    whole = W.partitionBy(*keys).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    run = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = F.sum(F.col(value_col) - F.avg(value_col).over(whole)).over(run)
+    scored = points.select(
+        *keys, order_col, F.col(value_col),
+        c.alias("_c"), F.abs(c).alias("_absc"),
+    )
+    key_cols = [F.col(k) for k in keys]
+    return (
+        scored.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # earliest argmax: min_by on (-|C|, seq) lexicographic struct
+            F.min_by(
+                F.col(order_col), F.struct((-F.col("_absc")).alias("a"), F.col(order_col).alias("s"))
+            ).alias("cp_seq"),
+            F.max("_absc").alias("cusum_absmax"),
+            (F.max("_c") - F.min("_c")).alias("cusum_range"),
+        )
+    )

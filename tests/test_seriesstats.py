@@ -1,0 +1,189 @@
+"""EWMA / series_corr / cusum_changepoint: pandas + DuckDB oracles, plan guards."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gensor_spark.operators.seriesstats import cusum_changepoint, ewma, series_corr
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def sensor_points(spark):
+    """Real-shaped input: sf0.001 events as (doc_id, source, seq, ts, value)."""
+    from gensor_spark.operators.points import events_to_points
+
+    pts = events_to_points(spark.read.parquet(f"{SF}/events.parquet"))
+    return pts.cache()
+
+
+# ---------------------------------------------------------------- EWMA
+
+@pytest.mark.parametrize("adjust", [True, False])
+@pytest.mark.parametrize("alpha", [0.1, 0.5, 0.97])
+def test_ewma_matches_pandas(spark, sensor_points, alpha, adjust):
+    got = (
+        ewma(sensor_points, alpha=alpha, adjust=adjust)
+        .select("doc_id", "source", "seq", "ewma")
+        .toPandas()
+        .sort_values(["doc_id", "source", "seq"])
+        .reset_index(drop=True)
+    )
+    pdf = sensor_points.toPandas().sort_values(["doc_id", "source", "seq"])
+    want = (
+        pdf.groupby(["doc_id", "source"], sort=False)["value"]
+        .transform(lambda s: s.ewm(alpha=alpha, adjust=adjust).mean())
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got["ewma"].to_numpy(), want, rtol=1e-12)
+
+
+@pytest.mark.parametrize("ignore_na", [True, False])
+def test_ewma_nan_semantics(spark, ignore_na):
+    vals = [1.0, None, None, 4.0, 2.0, None, 8.0]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": "d", "source": "s",
+            "seq": np.arange(len(vals)),
+            "ts": pd.date_range("2024-01-01", periods=len(vals), freq="h", tz="UTC"),
+            "value": pd.array(vals, dtype=float),
+        }
+    )
+    got = (
+        ewma(spark.createDataFrame(pdf), alpha=0.3, adjust=True, ignore_na=ignore_na)
+        .orderBy("seq").toPandas()["ewma"].to_numpy()
+    )
+    want = pdf["value"].ewm(alpha=0.3, adjust=True, ignore_na=ignore_na).mean().to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_ewma_rejects_bad_alpha(spark, sensor_points):
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(sensor_points, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(sensor_points, alpha=1.5)
+
+
+# ---------------------------------------------------------------- series_corr
+
+def test_series_corr_matches_duckdb(spark, sensor_points):
+    got = series_corr(sensor_points, bin="day", min_overlap=5).toPandas()
+    con = duckdb.connect()
+    con.register("p", sensor_points.toPandas())
+    want = con.execute("""
+        WITH binned AS (
+          SELECT doc_id || '|' || source AS sid,
+                 date_trunc('day', ts) AS bin_ts,
+                 avg(value) AS v
+          FROM p GROUP BY 1, 2
+        )
+        SELECT a.sid AS sid_a, b.sid AS sid_b,
+               count(*) AS n_overlap, corr(a.v, b.v) AS corr
+        FROM binned a JOIN binned b ON a.bin_ts = b.bin_ts AND a.sid < b.sid
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    """).df()
+    got_s = got.sort_values(["sid_a", "sid_b"]).reset_index(drop=True)
+    want_s = want.sort_values(["sid_a", "sid_b"]).reset_index(drop=True)
+    assert len(got_s) == len(want_s) > 0
+    assert (got_s["sid_a"] == want_s["sid_a"]).all()
+    assert (got_s["sid_b"] == want_s["sid_b"]).all()
+    np.testing.assert_array_equal(
+        got_s["n_overlap"].to_numpy(dtype=np.int64), want_s["n_overlap"].to_numpy(dtype=np.int64)
+    )
+    # corr: same statistic, different partial-agg order → tight rtol not ulp
+    np.testing.assert_allclose(
+        got_s["corr"].to_numpy(dtype=float), want_s["corr"].to_numpy(dtype=float),
+        rtol=1e-9, atol=1e-12,
+    )
+
+
+def test_series_corr_known_values(spark):
+    """Two perfectly correlated, one anti-correlated series on a shared grid."""
+    ts = pd.date_range("2024-01-01", periods=20, freq="h", tz="UTC")
+    x = np.arange(20, dtype=float)
+    frames = []
+    for doc, vals in (("a", x), ("b", 3 * x + 7), ("c", -x)):
+        frames.append(pd.DataFrame({
+            "doc_id": doc, "source": "s", "seq": np.arange(20), "ts": ts, "value": vals,
+        }))
+    pts = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    out = {(r.sid_a, r.sid_b): r for r in series_corr(pts, bin="hour").collect()}
+    assert out[("a|s", "b|s")].corr == pytest.approx(1.0)
+    assert out[("a|s", "c|s")].corr == pytest.approx(-1.0)
+    assert out[("b|s", "c|s")].corr == pytest.approx(-1.0)
+    assert all(r.n_overlap == 20 for r in out.values())
+
+
+def test_series_corr_plan_no_cartesian(spark, sensor_points):
+    plan = series_corr(sensor_points)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------ cusum_changepoint
+
+def test_cusum_matches_duckdb(spark, sensor_points):
+    got = cusum_changepoint(sensor_points).toPandas()
+    con = duckdb.connect()
+    con.register("p", sensor_points.toPandas())
+    want = con.execute("""
+        WITH m AS (
+          SELECT doc_id, source, seq,
+                 value - avg(value) OVER (PARTITION BY doc_id, source) AS dev
+          FROM p
+        ),
+        c AS (
+          SELECT doc_id, source, seq,
+                 sum(dev) OVER (PARTITION BY doc_id, source ORDER BY seq
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+          FROM m
+        )
+        SELECT doc_id, source, count(*) AS n,
+               min(CASE WHEN rn = 1 THEN seq END) AS cp_seq,
+               max(abs(cu)) AS cusum_absmax,
+               max(cu) - min(cu) AS cusum_range
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, source
+                                       ORDER BY abs(cu) DESC, seq ASC) AS rn
+          FROM c
+        ) GROUP BY doc_id, source
+    """).df()
+    k = ["doc_id", "source"]
+    got_s = got.sort_values(k).reset_index(drop=True)
+    want_s = want.sort_values(k).reset_index(drop=True)
+    assert len(got_s) == len(want_s) > 0
+    for c in k + ["n", "cp_seq"]:
+        np.testing.assert_array_equal(got_s[c].to_numpy(), want_s[c].to_numpy())
+    for c in ("cusum_absmax", "cusum_range"):
+        np.testing.assert_allclose(
+            got_s[c].to_numpy(dtype=float), want_s[c].to_numpy(dtype=float),
+            rtol=1e-9, atol=1e-9,
+        )
+
+
+def test_cusum_finds_a_step(spark):
+    """A clean level shift: the argmax of |CUSUM| is the last pre-shift row."""
+    vals = [0.0] * 50 + [10.0] * 50
+    pdf = pd.DataFrame({
+        "doc_id": "d", "source": "s", "seq": np.arange(100),
+        "ts": pd.date_range("2024-01-01", periods=100, freq="h", tz="UTC"),
+        "value": vals,
+    })
+    row = cusum_changepoint(spark.createDataFrame(pdf)).collect()[0]
+    assert row.cp_seq == 49
+    assert row.cusum_absmax == pytest.approx(50 * 5.0)  # 50 rows × |0 − mean(5)|
+    # constant series → zero evidence
+    flat = pdf.assign(value=3.14)
+    row0 = cusum_changepoint(spark.createDataFrame(flat)).collect()[0]
+    assert row0.cusum_range == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cusum_plan_stays_jvm_side(spark, sensor_points):
+    plan = cusum_changepoint(sensor_points)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
