@@ -741,6 +741,52 @@ def q_outliers_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing per series — registry entry outside the driver window
+    (the 50 oracle slots are full); pandas-``ewm`` parity is pinned in
+    tests/test_seriesstats.py at rtol 1e-12 on the same events input."""
+    from gensor_spark.operators.seriesstats import ewma
+
+    out = ewma(_points(spark, sf_dir), alpha=0.3, adjust=True)
+    return out.select("doc_id", "source", "seq", _r6(F.col("ewma")).alias("sm"))
+
+
+def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the 100 best-covered series.
+
+    The pair space of all-vs-all correlation is quadratic in co-occurring
+    series (sf0.1: 7,500 series → 108M day-bin join pairs) — the production
+    pattern is to pre-select the series worth correlating. Top-coverage
+    selection is one agg + a broadcast semi-join, then the bin self-join
+    runs over 100 series only. DuckDB oracle: tests/test_seriesstats.py."""
+    from gensor_spark.operators.seriesstats import series_corr
+
+    pts = _points(spark, sf_dir)
+    sid = F.concat_ws("|", "doc_id", "source")
+    top = (
+        pts.groupBy(sid.alias("sid_k")).agg(F.count(F.lit(1)).alias("cov"))
+        .orderBy(F.desc("cov"), "sid_k").limit(100)
+    )
+    picked = pts.join(
+        F.broadcast(top.select("sid_k")), sid == F.col("sid_k"), "left_semi"
+    )
+    out = series_corr(picked, bin="day", min_overlap=5)
+    return out.select("sid_a", "sid_b", "n_overlap", _r6(F.col("corr")).alias("r"))
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor CUSUM change-point per series (window algebra, one shuffle).
+    DuckDB oracle: tests/test_seriesstats.py."""
+    from gensor_spark.operators.seriesstats import cusum_changepoint
+
+    out = cusum_changepoint(_points(spark, sf_dir))
+    return out.select(
+        "doc_id", "source", "n", "cp_seq",
+        _r6(F.col("cusum_absmax")).alias("cmax"),
+        _r6(F.col("cusum_range")).alias("crange"),
+    )
+
+
 def q_outliers_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isolation-forest mask — rows-only driver check (randomized-tree
     ensemble in an Arrow UDF is not SQL-expressible; behavior pinned in
@@ -1191,6 +1237,11 @@ QUERIES.update(TEXT_QUERIES)
 # both are parity-pinned in pytest instead — tests/test_operators.py)
 QUERIES["outliers_lof"] = q_outliers_lof
 QUERIES["outliers_isolation_forest"] = q_outliers_isolation_forest
+# round-4 series-stats extensions: pytest-oracled (DuckDB/pandas in
+# tests/test_seriesstats.py), registered after the window like the kernels
+QUERIES["ewma_smooth"] = q_ewma_smooth
+QUERIES["series_corr"] = q_series_corr
+QUERIES["cusum_changepoint"] = q_cusum_changepoint
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

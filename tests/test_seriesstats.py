@@ -187,3 +187,56 @@ def test_cusum_plan_stays_jvm_side(spark, sensor_points):
     plan = cusum_changepoint(sensor_points)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------- registry entries (no driver slot)
+
+def test_registry_series_corr_matches_duckdb(spark):
+    """q_series_corr (top-100-coverage pre-selection + day-bin corr) vs the
+    identical DuckDB pipeline — the driver window is full, so the registry
+    entry is oracled here instead."""
+    from gensor_spark.queries import q_series_corr
+
+    got = (
+        q_series_corr(spark, SF).toPandas()
+        .sort_values(["sid_a", "sid_b"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH p AS (
+          SELECT user_id::VARCHAR AS doc_id, event_type AS source, ts, value
+          FROM read_parquet('{SF}/events.parquet')
+        ),
+        top AS (
+          SELECT doc_id || '|' || source AS sid_k, count(*) AS cov
+          FROM p GROUP BY 1 ORDER BY cov DESC, sid_k LIMIT 100
+        ),
+        binned AS (
+          SELECT doc_id || '|' || source AS sid,
+                 date_trunc('day', ts) AS bin_ts, avg(value) AS v
+          FROM p WHERE doc_id || '|' || source IN (SELECT sid_k FROM top)
+          GROUP BY 1, 2
+        )
+        SELECT a.sid AS sid_a, b.sid AS sid_b, count(*) AS n_overlap,
+               round(corr(a.v, b.v) + 1e-9, 6) AS r
+        FROM binned a JOIN binned b ON a.bin_ts = b.bin_ts AND a.sid < b.sid
+        GROUP BY 1, 2 HAVING count(*) >= 5
+        ORDER BY sid_a, sid_b
+    """).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in ("sid_a", "sid_b"):
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy())
+    np.testing.assert_array_equal(
+        got["n_overlap"].to_numpy(dtype=np.int64), want["n_overlap"].to_numpy(dtype=np.int64))
+    np.testing.assert_allclose(
+        got["r"].to_numpy(dtype=float), want["r"].to_numpy(dtype=float), atol=2e-6)
+
+
+def test_registry_ewma_and_cusum_smoke(spark):
+    from gensor_spark.queries import q_cusum_changepoint, q_ewma_smooth
+
+    e = q_ewma_smooth(spark, SF)
+    assert e.columns == ["doc_id", "source", "seq", "sm"]
+    c = q_cusum_changepoint(spark, SF)
+    assert c.columns == ["doc_id", "source", "n", "cp_seq", "cmax", "crange"]
+    assert e.count() > 0 and c.count() > 0
