@@ -12,6 +12,7 @@ from gensor_spark.operators.intervaljoin import interval_join
 from gensor_spark.operators.seriesstats import ewma, series_corr, cusum_changepoint
 from gensor_spark.operators.plotdata import (
     coverage_segments,
+    lttb_downsample,
     m4_downsample,
     outlier_overlay,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "series_corr",
     "cusum_changepoint",
     "m4_downsample",
+    "lttb_downsample",
     "outlier_overlay",
     "coverage_segments",
 ]

@@ -168,3 +168,79 @@ def coverage_segments(
         F.max(ts_col).alias("end_ts"),
         F.count("*").alias("n_points"),
     )
+
+
+def _lttb_select(ts: "np.ndarray", vals: "np.ndarray", k: int) -> "np.ndarray":
+    """Indices kept by Largest-Triangle-Three-Buckets (Steinarsson 2013).
+
+    First and last points always kept; the n−2 middle points split into
+    k−2 equal buckets; from each bucket keep the point forming the largest
+    triangle with the previously KEPT point and the NEXT bucket's average
+    (the last bucket's "next" is the final point). Ties take the first
+    point — np.argmax semantics, same as the reference JS implementation.
+    """
+    import numpy as np
+
+    n = ts.size
+    if n <= k:
+        return np.arange(n)
+    # k-1 edges over the middle points [1, n-1): bucket i = [edges[i], edges[i+1])
+    edges = np.linspace(1, n - 1, k - 1).astype(np.int64)
+    out = np.empty(k, dtype=np.int64)
+    out[0], out[-1] = 0, n - 1
+    a = 0
+    for i in range(k - 2):
+        lo, hi = edges[i], edges[i + 1]
+        if i + 2 < k - 1:
+            nx_t, nx_v = ts[edges[i + 1]:edges[i + 2]].mean(), vals[edges[i + 1]:edges[i + 2]].mean()
+        else:
+            nx_t, nx_v = ts[n - 1], vals[n - 1]
+        # 2·area of triangle (a, candidate, next-avg) for every candidate
+        area = np.abs(
+            (ts[a] - nx_t) * (vals[lo:hi] - vals[a])
+            - (ts[a] - ts[lo:hi]) * (nx_v - vals[a])
+        )
+        a = lo + int(np.argmax(area))
+        out[i + 1] = a
+    return out
+
+
+def lttb_downsample(
+    points: DataFrame,
+    k: int = 1000,
+    keys: tuple[str, ...] = KEYS,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """LTTB plot downsampling: exactly min(k, n) points per series.
+
+    The perceptual companion to ``m4_downsample``: M4 is pixel-exact for
+    line rendering at a known width; LTTB picks the k visually dominant
+    points independent of render width. Unlike M4 it is a sequential
+    per-series recurrence (each kept point depends on the previous one), so
+    it runs through the batched Arrow kernel runner — the engine's
+    sanctioned shape for imperative per-series logic (one shuffle on the
+    series key, one JVM↔Python crossing per ~10k-row batch).
+
+    Null values are dropped first (they cannot anchor a triangle), matching
+    ``m4_downsample``. Output: the selected rows of the input, original
+    columns preserved.
+    """
+    if k < 3:
+        raise ValueError("k must be >= 3 (first + last + at least one bucket)")
+    import numpy as np  # noqa: F401  (kernel dependency, imported lazily)
+    import pandas as pd
+
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    nn = points.filter(F.col(value_col).isNotNull())
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        g = pdf.reset_index(drop=True)
+        ts = g[ts_col].astype("int64").to_numpy().astype(np.float64)
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        return g.iloc[_lttb_select(ts, vals, k)]
+
+    return per_series_map(nn, per_series, points.schema, keys=keys, sort_col=ts_col)
