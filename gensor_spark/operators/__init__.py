@@ -9,7 +9,12 @@ from gensor_spark.operators.rollup import rollup_tier, cascade_tier, finalize_ti
 from gensor_spark.operators.asof import asof_join
 from gensor_spark.operators.decontaminate import contamination_stats
 from gensor_spark.operators.intervaljoin import interval_join
-from gensor_spark.operators.seriesstats import ewma, series_corr, cusum_changepoint
+from gensor_spark.operators.seriesstats import (
+    cusum_changepoint,
+    ewma,
+    seasonal_anomaly,
+    series_corr,
+)
 from gensor_spark.operators.plotdata import (
     coverage_segments,
     lttb_downsample,
@@ -33,6 +38,7 @@ __all__ = [
     "ewma",
     "series_corr",
     "cusum_changepoint",
+    "seasonal_anomaly",
     "m4_downsample",
     "lttb_downsample",
     "outlier_overlay",

@@ -177,3 +177,67 @@ def cusum_changepoint(
             (F.max("_c") - F.min("_c")).alias("cusum_range"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal baseline + deviation anomalies
+# ---------------------------------------------------------------------------
+
+def seasonal_anomaly(
+    points: DataFrame,
+    period: str = "hour_of_day",
+    n_sigma: float = 3.0,
+    min_bucket: int = 5,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Deviation from each series' own seasonal profile.
+
+    Builds a per-(series, phase) baseline — phase is ``hour_of_day`` (0-23),
+    ``day_of_week`` (1-7, Sunday=1 per Spark ``dayofweek``) or
+    ``hour_of_week`` (0-167) — then scores every point by its z-score
+    against that bucket's mean/stddev. Sensors with daily/weekly cycles get
+    anomalies relative to "3am on a Tuesday", not the global mean, which is
+    what a plain z-score (operators/outliers.zscore_global) cannot see.
+
+    Buckets with fewer than ``min_bucket`` points or zero spread yield NULL
+    scores (mask-don't-crash: sparse series are unscoreable, not errors).
+
+    Plan: pure Catalyst — one unbounded window partitioned by
+    (keys..., phase): a single Exchange, partials stay map-side, no join
+    back (the window IS the join). Output: input columns +
+    ``phase, season_mean, season_z, is_anomaly``.
+    """
+    t = F.col(ts_col)
+    if period == "hour_of_day":
+        phase = F.hour(t)
+    elif period == "day_of_week":
+        phase = F.dayofweek(t)
+    elif period == "hour_of_week":
+        phase = (F.dayofweek(t) - 1) * 24 + F.hour(t)
+    else:
+        raise ValueError(f"unsupported period: {period!r}")
+
+    from pyspark.sql import Window as W2
+
+    w = (
+        W2.partitionBy(*keys, "phase")
+        .rowsBetween(W2.unboundedPreceding, W2.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    withp = points.withColumn("phase", phase)
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    cnt = F.count(v).over(w)
+    z = F.when(
+        (cnt >= min_bucket) & (sd > 0), (v - mean) / sd
+    )  # else NULL
+    return (
+        withp.withColumn("season_mean", mean)
+        .withColumn("season_z", z)
+        .withColumn(
+            "is_anomaly",
+            F.when(z.isNotNull(), F.abs(z) > n_sigma).otherwise(F.lit(False)),
+        )
+    )

@@ -240,3 +240,69 @@ def test_registry_ewma_and_cusum_smoke(spark):
     c = q_cusum_changepoint(spark, SF)
     assert c.columns == ["doc_id", "source", "n", "cp_seq", "cmax", "crange"]
     assert e.count() > 0 and c.count() > 0
+
+
+# ------------------------------------------------------------ seasonal_anomaly
+
+def test_seasonal_anomaly_matches_duckdb(spark, sensor_points):
+    from gensor_spark.operators.seriesstats import seasonal_anomaly
+
+    got = (
+        seasonal_anomaly(sensor_points, period="hour_of_day", n_sigma=2.0, min_bucket=5)
+        .select("doc_id", "source", "seq", "phase", "season_z", "is_anomaly")
+        .toPandas().sort_values(["doc_id", "source", "seq"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("p", sensor_points.toPandas())
+    want = con.execute("""
+        SELECT doc_id, source, seq, hour(ts) AS phase,
+               CASE WHEN count(value) OVER w >= 5 AND stddev_samp(value) OVER w > 0
+                    THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+               END AS season_z
+        FROM p
+        WINDOW w AS (PARTITION BY doc_id, source, hour(ts))
+        ORDER BY doc_id, source, seq
+    """).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    np.testing.assert_array_equal(got["phase"].to_numpy(np.int64), want["phase"].to_numpy(np.int64))
+    gz, wz = got["season_z"].to_numpy(float), want["season_z"].to_numpy(float)
+    assert np.array_equal(np.isnan(gz), np.isnan(wz))
+    m = ~np.isnan(gz)
+    np.testing.assert_allclose(gz[m], wz[m], rtol=1e-9, atol=1e-12)
+    # flag agrees with the z it was derived from; NULL z never flags
+    flagged = got["is_anomaly"].to_numpy(bool)
+    assert np.array_equal(flagged, np.nan_to_num(np.abs(gz)) > 2.0)
+
+
+def test_seasonal_anomaly_sees_phase_local_outlier(spark):
+    """A value normal globally but wild for ITS hour must flag; the same
+    value at an hour where it is typical must not."""
+    import pandas as pd
+
+    # 30 days, hourly: value = hour (perfect daily cycle), plus one 3am
+    # reading of 12.0 — dead average globally, 9 sigma for 3am
+    ts = pd.date_range("2024-01-01", periods=30 * 24, freq="h", tz="UTC")
+    vals = np.array([t.hour for t in ts], dtype=float)
+    vals += np.linspace(0, 0.9, vals.size) % 0.1  # tiny jitter: nonzero spread
+    pdf = pd.DataFrame({"doc_id": "d", "source": "s",
+                        "seq": np.arange(vals.size), "ts": ts, "value": vals})
+    pdf.loc[(pdf.seq == 3 + 24 * 10), "value"] = 12.0  # a 3am spike
+    from gensor_spark.operators.seriesstats import seasonal_anomaly
+
+    out = seasonal_anomaly(spark.createDataFrame(pdf), n_sigma=3.0).toPandas()
+    hit = out[out.is_anomaly]
+    assert list(hit["seq"]) == [3 + 24 * 10]
+    # global z-score CANNOT see it: |12 - mean(~11.5)| << global std (~6.9)
+    g = (12.0 - pdf.value.mean()) / pdf.value.std()
+    assert abs(g) < 0.2
+
+
+def test_seasonal_anomaly_guards(spark, sensor_points):
+    from gensor_spark.operators.seriesstats import seasonal_anomaly
+
+    with pytest.raises(ValueError, match="period"):
+        seasonal_anomaly(sensor_points, period="fortnight")
+    plan = seasonal_anomaly(sensor_points)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    ex = plan.count("Exchange")
+    assert ex <= 2, f"expected a single shuffle (+AQE read), saw {ex} Exchanges"
