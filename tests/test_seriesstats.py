@@ -306,3 +306,36 @@ def test_seasonal_anomaly_guards(spark, sensor_points):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     ex = plan.count("Exchange")
     assert ex <= 2, f"expected a single shuffle (+AQE read), saw {ex} Exchanges"
+
+
+# ------------------------------------------- randomized property sweeps
+
+def test_cusum_randomized_vs_numpy_loop(spark):
+    """Random irregular multi-series input with engineered |C| ties: the
+    operator must agree with a loop-wise numpy reference on every field."""
+    import pandas as pd
+
+    rng = np.random.default_rng(23)
+    frames = []
+    for d in range(12):
+        n = int(rng.integers(2, 120))
+        vals = rng.choice([-1.0, 0.0, 1.0, 2.5], size=n)  # discrete → ties
+        frames.append(pd.DataFrame({
+            "doc_id": f"d{d}", "source": rng.choice(["s1", "s2"]),
+            "seq": np.arange(n),
+            "ts": pd.date_range("2024-01-01", periods=n, freq="min", tz="UTC"),
+            "value": vals,
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+    got = {(r.doc_id, r.source): r
+           for r in cusum_changepoint(spark.createDataFrame(pdf)).collect()}
+    for (d, s), g in pdf.groupby(["doc_id", "source"]):
+        x = g.sort_values("seq")["value"].to_numpy()
+        c = np.cumsum(x - x.mean())
+        absc = np.abs(c)
+        want_cp = int(np.argmax(absc))  # first max = earliest seq
+        r = got[(d, s)]
+        assert r.n == x.size
+        assert r.cp_seq == want_cp, (d, s)
+        np.testing.assert_allclose(r.cusum_absmax, absc.max(), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(r.cusum_range, c.max() - c.min(), rtol=1e-9, atol=1e-9)
