@@ -155,7 +155,12 @@ def cusum_changepoint(
     codegen: one shuffle on the series key serves every window, then a
     ``min_by`` pass per series. No Python, no clamp recurrence (that is
     Page's CUSUM, a different, sequential statistic).
+
+    Null values are dropped first (mask-don't-crash): a NULL cannot shift a
+    level, and keeping it would thread SQL null propagation through the
+    running sum. ``n`` therefore counts the scored points.
     """
+    points = points.filter(F.col(value_col).isNotNull())
     ordered = W.partitionBy(*keys).orderBy(order_col)
     whole = W.partitionBy(*keys).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     run = ordered.rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -339,3 +339,20 @@ def test_cusum_randomized_vs_numpy_loop(spark):
         assert r.cp_seq == want_cp, (d, s)
         np.testing.assert_allclose(r.cusum_absmax, absc.max(), rtol=1e-9, atol=1e-9)
         np.testing.assert_allclose(r.cusum_range, c.max() - c.min(), rtol=1e-9, atol=1e-9)
+
+
+def test_cusum_drops_null_values(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "doc_id": "d", "source": "s", "seq": np.arange(6),
+        "ts": pd.date_range("2024-01-01", periods=6, freq="h", tz="UTC"),
+        "value": [1.0, None, 1.0, 5.0, None, 5.0],
+    })
+    row = cusum_changepoint(spark.createDataFrame(pdf)).collect()[0]
+    x = np.array([1.0, 1.0, 5.0, 5.0])
+    c = np.cumsum(x - x.mean())
+    assert row.n == 4
+    # argmax over the non-null sequence maps back to original seq 2
+    assert row.cp_seq == 2
+    np.testing.assert_allclose(row.cusum_absmax, np.abs(c).max())
