@@ -60,7 +60,7 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
     pre_probes: list[float] = []
     if queries_subset is None and cpus >= 16:
         healthy = 0.72  # local[32] healthy band < 0.7s (r3 records 0.55-0.65)
-        tries = int(os.environ.get("SPARK_GRAFT_HEALTHY_TRIES", "6"))
+        tries = int(os.environ.get("SPARK_GRAFT_HEALTHY_TRIES", "8"))
         for attempt in range(max(1, tries)):
             t0 = time.perf_counter()
             (

@@ -210,6 +210,8 @@ def main() -> None:
     levels = (4, 8, 16, 32)
     if "--pair" in sys.argv:  # quick mode: just the 8→32 pair
         levels = (8, 32)
+    if "--pair416" in sys.argv:  # quick mode: just the 4→16 pair
+        levels = (4, 16)
     for cpus in levels:
         ctrl[cpus] = controls(cpus)
         print(f"controls[{cpus}]: {ctrl[cpus]}", file=sys.stderr)
