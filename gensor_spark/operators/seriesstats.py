@@ -73,6 +73,8 @@ def ewma(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
+    if out_col in points.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
     from gensor_spark.operators.udfkernel import per_series_map
 
     schema = T.StructType(points.schema.fields + [T.StructField(out_col, T.DoubleType())])

@@ -125,3 +125,14 @@ def test_asof_join_no_cartesian(spark, queries):
     plan = _plan(queries["asof_join"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_series_corr_topk_broadcast_semi(spark, queries):
+    """q_series_corr's top-coverage pre-selection must reach the events scan
+    as a broadcast LeftSemi (the quadratic pair space is only realized over
+    the 100 picked series), and the bin self-join must never be a nested
+    loop."""
+    plan = _plan(queries["series_corr"](spark, SF))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -356,3 +356,8 @@ def test_cusum_drops_null_values(spark):
     # argmax over the non-null sequence maps back to original seq 2
     assert row.cp_seq == 2
     np.testing.assert_allclose(row.cusum_absmax, np.abs(c).max())
+
+
+def test_ewma_rejects_colliding_out_col(spark, sensor_points):
+    with pytest.raises(ValueError, match="out_col"):
+        ewma(sensor_points, alpha=0.5, out_col="value")
