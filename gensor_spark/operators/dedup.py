@@ -330,6 +330,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
             F.col("_rk") <= F.col("_n")
             - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
         ).select("doc_id", "shingle")
+        # Explicit-count repartition on the join key: the self-join's input
+        # shuffles are tiny in bytes but its output fans out per posting
+        # list (row-amplifying), so AQE's byte model coalesces the join
+        # stage 1-2 wide. REPARTITION_BY_NUM is exempt from coalescing and
+        # still satisfies the join's required distribution (measured at
+        # sf0.1: ~27% off the wall with session coalescing on).
+        n_part = docs.sparkSession.sparkContext.defaultParallelism
+        prefix = prefix.repartition(n_part, F.col("shingle"))
         pairs = (
             prefix.withColumnRenamed("doc_id", "id_a")
             .join(prefix.withColumnRenamed("doc_id", "id_b"), "shingle")
@@ -342,8 +350,14 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     # inverted-index self-join — no distinct pair materialization, no
     # two-hop re-join of the index (that shape exists for externally-given
     # candidate sets; here every joined row IS one unit of |A ∩ B|)
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    # same AQE-coalescing defeat as the prefix path: the index self-join is
+    # row-amplifying, so its width must come from the explicit count, not
+    # the byte model
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle").repartition(
+        n_part, F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle").repartition(
+        n_part, F.col("shingle"))
     common = (
         sa.join(sb, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
