@@ -1,0 +1,68 @@
+"""Per-query comparison of two bench.py outputs (e.g. r4 candidate vs the
+r2/r3 reference records), with the >1.25x regression flag the round verdicts
+use.
+
+Usage:
+    python scripts/bench_compare.py NEW.json OLD.json [--flag 1.25]
+
+Accepts either a raw ``bench.py`` JSON line or the driver's wrapped
+``BENCH_rN.json`` (whose last JSON object lives at the end of a ``tail``
+string). Prints shared-query totals, the flagged regressions sorted worst
+first, and the new/old-only query sets. Pure file analysis — never starts
+Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+
+def load(path: str) -> dict:
+    text = Path(path).read_text().strip()
+    try:
+        d = json.loads(text.splitlines()[-1])
+    except json.JSONDecodeError:
+        d = json.loads(text)
+    if "queries" not in d and "tail" in d:
+        # driver wrapper: the bench line is embedded at the end of `tail`
+        m = re.search(r"\{\"metric\".*", d["tail"], re.S)
+        if not m:
+            sys.exit(f"{path}: no bench line found in driver tail")
+        d = json.loads(m.group(0))
+    return d
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flag = 1.25
+    for a in sys.argv[1:]:
+        if a.startswith("--flag"):
+            flag = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    new, old = load(args[0]), load(args[1])
+    nq, oq = new["queries"], old["queries"]
+    shared = sorted(set(nq) & set(oq))
+    ns, os_ = sum(nq[k] for k in shared), sum(oq[k] for k in shared)
+    print(f"shared {len(shared)} queries: new {ns:.1f}s  old {os_:.1f}s  ratio {ns / os_:.3f}")
+    print(f"health: new triad={new.get('host_triad_gbps')} probe={new.get('window_probe_sec')}"
+          f"  old triad={old.get('host_triad_gbps')} probe={old.get('window_probe_sec')}")
+    rows = sorted(((nq[k] / oq[k], k) for k in shared if oq[k] > 0), reverse=True)
+    flagged = [(r, k) for r, k in rows if r > flag]
+    print(f"\n>{flag}x regressions ({len(flagged)}):")
+    for r, k in flagged:
+        print(f"  {k:28s} {oq[k]:7.2f} -> {nq[k]:7.2f}  ({r:.2f}x)")
+    improved = [(r, k) for r, k in rows if r < 1 / flag]
+    print(f"\n>{flag}x improvements ({len(improved)}):")
+    for r, k in improved[::-1]:
+        print(f"  {k:28s} {oq[k]:7.2f} -> {nq[k]:7.2f}  ({r:.2f}x)")
+    only_new, only_old = sorted(set(nq) - set(oq)), sorted(set(oq) - set(nq))
+    if only_new:
+        print(f"\nnew-only: {', '.join(only_new)}")
+    if only_old:
+        print(f"old-only: {', '.join(only_old)}")
+
+
+if __name__ == "__main__":
+    main()
