@@ -187,6 +187,73 @@ def cusum_changepoint(
 
 
 # ---------------------------------------------------------------------------
+# counter rate / delta (monitoring-rollup primitive)
+# ---------------------------------------------------------------------------
+
+def counter_rate(
+    points: DataFrame,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    order_col: str = "seq",
+    counter: bool = True,
+    per_seconds: float = 1.0,
+) -> DataFrame:
+    """Per-point increase and rate of a (possibly resetting) counter series.
+
+    The monitoring-rollup primitive gensor has no verb for: given a
+    monotone counter that occasionally restarts at 0 (process restart,
+    wraparound), recover the true per-interval increase and its time
+    rate — the batch-exact analogue of PromQL's ``increase``/``rate``
+    (adjacent-sample form, no window extrapolation):
+
+    - ``increase`` = x_t − x_{t−1}; on a reset (negative delta) the counter
+      is assumed to have restarted from 0, so the increase is x_t itself.
+    - ``rate`` = increase / Δt · ``per_seconds`` (per-second by default).
+    - ``counter=False`` is plain gauge delta: negative deltas pass through
+      and no reset logic applies.
+
+    Mask-don't-crash: the first point of each series, NULL values, and
+    non-positive Δt (duplicate or out-of-order timestamps after the sort)
+    all yield NULL increase/rate rather than errors; ``is_reset`` is False
+    wherever increase is NULL.
+
+    Plan: pure window algebra — two ``lag`` columns over one ordered
+    per-series frame, so a single Exchange on the series key serves the
+    whole operator and everything stays in whole-stage codegen. At 100 TB
+    this shuffles each point exactly once; hot series cost is bounded by
+    per-series length, the same contract as ``ewma``/``cusum_changepoint``.
+    """
+    # ts alone is not a total order (the point view allows duplicate
+    # timestamps, tie-broken by seq) — without the order_col tie-break the
+    # lag pairing would be partitioning-dependent.
+    w = W.partitionBy(*keys).orderBy(ts_col, order_col)
+    v, pv = F.col(value_col), F.lag(value_col).over(w)
+    # subtract exact microsecond longs, then divide: casting each timestamp
+    # to double first loses ~1e-6 s at epoch magnitude and the rate drifts
+    mu = F.unix_micros(F.col(ts_col))
+    dt = (mu - F.lag(mu).over(w)).cast("double") / F.lit(1e6)
+    delta = v - pv
+    reset = F.col("is_reset")
+    increase = F.when(
+        pv.isNull() | v.isNull(), F.lit(None).cast("double")
+    ).otherwise(F.when(reset, v).otherwise(delta))
+    out = (
+        points.withColumn(
+            "is_reset",
+            F.when(pv.isNotNull() & v.isNotNull() & (delta < 0) & F.lit(counter), True)
+            .otherwise(F.lit(False)),
+        )
+        .withColumn("increase", increase)
+        .withColumn(
+            "rate",
+            F.when(dt > 0, F.col("increase") / dt * F.lit(per_seconds)),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # seasonal baseline + deviation anomalies
 # ---------------------------------------------------------------------------
 

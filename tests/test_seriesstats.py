@@ -361,3 +361,99 @@ def test_cusum_drops_null_values(spark):
 def test_ewma_rejects_colliding_out_col(spark, sensor_points):
     with pytest.raises(ValueError, match="out_col"):
         ewma(sensor_points, alpha=0.5, out_col="value")
+
+
+# ------------------------------------------------------------ counter_rate
+
+def test_counter_rate_gauge_matches_duckdb(spark, sensor_points):
+    """Gauge mode (counter=False) against the literal DuckDB window SQL."""
+    from gensor_spark.operators.seriesstats import counter_rate
+
+    got = (
+        counter_rate(sensor_points, counter=False)
+        .select("doc_id", "source", "seq", "increase", "rate")
+        .toPandas()
+        .sort_values(["doc_id", "source", "seq"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("p", sensor_points.toPandas())
+    want = con.execute("""
+        SELECT doc_id, source, seq,
+               value - lag(value) OVER w AS increase,
+               CASE WHEN epoch(ts - lag(ts) OVER w) > 0
+                    THEN (value - lag(value) OVER w) / epoch(ts - lag(ts) OVER w)
+               END AS rate
+        FROM p
+        WINDOW w AS (PARTITION BY doc_id, source ORDER BY ts, seq)
+        ORDER BY doc_id, source, seq
+    """).df()
+    assert len(got) == len(want) > 0
+    for c in ("increase", "rate"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+            rtol=1e-12, equal_nan=True,
+        )
+
+
+def test_counter_rate_reset_semantics(spark):
+    """A counter that restarts: increase on the reset row is the new value."""
+    from gensor_spark.operators.seriesstats import counter_rate
+
+    vals = [10.0, 25.0, 40.0, 3.0, 9.0, None, 12.0]
+    pdf = pd.DataFrame({
+        "doc_id": "d", "source": "s", "seq": np.arange(len(vals)),
+        "ts": pd.date_range("2024-01-01", periods=len(vals), freq="30s", tz="UTC"),
+        "value": pd.array(vals, dtype=float),
+    })
+    rows = {
+        r.seq: r
+        for r in counter_rate(spark.createDataFrame(pdf)).collect()
+    }
+    assert rows[0].increase is None and rows[0].rate is None  # first point
+    assert rows[1].increase == pytest.approx(15.0)
+    assert rows[1].rate == pytest.approx(15.0 / 30.0)
+    assert not rows[1].is_reset
+    # seq 3: 40 -> 3 is a reset; increase = the post-reset value itself
+    assert rows[3].is_reset
+    assert rows[3].increase == pytest.approx(3.0)
+    assert rows[3].rate == pytest.approx(3.0 / 30.0)
+    # NULL value masks both neighbors' increase, never crashes
+    assert rows[5].increase is None and not rows[5].is_reset
+    assert rows[6].increase is None
+    # per_seconds rescales: per-minute rate
+    per_min = {r.seq: r for r in counter_rate(
+        spark.createDataFrame(pdf), per_seconds=60.0).collect()}
+    assert per_min[1].rate == pytest.approx(60.0 * 15.0 / 30.0)
+
+
+def test_counter_rate_monotone_equals_gauge(spark, sensor_points):
+    """On a strictly increasing counter, counter and gauge modes agree."""
+    from pyspark.sql import Window
+
+    from gensor_spark.operators.seriesstats import counter_rate
+
+    mono = sensor_points.withColumn(
+        "value",
+        F.sum(F.abs(F.col("value")) + 1.0).over(
+            Window.partitionBy("doc_id", "source")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    a = counter_rate(mono, counter=True).select("doc_id", "source", "seq", "increase", "rate")
+    b = counter_rate(mono, counter=False).select("doc_id", "source", "seq", "increase", "rate")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_counter_rate_plan_stays_jvm_side(spark, sensor_points):
+    from gensor_spark.operators.seriesstats import counter_rate
+
+    plan = counter_rate(sensor_points)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # one Exchange serves the whole operator; the cached fixture embeds its
+    # own (already-executed) Exchange inside the InMemoryRelation string, so
+    # count only the plan above the cache boundary
+    above_cache = plan.split("InMemoryTableScan")[0]
+    assert above_cache.count("Exchange hashpartitioning") <= 1
