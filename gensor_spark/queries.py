@@ -150,36 +150,6 @@ FROM grid LEFT JOIN b
 """
 
 
-def q_resample_custom_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gensor's ``resample(freq, agg_func=<python callable>)`` escape hatch
-    (core/base.py:147-170): an arbitrary callable per bin, here the 90th
-    percentile, run as a GROUPED_AGG pandas_udf. Oracle-checkable because
-    pandas ``Series.quantile`` and DuckDB ``quantile_cont`` share the same
-    linear-interpolation definition."""
-
-    def q90(s):
-        return s.quantile(0.9)
-
-    out = resample(_points(spark, sf_dir), "1h", agg_func=q90)
-    # pandas emits a dense per-series grid with NaN for empty/all-NaN bins;
-    # keep the populated bins so the SQL side needs no grid synthesis
-    out = out.filter(F.col("q90").isNotNull() & ~F.isnan("q90"))
-    return _fmt_bin(out).select(
-        "doc_id", "source", "bin_ts", _r6(F.col("q90")).alias("q90")
-    )
-
-
-SQL_RESAMPLE_CUSTOM_Q90 = f"""
-WITH pts AS ({_PTS_SQL})
-SELECT doc_id, source,
-       strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
-                '{TS_FMT_DUCK}') AS bin_ts,
-       ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE) + 1e-9, 6) AS q90
-FROM pts GROUP BY 1, 2, 3
-HAVING quantile_cont(value, 0.9) IS NOT NULL
-"""
-
-
 # --------------------------------------------------------------------------
 # coverage / info (gensor Dataset.info dataset.py:229-261, Coverage :664-744)
 # --------------------------------------------------------------------------
@@ -741,6 +711,39 @@ def q_outliers_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal-profile anomalies — registry entry outside the
+    driver window (the 50 oracle slots are full); DuckDB window-SQL parity
+    is pinned in tests/test_seriesstats.py on the same events input."""
+    from gensor_spark.operators.seriesstats import seasonal_anomaly
+
+    # profile per sensor type: the testdata's per-(doc,source) series are
+    # ~a dozen points, far below min_bucket at any phase grain, so the
+    # per-series form scores nothing at small SF — the per-source profile
+    # is the populated (and equally legitimate) demonstration
+    out = seasonal_anomaly(_points(spark, sf_dir), period="hour_of_day",
+                           keys=("source",), n_sigma=2.5)
+    return out.filter("is_anomaly").select(
+        "doc_id", "source", "seq", "phase",
+        _r6(F.col("season_z")).alias("sz"),
+    )
+
+
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB plot downsampling — registry entry outside the driver window;
+    the sequential triangle-area selection is not SQL-expressible (each
+    pick depends on the previous pick), so parity is pinned against an
+    independent reference implementation in tests/test_plotdata.py."""
+    from gensor_spark.operators.plotdata import lttb_downsample
+
+    # k=100 per SOURCE series: the per-(doc,source) series at test SFs are
+    # shorter than any sensible k, which would make downsampling a no-op
+    out = lttb_downsample(_points(spark, sf_dir), k=100, keys=("source",))
+    return out.select(
+        "doc_id", "source", "seq", _r6(F.col("value")).alias("v")
+    )
+
+
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA smoothing per series — registry entry outside the driver window
     (the 50 oracle slots are full); pandas-``ewm`` parity is pinned in
@@ -758,7 +761,7 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     series (sf0.1: 7,500 series → 108M day-bin join pairs) — the production
     pattern is to pre-select the series worth correlating. Top-coverage
     selection is one agg + a broadcast semi-join, then the bin self-join
-    runs over 100 series only. DuckDB oracle: tests/test_seriesstats.py."""
+    runs over 100 series only."""
     from gensor_spark.operators.seriesstats import series_corr
 
     pts = _points(spark, sf_dir)
@@ -771,12 +774,34 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(top.select("sid_k")), sid == F.col("sid_k"), "left_semi"
     )
     out = series_corr(picked, bin="day", min_overlap=5)
-    return out.select("sid_a", "sid_b", "n_overlap", _r6(F.col("corr")).alias("r"))
+    # Spark's corr emits NaN for a zero-variance side where SQL engines emit
+    # NULL — normalize so the oracle hash agrees on degenerate pairs
+    r = F.col("corr")
+    return out.select(
+        "sid_a", "sid_b", "n_overlap",
+        _r6(F.when(~F.isnan(r), r)).alias("r"),
+    )
+
+
+SQL_SERIES_CORR = f"""
+WITH pts AS ({_PTS_SQL}),
+cov AS (SELECT doc_id || '|' || source AS sid, count(*) AS cov
+        FROM pts GROUP BY 1
+        ORDER BY cov DESC, sid LIMIT 100),
+binned AS (SELECT doc_id || '|' || source AS sid,
+                  date_trunc('day', ts) AS bin_ts, avg(value) AS v
+           FROM pts
+           WHERE doc_id || '|' || source IN (SELECT sid FROM cov)
+           GROUP BY 1, 2)
+SELECT a.sid AS sid_a, b.sid AS sid_b, count(*) AS n_overlap,
+       round(corr(a.v, b.v) + 1e-9, 6) AS r
+FROM binned a JOIN binned b ON a.bin_ts = b.bin_ts AND a.sid < b.sid
+GROUP BY 1, 2 HAVING count(*) >= 5
+"""
 
 
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Taylor CUSUM change-point per series (window algebra, one shuffle).
-    DuckDB oracle: tests/test_seriesstats.py."""
+    """Taylor CUSUM change-point per series (window algebra, one shuffle)."""
     from gensor_spark.operators.seriesstats import cusum_changepoint
 
     out = cusum_changepoint(_points(spark, sf_dir))
@@ -785,6 +810,63 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("cusum_absmax")).alias("cmax"),
         _r6(F.col("cusum_range")).alias("crange"),
     )
+
+
+SQL_CUSUM_CHANGEPOINT = f"""
+WITH pts AS ({_PTS_SQL}),
+m AS (SELECT doc_id, source, seq,
+             value - avg(value) OVER (PARTITION BY doc_id, source) AS dev
+      FROM pts WHERE value IS NOT NULL),
+c AS (SELECT doc_id, source, seq,
+             sum(dev) OVER (PARTITION BY doc_id, source ORDER BY seq
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cu
+      FROM m)
+SELECT doc_id, source, count(*) AS n,
+       min(CASE WHEN rn = 1 THEN seq END) AS cp_seq,
+       round(max(abs(cu)) + 1e-9, 6) AS cmax,
+       round(max(cu) - min(cu) + 1e-9, 6) AS crange
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, source
+                                   ORDER BY abs(cu) DESC, seq ASC) AS rn
+      FROM c)
+GROUP BY doc_id, source
+"""
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter increase/rate per point (operators/seriesstats.
+    counter_rate): the batch-exact PromQL increase/rate primitive over the
+    point view — the monitoring-rollup verb gensor has no analogue for."""
+    from gensor_spark.operators.seriesstats import counter_rate
+
+    out = counter_rate(_points(spark, sf_dir), counter=True)
+    return out.select(
+        "doc_id", "source", "seq", "is_reset",
+        _r6(F.col("increase")).alias("inc"),
+        _r6(F.col("rate")).alias("rt"),
+    )
+
+
+SQL_COUNTER_RATE = f"""
+WITH pts AS ({_PTS_SQL}),
+l AS (SELECT doc_id, source, seq, value, ts,
+             lag(value) OVER w AS pv,
+             epoch(ts - lag(ts) OVER w) AS dt
+      FROM pts
+      WINDOW w AS (PARTITION BY doc_id, source ORDER BY ts, seq))
+SELECT doc_id, source, seq,
+       coalesce(pv IS NOT NULL AND value IS NOT NULL AND value < pv,
+                FALSE) AS is_reset,
+       round(CASE WHEN pv IS NULL OR value IS NULL THEN NULL
+                  WHEN value < pv THEN value
+                  ELSE value - pv END + 1e-9, 6) AS inc,
+       round(CASE WHEN dt > 0 THEN
+                  (CASE WHEN pv IS NULL OR value IS NULL THEN NULL
+                        WHEN value < pv THEN value
+                        ELSE value - pv END) / dt
+             END + 1e-9, 6) AS rt
+FROM l
+"""
 
 
 def q_outliers_isolation_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,14 +986,37 @@ FROM pts
 # --------------------------------------------------------------------------
 
 def q_resample_1h_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = resample(_points(spark, sf_dir), "h",
-                   aggs=["median", "std", "first", "last"], dense=False)
+    """Multi-agg hourly resample: the named-aggs fast path (JVM-side
+    median/std/first/last) PLUS gensor's ``resample(freq, agg_func=<python
+    callable>)`` escape hatch (core/base.py:147-170) as a q90 column.
+
+    The callable path previously held its own driver slot
+    (``resample_custom_q90``, green r2-r3); merged here per the r3
+    verdict's slot economy. Both code paths still execute and every column
+    is still value-hashed: the arbitrary-callable q90 runs in the batched
+    Arrow kernel and left-joins onto the named-agg rows on the bin key —
+    left join so the named path's row set (populated bins, even all-null
+    ones) is unchanged; the callable path drops all-NaN bins, which
+    surface here as NULL q90 exactly like DuckDB's ``quantile_cont``.
+    Oracle-checkable because pandas ``Series.quantile`` and DuckDB
+    ``quantile_cont`` share the same linear-interpolation definition."""
+    pts = _points(spark, sf_dir)
+    named = resample(pts, "h",
+                     aggs=["median", "std", "first", "last"], dense=False)
+
+    def q90(s):
+        return s.quantile(0.9)
+
+    cust = resample(pts, "1h", agg_func=q90)
+    cust = cust.filter(F.col("q90").isNotNull() & ~F.isnan("q90"))
+    out = named.join(cust, ["doc_id", "source", "bin_ts"], "left")
     return _fmt_bin(out).select(
         "doc_id", "source", "bin_ts",
         _r6(F.col("median")).alias("vmedian"),
         _r6(F.col("std")).alias("vstd"),
         _r6(F.col("first")).alias("vfirst"),
         _r6(F.col("last")).alias("vlast"),
+        _r6(F.col("q90")).alias("q90"),
     )
 
 
@@ -922,7 +1027,8 @@ SELECT doc_id, source,
        ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE) + 1e-9, 6) AS vmedian,
        ROUND(stddev_samp(value) + 1e-9, 6) AS vstd,
        ROUND(arg_min(value, ts) FILTER (WHERE value IS NOT NULL) + 1e-9, 6) AS vfirst,
-       ROUND(arg_max(value, ts) FILTER (WHERE value IS NOT NULL) + 1e-9, 6) AS vlast
+       ROUND(arg_max(value, ts) FILTER (WHERE value IS NOT NULL) + 1e-9, 6) AS vlast,
+       ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE) + 1e-9, 6) AS q90
 FROM pts GROUP BY 1, 2, 3
 """
 
@@ -1201,7 +1307,7 @@ FROM u GROUP BY doc_id, source, bin, ts, value
 
 # Registry order matters: the driver's correctness gate checks the FIRST 50
 # entries of ``queries()``; every oracle-backed query must therefore precede
-# the (exactly two) no-oracle UDF kernels, which sit at the very end.
+# the no-oracle entries, which sit at the very end.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_tiers": q_rollup_tiers,
     "resample_15min_dense": q_resample_15min_dense,
@@ -1219,7 +1325,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compensation_heads": q_compensation_heads,
     "outliers_hampel": q_outliers_hampel,
     "catalog_select": q_catalog_select,
-    "resample_custom_q90": q_resample_custom_q90,
+    # resample_custom_q90: merged into resample_1h_multi (r3 verdict slot
+    # economy) — the arbitrary-callable Arrow path still runs there as the
+    # q90 column
     "transform_boxcox": q_transform_boxcox,
     "resample_1h_multi": q_resample_1h_multi,
     "coverage_diff": q_coverage_diff,
@@ -1227,21 +1335,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "m4_downsample": q_m4_downsample,
     "tokens_roundtrip": q_tokens_roundtrip,
+    # series-stats extensions promoted into the oracle window in r4 (slots
+    # freed by the resample_custom_q90 / lang_id / doc_fingerprint merges)
+    "series_corr": q_series_corr,
+    "cusum_changepoint": q_cusum_changepoint,
+    "counter_rate": q_counter_rate,
 }
 
 from gensor_spark.queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(TEXT_QUERIES)
 
-# no-oracle UDF kernels last (outside the driver's oracle window by design;
-# both are parity-pinned in pytest instead — tests/test_operators.py)
+# no-oracle entries last (outside the driver's oracle window by design;
+# every one is parity-pinned in pytest instead — the LOF/iForest kernels in
+# tests/test_operators.py, EWMA at pandas rtol 1e-12 and seasonal profiles
+# vs DuckDB in tests/test_seriesstats.py, LTTB vs an independent reference
+# implementation in tests/test_plotdata.py)
 QUERIES["outliers_lof"] = q_outliers_lof
 QUERIES["outliers_isolation_forest"] = q_outliers_isolation_forest
-# round-4 series-stats extensions: pytest-oracled (DuckDB/pandas in
-# tests/test_seriesstats.py), registered after the window like the kernels
 QUERIES["ewma_smooth"] = q_ewma_smooth
-QUERIES["series_corr"] = q_series_corr
-QUERIES["cusum_changepoint"] = q_cusum_changepoint
+QUERIES["seasonal_anomaly"] = q_seasonal_anomaly
+QUERIES["lttb_downsample"] = q_lttb_downsample
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,
@@ -1262,7 +1376,6 @@ ORACLES: dict[str, str] = {
     # outliers_lof: intentionally no oracle (Arrow-UDF kNN; rows-only check)
     # outliers_isolation_forest: no oracle (randomized trees; rows-only check)
     "catalog_select": SQL_CATALOG_SELECT,
-    "resample_custom_q90": SQL_RESAMPLE_CUSTOM_Q90,
     "transform_boxcox": SQL_TRANSFORM_BOXCOX,
     "resample_1h_multi": SQL_RESAMPLE_1H_MULTI,
     "coverage_diff": SQL_COVERAGE_DIFF,
@@ -1270,6 +1383,9 @@ ORACLES: dict[str, str] = {
     "interval_join": SQL_INTERVAL_JOIN,
     "m4_downsample": SQL_M4_DOWNSAMPLE,
     "tokens_roundtrip": SQL_TOKENS_ROUNDTRIP,
+    "series_corr": SQL_SERIES_CORR,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "counter_rate": SQL_COUNTER_RATE,
 }
 
 ORACLES.update(TEXT_ORACLES)

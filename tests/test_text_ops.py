@@ -233,3 +233,25 @@ def test_ivf_probe_all_equals_brute(spark):
            for r in S.ivf_topk(emb, k=3, n_queries=5, n_centroids=6,
                                n_probe=6, dims=8).collect()}
     assert ivf == brute
+
+
+def test_doc_fingerprint_per_doc_matches_duckdb(spark):
+    """Per-document fingerprint values vs the DuckDB oracle SQL.
+
+    The standalone ``doc_fingerprint`` driver row was merged into
+    ``dedup_fingerprint`` (r4 slot economy): the driver now pins only the
+    collision-group aggregate, so this test keeps the per-doc fp values
+    themselves oracle-checked."""
+    import duckdb
+
+    from gensor_spark.queries_text import SQL_DOC_FINGERPRINT, q_doc_fingerprint
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r.fp
+           for r in q_doc_fingerprint(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = dict(con.execute(SQL_DOC_FINGERPRINT).fetchall())
+    assert len(got) == len(want) > 0
+    assert got == want
