@@ -55,6 +55,7 @@ from gensor_spark.operators.rollup import (
     finalize_tier,
     rollup_docs_arrow,
     rollup_docs_arrow_narrow,
+    rollup_tier,
     widen_partials,
 )
 
@@ -306,6 +307,85 @@ class TierPipeline:
                     f.result()  # propagate the first failure
         stats["processed"] = sorted(todo)
         return stats
+
+    # ------------------------------------------------- late data / backfill
+
+    def ingest_points_wave(self, points: DataFrame, wave: int) -> dict:
+        """Fold a late-arriving POINT delta into the tiers (backfill).
+
+        Continuous-aggregate backfill without invalidation machinery: the
+        partial states are associative, so late rows never rewrite stored
+        bins — they land as NEW contributions ``batch = wave·n_batches +
+        bucket`` and every affected bin re-merges at read (exactly the
+        cross-batch merge ``read_tier``/``compact`` already perform). This
+        is the first path where two contributions can share a (series, bin);
+        ``_merge_partials`` is associative on every column including
+        ``last`` (``max_by`` on ``last_ts``), so read-time results equal a
+        from-scratch recompute over old+late points (asserted in tests).
+
+        Late data arrives as the POINT view (ts-stamped rows), not re-packed
+        token docs, so the rollup is the point-path ``rollup_tier`` (no
+        affine-ts assumption) and the blob-encode stage does not apply.
+        ``wave`` must be a unique integer ≥ 1 per delta (e.g. the ingest
+        snapshot ordinal): idempotency per (wave, bucket) rides the same
+        ledger as ``run()``, and wave ids stay integers so both backends'
+        batch identity (parquet dir / Iceberg INT column) are unchanged.
+
+        The one driver action (a distinct over ≤ ``n_batches`` bucket ids)
+        skips empty buckets — a small delta then writes only the
+        contributions it actually has, not ``n_batches`` empty dirs.
+        """
+        if not isinstance(wave, int) or wave < 1:
+            raise ValueError(f"wave must be an integer >= 1, got {wave!r}")
+        if self.narrow_partials:
+            raise NotImplementedError(
+                "point-wave backfill stores wide partials; narrow_partials "
+                "pipelines (an off-by-default, measured-no-gain shuffle "
+                "experiment) do not support it"
+            )
+        done = set(self.ledger()["processed"])
+        bucketed = points.withColumn("_batch", self._batch_col())
+        present = sorted(
+            r["_batch"] for r in bucketed.select("_batch").distinct().collect()
+        )
+        stats = {"processed": [], "skipped": []}
+        for b in present:
+            sid = wave * self.n_batches + int(b)
+            if sid in done:
+                stats["skipped"].append(sid)
+                continue
+            self._process_points_batch(bucketed, int(b), sid, wave)
+            stats["processed"].append(sid)
+        return stats
+
+    def _process_points_batch(self, bucketed: DataFrame, b: int, sid: int,
+                              wave: int) -> None:
+        t0 = time.monotonic()
+        pts = bucketed.filter(F.col("_batch") == b).drop("_batch")
+        counts: dict[str, int] = {}
+        m1 = rollup_tier(pts, "1m", keys=self.keys).persist()
+        h1: DataFrame | None = None
+        try:
+            counts["1m"] = self._store_tier(m1, "1m", sid)
+            h1 = cascade_tier(m1, "1h", keys=self.keys).persist()
+            counts["1h"] = self._store_tier(h1, "1h", sid)
+            counts["1d"] = self._store_tier(
+                cascade_tier(h1, "1d", keys=self.keys), "1d", sid
+            )
+        finally:
+            m1.unpersist()
+            if h1 is not None:
+                h1.unpersist()
+        self._lineage_row(
+            {
+                "batch": sid,
+                "wave": wave,
+                "rows": counts,
+                "wall_s": round(time.monotonic() - t0, 3),
+                "tiers": list(TIERS),
+            }
+        )
+        self._commit_batch(sid)
 
     # ------------------------------------------------------------------- read
 

@@ -257,3 +257,48 @@ def test_narrow_partials_match_wide_exactly(spark, docs, tmp_path):
     a, b = _tier_pdf(wide.read_tier("1m")), _tier_pdf(narrow.read_tier("1m"))
     assert len(a) > 0
     _assert_tiers_equal(a, b)
+
+
+def test_late_points_wave_matches_full_recompute(spark, docs, tmp_path):
+    """Backfill: a late point delta folded in as a wave equals a from-scratch
+    recompute over old+late points — the continuous-aggregate property.
+
+    The late points land INSIDE already-rolled bins (ts shifted +30s stays
+    in the same 1m bin) and carry the bins' new latest timestamps, so the
+    cross-contribution merge must re-derive count/min/max/mean AND flip
+    ``last`` to the late wave's values."""
+    pipe = TierPipeline(spark, str(tmp_path / "store"), n_batches=4)
+    pipe.run(docs)
+
+    base = docs_to_points(docs)
+    late = (
+        base.filter("seq % 17 = 3")
+        .selectExpr("doc_id", "source", "seq",
+                    "ts + INTERVAL 30 SECONDS AS ts", "value + 1000 AS value")
+    )
+    stats = pipe.ingest_points_wave(late, wave=1)
+    assert stats["processed"] and not stats["skipped"]
+
+    everything = base.unionByName(late.select(*base.columns))
+    for tier in ("1m", "1h", "1d"):
+        got = _tier_pdf(pipe.read_tier(tier))
+        want = _tier_pdf(finalize_tier(rollup_tier(everything, tier)))
+        _assert_tiers_equal(got, want)
+
+    # idempotent per (wave, bucket): a re-run skips and changes nothing
+    stats2 = pipe.ingest_points_wave(late, wave=1)
+    assert stats2["skipped"] == stats["processed"] and not stats2["processed"]
+    _assert_tiers_equal(
+        _tier_pdf(pipe.read_tier("1m")),
+        _tier_pdf(finalize_tier(rollup_tier(everything, "1m"))),
+    )
+
+
+def test_points_wave_rejects_bad_wave_and_narrow(spark, docs, tmp_path):
+    pipe = TierPipeline(spark, str(tmp_path / "s1"), n_batches=4)
+    with pytest.raises(ValueError, match="wave"):
+        pipe.ingest_points_wave(docs_to_points(docs), wave=0)
+    narrow = TierPipeline(spark, str(tmp_path / "s2"), n_batches=4,
+                          narrow_partials=True)
+    with pytest.raises(NotImplementedError):
+        narrow.ingest_points_wave(docs_to_points(docs), wave=1)
