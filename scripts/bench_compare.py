@@ -35,6 +35,23 @@ def load(path: str) -> dict:
     return d
 
 
+# r4 registry merges: the merged query's wall absorbs its components', so
+# an honest old-side comparator is the SUM of the old components. Applied
+# only when the old record still has the components un-merged.
+MERGES = {
+    "resample_1h_multi": ("resample_1h_multi", "resample_custom_q90"),
+    "doc_quality": ("doc_quality", "lang_id"),
+}
+
+
+def _apply_merges(oq: dict, nq: dict) -> dict:
+    out = dict(oq)
+    for merged, parts in MERGES.items():
+        if merged in nq and all(p in out for p in parts) and len(parts) > 1:
+            out[merged] = sum(out.pop(p) for p in parts if p != merged) + out.pop(merged)
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flag = 1.25
@@ -43,6 +60,7 @@ def main() -> None:
             flag = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     new, old = load(args[0]), load(args[1])
     nq, oq = new["queries"], old["queries"]
+    oq = _apply_merges(oq, nq)
     shared = sorted(set(nq) & set(oq))
     ns, os_ = sum(nq[k] for k in shared), sum(oq[k] for k in shared)
     print(f"shared {len(shared)} queries: new {ns:.1f}s  old {os_:.1f}s  ratio {ns / os_:.3f}")
