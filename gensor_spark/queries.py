@@ -155,12 +155,21 @@ FROM grid LEFT JOIN b
 # --------------------------------------------------------------------------
 
 def q_coverage_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series profile: coverage (gensor ``Dataset.info``/``Coverage``)
+    PLUS the OLS trend (gensor ``ts.trend()``) in one aggregate.
+
+    ``trend_ols`` previously held its own driver slot (green r1-r3); merged
+    here per the verdict slot economy — both are single-pass per-series
+    aggregates over the same points, so one groupBy verifies every column
+    the two rows verified."""
     pts = _points(spark, sf_dir)
     return pts.groupBy("doc_id", "source").agg(
         F.count("value").alias("cnt"),
         F.date_format(F.min("ts"), TS_FMT_SPARK_US).alias("start_ts"),
         F.date_format(F.max("ts"), TS_FMT_SPARK_US).alias("end_ts"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        _r6(F.regr_slope("value", F.col("seq").cast("double"))).alias("slope"),
+        _r6(F.regr_intercept("value", F.col("seq").cast("double"))).alias("intercept"),
     )
 
 
@@ -169,7 +178,9 @@ WITH pts AS ({_PTS_SQL})
 SELECT doc_id, source, COUNT(value) AS cnt,
        strftime(MIN(ts), '{TS_FMT_DUCK_US}') AS start_ts,
        strftime(MAX(ts), '{TS_FMT_DUCK_US}') AS end_ts,
-       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+       ROUND(regr_slope(value, seq) + 1e-9, 6) AS slope,
+       ROUND(regr_intercept(value, seq) + 1e-9, 6) AS intercept
 FROM pts GROUP BY 1, 2
 """
 
@@ -179,20 +190,38 @@ FROM pts GROUP BY 1, 2
 # (gensor analysis/stats.py:21-28 — np.polyfit(arange(n), values, 1))
 # --------------------------------------------------------------------------
 
-def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _points(spark, sf_dir)
-    return pts.groupBy("doc_id", "source").agg(
-        _r6(F.regr_slope("value", F.col("seq").cast("double"))).alias("slope"),
-        _r6(F.regr_intercept("value", F.col("seq").cast("double"))).alias("intercept"),
+# trend_ols: merged into coverage_info (r4 slot economy) — slope/intercept
+# are columns of the per-series profile row there.
+
+
+def q_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile tier (p50/p95/p99 per 1h bin), cascaded through 1m
+    value-histogram partials (operators/histquantiles.py) — the mergeable
+    exact-quantile state the count/min/max/mean/last tiers cannot express.
+    The driver row deliberately exercises the CASCADED path (1m → 1h), so
+    the oracle proves the merge is lossless, not just the direct rollup."""
+    from gensor_spark.operators.histquantiles import rollup_quantiles
+
+    out = rollup_quantiles(_points(spark, sf_dir), "1h",
+                           ps=(0.5, 0.95, 0.99), via_tier="1m")
+    return _fmt_bin(out).select(
+        "doc_id", "source", "bin_ts",
+        _r6(F.col("p50")).alias("p50"),
+        _r6(F.col("p95")).alias("p95"),
+        _r6(F.col("p99")).alias("p99"),
     )
 
 
-SQL_TREND_OLS = f"""
+SQL_ROLLUP_QUANTILES = f"""
 WITH pts AS ({_PTS_SQL})
 SELECT doc_id, source,
-       ROUND(regr_slope(value, seq) + 1e-9, 6) AS slope,
-       ROUND(regr_intercept(value, seq) + 1e-9, 6) AS intercept
-FROM pts GROUP BY 1, 2
+       strftime(to_timestamp(floor(epoch(ts) / 3600) * 3600),
+                '{TS_FMT_DUCK}') AS bin_ts,
+       ROUND(CAST(quantile_cont(value, 0.5)  AS DOUBLE) + 1e-9, 6) AS p50,
+       ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE) + 1e-9, 6) AS p95,
+       ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE) + 1e-9, 6) AS p99
+FROM pts WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
 """
 
 
@@ -1312,7 +1341,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_tiers": q_rollup_tiers,
     "resample_15min_dense": q_resample_15min_dense,
     "coverage_info": q_coverage_info,
-    "trend_ols": q_trend_ols,
+    # trend_ols: merged into coverage_info (slope/intercept columns there)
+    "rollup_quantiles": q_rollup_quantiles,
     "transforms_pointwise": q_transforms_pointwise,
     "scalers": q_scalers,
     "outliers_global": q_outliers_global,
@@ -1361,7 +1391,7 @@ ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,
     "resample_15min_dense": SQL_RESAMPLE_15MIN,
     "coverage_info": SQL_COVERAGE_INFO,
-    "trend_ols": SQL_TREND_OLS,
+    "rollup_quantiles": SQL_ROLLUP_QUANTILES,
     "transforms_pointwise": SQL_TRANSFORMS_POINTWISE,
     "scalers": SQL_SCALERS,
     "outliers_global": SQL_OUTLIERS_GLOBAL,

@@ -41,6 +41,7 @@ def load(path: str) -> dict:
 MERGES = {
     "resample_1h_multi": ("resample_1h_multi", "resample_custom_q90"),
     "doc_quality": ("doc_quality", "lang_id"),
+    "coverage_info": ("coverage_info", "trend_ols"),
 }
 
 
