@@ -47,6 +47,13 @@ from pathlib import Path
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from gensor_spark.operators.histquantiles import (
+    cascade_hist,
+    merge_hist,
+    quantiles_from_hist,
+    rollup_hist,
+)
+from gensor_spark.operators.points import docs_to_points
 from gensor_spark.operators.rollup import (
     _merge_partials,
     _merge_partials_narrow,
@@ -75,6 +82,7 @@ class TierPipeline:
         backend: str = "parquet",
         iceberg_namespace: str = "local.gensor",
         narrow_partials: bool = False,
+        hist_tiers: bool = False,
     ) -> None:
         self.spark = spark
         self.store = Path(store_dir)
@@ -87,6 +95,11 @@ class TierPipeline:
         #: see iceberg_store.iceberg_conf). Ledger/lineage/blobs stay on the
         #: filesystem either way.
         self.backend = backend
+        # validate flag/backend combinations BEFORE any backend session work
+        if narrow_partials and backend != "parquet":
+            raise ValueError("narrow_partials requires the parquet backend")
+        if hist_tiers and backend != "parquet":
+            raise ValueError("hist_tiers requires the parquet backend")
         if backend == "iceberg":
             from gensor_spark.plans.iceberg_store import IcebergTierStore
 
@@ -104,8 +117,15 @@ class TierPipeline:
         #: back, so finalized outputs are bit-identical either way.
         #: Parquet backend only (the Iceberg tier tables keep wide rows).
         self.narrow_partials = narrow_partials
-        if narrow_partials and backend != "parquet":
-            raise ValueError("narrow_partials requires the parquet backend")
+        #: also maintain 1m value-histogram partials per batch (operators/
+        #: histquantiles.py) — the mergeable EXACT-percentile state the wide
+        #: partials cannot express. Coarser percentile tiers cascade at read
+        #: from the stored 1m histograms (bin-grain work, no raw re-read):
+        #: ``read_hist_quantiles``. Opt-in: the histogram build explodes the
+        #: docs to points (no affine fast path yet), so it costs more than
+        #: the count/min/max/mean/last chain. Parquet backend only (the
+        #: Iceberg MERGE templates carry wide rows, not map columns).
+        self.hist_tiers = hist_tiers
         #: batches in flight at once. Spark schedules concurrent jobs from
         #: driver threads task-by-task, so a second batch's heavy stages fill
         #: the slots the first batch leaves idle during its commit/small-stage
@@ -260,6 +280,10 @@ class TierPipeline:
                 blob_thread.join()
         if blob_err:
             raise blob_err[0]
+        if self.hist_tiers:
+            counts["hist_1m"] = self._store_hist_batch(
+                docs_to_points(batch_docs), b
+            )
         self._lineage_row(
             {
                 "batch": b,
@@ -376,6 +400,8 @@ class TierPipeline:
             m1.unpersist()
             if h1 is not None:
                 h1.unpersist()
+        if self.hist_tiers:
+            counts["hist_1m"] = self._store_hist_batch(pts, sid)
         self._lineage_row(
             {
                 "batch": sid,
@@ -386,6 +412,62 @@ class TierPipeline:
             }
         )
         self._commit_batch(sid)
+
+    # ----------------------------------------------- percentile (hist) tiers
+
+    def _store_hist_batch(self, points: DataFrame, sid: int) -> int:
+        """Write one contribution's 1m value-histogram partials."""
+        hist = rollup_hist(points, "1m", keys=self.keys)
+        return self._write_counted(
+            hist, str(self.store / "tier_hist_1m" / f"batch={sid}")
+        )
+
+    def _read_hist_merged(self) -> DataFrame:
+        self._recover_compact("hist_1m")
+        base = self.store / "tier_hist_1m"
+        parts = sorted(base.glob("batch=*"))
+        if not parts:
+            raise FileNotFoundError(
+                f"no histogram partials under {base} — construct the "
+                "pipeline with hist_tiers=True and run() it first"
+            )
+        raw = self.spark.read.option("basePath", str(base)).parquet(
+            *[str(p) for p in parts]
+        ).drop("batch")
+        return merge_hist(raw, [*self.keys, "bin_ts"])
+
+    def read_hist_quantiles(
+        self, tier: str = "1h", ps: tuple[float, ...] = (0.5, 0.95, 0.99)
+    ) -> DataFrame:
+        """Exact per-bin percentiles at ``tier`` from the stored 1m
+        histograms — coarser tiers cascade at read (bin-grain explode +
+        re-sum, never a raw-point re-read), the same shape as
+        ``read_tier``'s cross-batch partial merge. Exactness argument and
+        plan audit: operators/histquantiles.py."""
+        merged = self._read_hist_merged()
+        if tier != "1m":
+            merged = cascade_hist(merged, tier, keys=self.keys)
+        return quantiles_from_hist(merged, ps=ps, keys=self.keys)
+
+    def compact_hist(self) -> None:
+        """Fold all histogram contributions into one (crash-safe rewrite —
+        the same promote/rollback protocol as ``compact``)."""
+        self._rewrite_tier("hist_1m", self._read_hist_merged())
+
+    def apply_hist_retention(self, age: str, now) -> str:
+        """Drop 1m histogram bins older than ``now - age`` (compacting
+        rewrite, same crash protocol). Coarser percentile tiers are derived
+        at read, so the 1m horizon IS the percentile retention horizon.
+        Returns the ISO cutoff applied."""
+        import pandas as pd
+
+        cutoff = (pd.Timestamp(now) - pd.Timedelta(age)).isoformat(sep=" ")
+        kept = self._read_hist_merged().filter(
+            F.col("bin_ts") >= F.lit(cutoff).cast("timestamp")
+        )
+        self._rewrite_tier("hist_1m", kept)
+        self._lineage_row({"retention": {"hist_1m": cutoff}})
+        return cutoff
 
     # ------------------------------------------------------------------- read
 

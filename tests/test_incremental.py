@@ -302,3 +302,62 @@ def test_points_wave_rejects_bad_wave_and_narrow(spark, docs, tmp_path):
                           narrow_partials=True)
     with pytest.raises(NotImplementedError):
         narrow.ingest_points_wave(docs_to_points(docs), wave=1)
+
+
+def test_hist_tiers_incremental_percentiles(spark, docs, tmp_path):
+    """Percentile tiers maintained incrementally: stored 1m histogram
+    partials from a batched run PLUS a late-data wave cascade at read to
+    the exact 1h percentiles of a from-scratch computation over all
+    points; compaction and retention preserve/trim them correctly."""
+    from gensor_spark.operators.histquantiles import rollup_quantiles
+
+    pipe = TierPipeline(spark, str(tmp_path / "store"), n_batches=4,
+                        hist_tiers=True)
+    pipe.run(docs)
+    base = docs_to_points(docs)
+    late = (
+        base.filter("seq % 13 = 5")
+        .selectExpr("doc_id", "source", "seq",
+                    "ts + INTERVAL 30 SECONDS AS ts", "value + 7 AS value")
+    )
+    pipe.ingest_points_wave(late, wave=1)
+    everything = base.unionByName(late.select(*base.columns))
+
+    def _q(df):
+        return (df.toPandas()
+                .sort_values(["doc_id", "source", "bin_ts"])
+                .reset_index(drop=True))
+
+    got = _q(pipe.read_hist_quantiles("1h"))
+    want = _q(rollup_quantiles(everything, "1h", via_tier=None))
+    assert len(got) == len(want) > 0
+    for c in ("p50", "p95", "p99"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(float), want[c].to_numpy(float), rtol=1e-12
+        )
+
+    pipe.compact_hist()
+    after_compact = _q(pipe.read_hist_quantiles("1h"))
+    for c in ("p50", "p95", "p99"):
+        np.testing.assert_allclose(
+            after_compact[c].to_numpy(float), got[c].to_numpy(float),
+            rtol=0,
+        )
+
+    mid = got["bin_ts"].quantile(0.5)
+    now = got["bin_ts"].max() + pd.Timedelta("1h")
+    cutoff = pipe.apply_hist_retention(str(now - mid), now=now)
+    trimmed = _q(pipe.read_hist_quantiles("1h"))
+    assert (trimmed["bin_ts"] >= pd.Timestamp(cutoff)).all()
+    survivors = got[got["bin_ts"] >= pd.Timestamp(cutoff)].reset_index(drop=True)
+    assert 0 < len(trimmed) == len(survivors) < len(got)
+    for c in ("p50", "p95", "p99"):
+        np.testing.assert_allclose(
+            trimmed[c].to_numpy(float), survivors[c].to_numpy(float), rtol=0
+        )
+
+
+def test_hist_tiers_requires_parquet_backend(spark, tmp_path):
+    with pytest.raises(ValueError, match="hist_tiers"):
+        TierPipeline(spark, str(tmp_path / "s"), backend="iceberg",
+                     hist_tiers=True)
