@@ -741,9 +741,7 @@ def q_outliers_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-day seasonal-profile anomalies — registry entry outside the
-    driver window (the 50 oracle slots are full); DuckDB window-SQL parity
-    is pinned in tests/test_seriesstats.py on the same events input."""
+    """Hour-of-day seasonal-profile anomalies (driver-oracled r4)."""
     from gensor_spark.operators.seriesstats import seasonal_anomaly
 
     # profile per sensor type: the testdata's per-(doc,source) series are
@@ -756,6 +754,18 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "seq", "phase",
         _r6(F.col("season_z")).alias("sz"),
     )
+
+
+SQL_SEASONAL_ANOMALY = f"""
+WITH pts AS ({_PTS_SQL}),
+p AS (SELECT doc_id, source, seq, value, hour(ts) AS phase FROM pts),
+s AS (SELECT *, avg(value) OVER w AS m, stddev_samp(value) OVER w AS sd,
+             count(value) OVER w AS c
+      FROM p WINDOW w AS (PARTITION BY source, phase))
+SELECT doc_id, source, seq, phase,
+       round((value - m) / sd + 1e-9, 6) AS sz
+FROM s WHERE c >= 5 AND sd > 0 AND abs((value - m) / sd) > 2.5
+"""
 
 
 def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1370,6 +1380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "series_corr": q_series_corr,
     "cusum_changepoint": q_cusum_changepoint,
     "counter_rate": q_counter_rate,
+    "seasonal_anomaly": q_seasonal_anomaly,
 }
 
 from gensor_spark.queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
@@ -1384,7 +1395,6 @@ QUERIES.update(TEXT_QUERIES)
 QUERIES["outliers_lof"] = q_outliers_lof
 QUERIES["outliers_isolation_forest"] = q_outliers_isolation_forest
 QUERIES["ewma_smooth"] = q_ewma_smooth
-QUERIES["seasonal_anomaly"] = q_seasonal_anomaly
 QUERIES["lttb_downsample"] = q_lttb_downsample
 
 ORACLES: dict[str, str] = {
@@ -1416,6 +1426,7 @@ ORACLES: dict[str, str] = {
     "series_corr": SQL_SERIES_CORR,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "counter_rate": SQL_COUNTER_RATE,
+    "seasonal_anomaly": SQL_SEASONAL_ANOMALY,
 }
 
 ORACLES.update(TEXT_ORACLES)

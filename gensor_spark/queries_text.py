@@ -300,9 +300,21 @@ SELECT id_a, id_b, hamming, sig_a, sig_b FROM pairs WHERE hamming <= 3
 # embedding similarity
 # --------------------------------------------------------------------------
 
-def q_emb_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = S.neardup_pairs_brute(_emb(spark, sf_dir), threshold=0.45)
-    return out.select("id_a", "id_b", _r6(F.col("sim")).alias("sim"))
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by BOTH algorithms in one row set: the
+    brute-force O(n²) baseline and the LSH-bucketed scale path, tagged by a
+    ``method`` column (the merged-two-sided shape the r3 verdict sanctioned
+    for outliers/masks — both plans still execute and every pair value is
+    still hashed; previously the separate ``emb_neardup_brute`` /
+    ``emb_neardup_lsh`` rows, green r2-r4)."""
+    emb = _emb(spark, sf_dir)
+    brute = S.neardup_pairs_brute(emb, threshold=0.45).select(
+        F.lit("brute").alias("method"),
+        "id_a", "id_b", _r6(F.col("sim")).alias("sim"))
+    lsh = S.neardup_pairs_lsh(emb, threshold=0.45).select(
+        F.lit("lsh").alias("method"),
+        "id_a", "id_b", _r6(F.col("sim")).alias("sim"))
+    return brute.unionByName(lsh)
 
 
 SQL_EMB_NEARDUP_BRUTE = f"""
@@ -314,9 +326,12 @@ WHERE {_cos_sql('a.qv', 'b.qv')} >= 0.45
 """
 
 
-def q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = S.neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
-    return out.select("id_a", "id_b", _r6(F.col("sim")).alias("sim"))
+def _sql_emb_neardup() -> str:
+    return f"""
+SELECT 'brute' AS method, * FROM ({SQL_EMB_NEARDUP_BRUTE}) b
+UNION ALL
+SELECT 'lsh' AS method, * FROM ({_sql_emb_neardup_lsh()}) l
+"""
 
 
 def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,8 +1035,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_quality": q_repetition_quality,
     "vocab_topk": q_vocab_topk,
     "simhash_pairs": q_simhash_pairs,
-    "emb_neardup_brute": q_emb_neardup_brute,
-    "emb_neardup_lsh": q_emb_neardup_lsh,
+    # emb_neardup_brute + emb_neardup_lsh: merged into emb_neardup
+    # (method column; both algorithms still execute and value-hash)
+    "emb_neardup": q_emb_neardup,
     "emb_dup_clusters": q_emb_dup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1049,8 +1065,7 @@ TEXT_ORACLES: dict[str, str] = {
     "repetition_quality": SQL_REPETITION_QUALITY,
     "vocab_topk": SQL_VOCAB_TOPK,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
-    "emb_neardup_brute": SQL_EMB_NEARDUP_BRUTE,
-    "emb_neardup_lsh": _sql_emb_neardup_lsh(),
+    "emb_neardup": _sql_emb_neardup(),
     "emb_dup_clusters": _sql_emb_dup_clusters(),
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,

@@ -42,14 +42,19 @@ MERGES = {
     "resample_1h_multi": ("resample_1h_multi", "resample_custom_q90"),
     "doc_quality": ("doc_quality", "lang_id"),
     "coverage_info": ("coverage_info", "trend_ols"),
+    "emb_neardup": ("emb_neardup_brute", "emb_neardup_lsh"),
 }
 
 
 def _apply_merges(oq: dict, nq: dict) -> dict:
     out = dict(oq)
     for merged, parts in MERGES.items():
-        if merged in nq and all(p in out for p in parts) and len(parts) > 1:
-            out[merged] = sum(out.pop(p) for p in parts if p != merged) + out.pop(merged)
+        # parts may or may not include the merged name itself (emb_neardup
+        # is a pure rename-union; the others absorb into an existing name)
+        if merged in nq and all(p in out for p in parts):
+            total = sum(out.pop(p) for p in parts)
+            total += out.pop(merged, 0.0) if merged not in parts else 0.0
+            out[merged] = total
     return out
 
 

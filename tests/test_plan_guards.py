@@ -54,7 +54,11 @@ def test_dense_grid_join_not_broadcast(spark, queries):
 
 
 def test_column_pruning_on_narrow_query(spark, queries):
-    plan = _plan(queries["coverage_info"](spark, SF))
+    # m4_downsample never touches seq, so the seq window's event_id
+    # tie-break column must be pruned out of the scan entirely.
+    # (coverage_info carried this guard until r4 — merging the trend into
+    # it made seq, and therefore event_id, genuinely needed there.)
+    plan = _plan(queries["m4_downsample"](spark, SF))
     read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
     assert "props" not in read and "event_id" not in read
 
@@ -98,7 +102,7 @@ def test_emb_lsh_scores_after_distinct(spark, queries):
     computing cosine: the distinct aggregate's keys are the two ids alone —
     a `sim` column in the keys means pairs were scored once per shared
     bucket (up to LSH_TABLES×) and deduplicated after the fact."""
-    plan = _plan(queries["emb_neardup_lsh"](spark, SF))
+    plan = _plan(queries["emb_neardup"](spark, SF))
     distincts = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", plan)
     cand = [k for k in distincts if "id_a" in k and "id_b" in k]
     assert cand, "candidate-distinct aggregate missing"
