@@ -72,6 +72,86 @@ def rollup_hist(
     )
 
 
+def rollup_hist_docs_arrow(
+    docs: DataFrame,
+    tier: str = "1m",
+    tick_seconds: int = 60,
+    epoch0_us: int = 1_704_067_200_000_000,
+) -> DataFrame:
+    """Affine-ts fast path for the histogram build: per-bin value counts
+    straight from the token arrays, one vectorized pass per Arrow batch —
+    no point-view explode, no raw-point shuffle (the ``rollup_docs_arrow``
+    pattern applied to the histogram state).
+
+    The trick: a (global bin, value) pair packs into one int64
+    (``bin << 25 | value`` — token ids are asserted ``0 ≤ v < 2^24``, the
+    same bound the narrow rollup kernel relies on), so ONE ``np.unique``
+    over the packed keys counts every bin of every doc in a single
+    C-level sort pass. Output is bit-identical to
+    ``rollup_hist(docs_to_points(docs), tier)`` (asserted in tests).
+
+    Python-object work is one dict per BIN row (≈ tokens/60), not per
+    token — the map-column boundary cost the Arrow format imposes; at 100
+    TB the win over the explode path is that raw points never shuffle and
+    never materialize as rows at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    step = _step(tier)
+    if step % tick_seconds:
+        raise ValueError(
+            f"tier step {step}s not a multiple of tick {tick_seconds}s")
+    k = step // tick_seconds
+    schema = "doc_id string, source string, bin_ts timestamp, hist map<double,bigint>"
+    _VBITS = 25
+    _VMAX = 1 << 24
+
+    def kernel(batches):
+        for pdf in batches:
+            toks = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
+            lens = np.fromiter((t.size for t in toks), dtype=np.int64,
+                               count=len(toks))
+            keep = lens > 0
+            if not keep.any():
+                continue
+            toks = [t for t, kp in zip(toks, keep) if kp]
+            lens = lens[keep]
+            flat = np.concatenate(toks)
+            if flat.min() < 0 or flat.max() >= _VMAX:
+                raise ValueError(
+                    "histogram fast path requires token ids in [0, 2^24)")
+            ndocs = lens.size
+            nbins = -(-lens // k)
+            doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            bin_off = np.concatenate([[0], np.cumsum(nbins)[:-1]])
+            total_bins = int(nbins.sum())
+            # per-token GLOBAL bin id (affine: position // k within its doc)
+            pos = np.arange(flat.size) - np.repeat(doc_off, lens)
+            tok_bin = np.repeat(bin_off, lens) + pos // k
+            packed = (tok_bin << _VBITS) | flat
+            u, c = np.unique(packed, return_counts=True)
+            u_bin = u >> _VBITS
+            u_val = (u & (_VMAX * 2 - 1)).astype(np.float64)
+            # every affine bin is occupied, so splitting the sorted unique
+            # stream at each bin boundary yields exactly total_bins groups
+            split = np.searchsorted(u_bin, np.arange(1, total_bins))
+            hists = [
+                dict(zip(v.tolist(), ct.tolist()))
+                for v, ct in zip(np.split(u_val, split), np.split(c, split))
+            ]
+            bin_local = np.arange(total_bins) - np.repeat(bin_off, nbins)
+            yield pd.DataFrame({
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy()[keep], nbins),
+                "source": np.repeat(pdf["source"].to_numpy()[keep], nbins),
+                "bin_ts": pd.to_datetime(
+                    epoch0_us + bin_local * (step * 1_000_000), unit="us"),
+                "hist": hists,
+            })
+
+    return docs.mapInPandas(kernel, schema=schema)
+
+
 def merge_hist(hists: DataFrame, group_cols: list[str]) -> DataFrame:
     """Key-wise histogram addition — associative, any nesting level."""
     exploded = hists.select(

@@ -52,6 +52,7 @@ from gensor_spark.operators.histquantiles import (
     merge_hist,
     quantiles_from_hist,
     rollup_hist,
+    rollup_hist_docs_arrow,
 )
 from gensor_spark.operators.points import docs_to_points
 from gensor_spark.operators.rollup import (
@@ -121,10 +122,12 @@ class TierPipeline:
         #: histquantiles.py) — the mergeable EXACT-percentile state the wide
         #: partials cannot express. Coarser percentile tiers cascade at read
         #: from the stored 1m histograms (bin-grain work, no raw re-read):
-        #: ``read_hist_quantiles``. Opt-in: the histogram build explodes the
-        #: docs to points (no affine fast path yet), so it costs more than
-        #: the count/min/max/mean/last chain. Parquet backend only (the
-        #: Iceberg MERGE templates carry wide rows, not map columns).
+        #: ``read_hist_quantiles``. The batch path rides the affine Arrow
+        #: kernel (rollup_hist_docs_arrow — no point explode); late-data
+        #: waves use the ts-stamped point path. Opt-in: the histogram state
+        #: is inherently heavier than count/min/max/mean/last. Parquet
+        #: backend only (the Iceberg MERGE templates carry wide rows, not
+        #: map columns).
         self.hist_tiers = hist_tiers
         #: batches in flight at once. Spark schedules concurrent jobs from
         #: driver threads task-by-task, so a second batch's heavy stages fill
@@ -281,9 +284,7 @@ class TierPipeline:
         if blob_err:
             raise blob_err[0]
         if self.hist_tiers:
-            counts["hist_1m"] = self._store_hist_batch(
-                docs_to_points(batch_docs), b
-            )
+            counts["hist_1m"] = self._store_hist_batch_docs(batch_docs, b)
         self._lineage_row(
             {
                 "batch": b,
@@ -416,8 +417,23 @@ class TierPipeline:
     # ----------------------------------------------- percentile (hist) tiers
 
     def _store_hist_batch(self, points: DataFrame, sid: int) -> int:
-        """Write one contribution's 1m value-histogram partials."""
+        """Write one contribution's 1m value-histogram partials (point
+        path — the late-data waves, which arrive ts-stamped)."""
         hist = rollup_hist(points, "1m", keys=self.keys)
+        return self._write_counted(
+            hist, str(self.store / "tier_hist_1m" / f"batch={sid}")
+        )
+
+    def _store_hist_batch_docs(self, batch_docs: DataFrame, sid: int) -> int:
+        """Write one batch's 1m histogram partials via the affine Arrow
+        kernel (no point explode, no raw-point shuffle — bit-identical to
+        the point path, asserted in tests). Falls back to the point path
+        for non-default series keys (the kernel's output schema is fixed)."""
+        if tuple(self.keys) != ("doc_id", "source"):
+            return self._store_hist_batch(docs_to_points(batch_docs), sid)
+        hist = rollup_hist_docs_arrow(
+            batch_docs, "1m", tick_seconds=self.tick_seconds
+        )
         return self._write_counted(
             hist, str(self.store / "tier_hist_1m" / f"batch={sid}")
         )

@@ -123,3 +123,34 @@ def test_plan_is_jvm_side_single_exchange_finalizer(spark, pts):
     above = plan.split("InMemoryTableScan")[0]
     n_hist_exchanges = 2  # groupBy(keys,bin,v) + regroup to map
     assert above.count("Exchange hashpartitioning") <= 1 + n_hist_exchanges
+
+
+def test_docs_arrow_hist_kernel_equals_explode_path(spark):
+    """The affine Arrow histogram kernel is bit-identical to
+    rollup_hist(docs_to_points(docs)) — same bins, same value-count maps."""
+    from gensor_spark.operators.histquantiles import rollup_hist_docs_arrow
+    from gensor_spark.operators.points import docs_to_points
+    from gensor_spark.sources.synth import synth_docs
+
+    docs = synth_docs(spark, n_docs=25, seed=11, min_tok=1, max_tok=500)
+    fast = rollup_hist_docs_arrow(docs, "1m").toPandas()
+    slow = rollup_hist(docs_to_points(docs), "1m").toPandas()
+    key = ["doc_id", "source", "bin_ts"]
+    f = fast.sort_values(key).reset_index(drop=True)
+    s = slow.sort_values(key).reset_index(drop=True)
+    assert len(f) == len(s) > 0
+    for c in key:
+        assert (f[c].astype(str) == s[c].astype(str)).all()
+    for hf, hs in zip(f["hist"], s["hist"]):
+        assert dict(hf) == dict(hs)
+
+
+def test_docs_arrow_hist_kernel_rejects_out_of_range(spark):
+    from gensor_spark.operators.histquantiles import rollup_hist_docs_arrow
+
+    bad = spark.createDataFrame(
+        [("d", "s", [1, 2, -5])], "doc_id string, source string, tokens array<int>")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="2\\^24"):
+        rollup_hist_docs_arrow(bad, "1m").collect()
