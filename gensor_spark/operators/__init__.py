@@ -10,10 +10,19 @@ from gensor_spark.operators.asof import asof_join
 from gensor_spark.operators.decontaminate import contamination_stats
 from gensor_spark.operators.intervaljoin import interval_join
 from gensor_spark.operators.seriesstats import (
+    counter_rate,
     cusum_changepoint,
     ewma,
     seasonal_anomaly,
     series_corr,
+)
+from gensor_spark.operators.histquantiles import (
+    cascade_hist,
+    merge_hist,
+    quantiles_from_hist,
+    rollup_hist,
+    rollup_hist_docs_arrow,
+    rollup_quantiles,
 )
 from gensor_spark.operators.plotdata import (
     coverage_segments,
@@ -38,7 +47,14 @@ __all__ = [
     "ewma",
     "series_corr",
     "cusum_changepoint",
+    "counter_rate",
     "seasonal_anomaly",
+    "rollup_hist",
+    "rollup_hist_docs_arrow",
+    "merge_hist",
+    "cascade_hist",
+    "quantiles_from_hist",
+    "rollup_quantiles",
     "m4_downsample",
     "lttb_downsample",
     "outlier_overlay",
