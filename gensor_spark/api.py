@@ -1,0 +1,288 @@
+"""gensor-call-compatible facade: keep your gensor call-sites, run on Spark.
+
+gensor's surface is object-per-series (``Timeseries`` wraps one pd.Series;
+``Dataset`` a list of them — ``/root/reference/gensor/core/base.py:31``,
+``core/dataset.py:122``). This engine holds EVERY series in one DataFrame of
+point rows, so the facade wraps that frame and re-expresses each gensor verb
+as the corresponding distributed operator — same method names, same
+parameter names, same semantics (each delegate is the operator the driver
+oracles, see MIGRATION.md for the full call map). Methods return NEW
+``Dataset`` objects over transformed (lazy) plans, mirroring gensor's
+immutable ``model_copy(deep=True)`` contract without the copy cost.
+
+What intentionally differs (and why):
+- one object for the whole fleet of series instead of one per series — the
+  point of a distributed engine; per-series selection is ``filter()``;
+- laziness — nothing executes until ``.df`` is consumed (gensor computes
+  eagerly per call);
+- ``plot()`` is served as plot DATA (M4/LTTB/overlays, operators/plotdata)
+  rather than matplotlib figures — rendering is client-side.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEYS = ("doc_id", "source")
+
+
+class Dataset:
+    """All series as one point-view frame, with gensor's verbs.
+
+    ``outliers``: like gensor's ``Timeseries.outliers`` side-channel
+    (``core/base.py:207-237``), populated by ``detect_outliers`` —
+    a Dataset of the flagged points.
+    """
+
+    def __init__(self, points: DataFrame, keys: tuple[str, ...] = KEYS,
+                 outliers: "Dataset | None" = None) -> None:
+        self.df = points
+        self.keys = tuple(keys)
+        self.outliers = outliers
+
+    # ------------------------------------------------------------ construct
+
+    @classmethod
+    def from_parquet(cls, spark, sf_dir: str) -> "Dataset":
+        """The driver-testdata events table as a Dataset (point view)."""
+        from gensor_spark.operators.points import events_to_points
+
+        return cls(events_to_points(
+            spark.read.parquet(f"{sf_dir}/events.parquet")))
+
+    @classmethod
+    def read_from_csv(cls, spark, path: str,
+                      file_format: str = "vanessen") -> "Dataset":
+        """gensor ``read_from_csv`` (io/read.py): Diver CSV dir/file →
+        Dataset."""
+        from gensor_spark.sources import csvfiles
+
+        if file_format == "vanessen":
+            return cls(csvfiles.read_vanessen(spark, path))
+        if file_format == "plain":
+            return cls(csvfiles.read_plain(spark, path))
+        raise ValueError(f"unknown file_format: {file_format!r}")
+
+    def _wrap(self, df: DataFrame) -> "Dataset":
+        return Dataset(df, keys=self.keys, outliers=self.outliers)
+
+    # -------------------------------------------------------- Dataset verbs
+
+    def filter(self, location: Any = None, variable: Any = None,
+               **extra: Any) -> "Dataset":
+        """gensor ``Dataset.filter(location=..., variable=...)``
+        (core/dataset.py:341): location maps to the series id (doc_id),
+        variable to the sensor/source tag; values may be scalars or lists."""
+        conds = {"doc_id": location, "source": variable, **extra}
+        df = self.df
+        for col, val in conds.items():
+            if val is None:
+                continue
+            vals = val if isinstance(val, (list, tuple, set)) else [val]
+            df = df.filter(F.col(col).isin([str(v) for v in vals]))
+        return self._wrap(df)
+
+    def pop(self, location: Any = None, variable: Any = None
+            ) -> tuple["Dataset", "Dataset"]:
+        """gensor ``Dataset.pop`` (core/dataset.py:394): (popped, rest)."""
+        popped = self.filter(location=location, variable=variable)
+        cond = F.lit(True)
+        if location is not None:
+            vals = location if isinstance(location, (list, tuple, set)) else [location]
+            cond = cond & F.col("doc_id").isin([str(v) for v in vals])
+        if variable is not None:
+            vals = variable if isinstance(variable, (list, tuple, set)) else [variable]
+            cond = cond & F.col("source").isin([str(v) for v in vals])
+        return popped, self._wrap(self.df.filter(~cond))
+
+    def add(self, other: "Dataset") -> "Dataset":
+        """gensor ``Dataset.add`` / ``concatenate`` (core/dataset.py:308,
+        core/base.py:134): union with keep-first dedup on the point key."""
+        from gensor_spark.operators.masking import concatenate
+
+        return self._wrap(concatenate(self.df, other.df, keys=self.keys))
+
+    concatenate = add
+
+    def loc(self, start: Any = None, end: Any = None) -> "Dataset":
+        """gensor ``ts.loc[t0:t1]`` label slice (core/indexer.py)."""
+        df = self.df
+        if start is not None:
+            df = df.filter(F.col("ts") >= F.lit(str(start)).cast("timestamp"))
+        if end is not None:
+            df = df.filter(F.col("ts") <= F.lit(str(end)).cast("timestamp"))
+        return self._wrap(df)
+
+    def iloc(self, i: int) -> "Dataset":
+        """gensor positional indexing (core/indexer.py:20-32) — the point
+        view carries the per-series ordinal ``seq``."""
+        return self._wrap(self.df.filter(F.col("seq") == int(i)))
+
+    def info(self) -> DataFrame:
+        """gensor ``Dataset.info`` (core/dataset.py:229): per-series
+        coverage + OLS trend profile."""
+        return self.df.groupBy(*self.keys).agg(
+            F.count("value").alias("cnt"),
+            F.min("ts").alias("start"),
+            F.max("ts").alias("end"),
+            F.regr_slope("value", F.col("seq").cast("double")).alias("slope"),
+        )
+
+    coverage = info
+
+    # ----------------------------------------------------- processing verbs
+
+    def resample(self, freq: str, agg_func: Any = "mean",
+                 **resample_kwargs: Any) -> "Dataset":
+        """gensor ``resample(freq, agg_func)`` (core/base.py:147-170):
+        string agg names ride the JVM fast path; a Python callable runs in
+        the batched Arrow kernel exactly like ``pd.Series.resample.apply``."""
+        from gensor_spark.operators.resample import resample
+
+        if callable(agg_func):
+            out = resample(self.df, freq, agg_func=agg_func,
+                           keys=self.keys, **resample_kwargs)
+        else:
+            out = resample(self.df, freq, aggs=agg_func,
+                           keys=self.keys, **resample_kwargs)
+        name = (getattr(agg_func, "__name__", None) or str(agg_func)) \
+            if not isinstance(agg_func, str) else agg_func
+        # back to the point-view column contract: one value column
+        val = name if name in out.columns else out.columns[-1]
+        pts = out.select(
+            *self.keys, F.col("bin_ts").alias("ts"),
+            F.col(val).cast("double").alias("value"),
+        )
+        pts = pts.withColumn(
+            "seq",
+            F.row_number().over(
+                Window.partitionBy(*self.keys).orderBy("ts")) - 1,
+        )
+        return self._wrap(pts)
+
+    def transform(self, method: Literal[
+        "difference", "log", "square_root", "box_cox", "standard_scaler",
+        "minmax_scaler", "robust_scaler", "maxabs_scaler",
+    ], **kwargs: Any) -> "Dataset":
+        """gensor ``transform(method)`` (core/base.py:172-206), quirks
+        included (log/sqrt pass non-positive values through unchanged)."""
+        from gensor_spark.operators import transforms as T
+
+        v = F.col("value")
+        if method == "difference":
+            out = T.difference(self.df, keys=self.keys, **kwargs)
+        elif method == "log":
+            out = self.df.withColumn("value", T.log_transform(v))
+        elif method == "square_root":
+            out = self.df.withColumn("value", T.sqrt_transform(v))
+        elif method == "box_cox":
+            lmbda = kwargs.get("lmbda")
+            if lmbda is None:
+                out = T.box_cox_mle(self.df, keys=self.keys)
+            else:
+                out = self.df.withColumn(
+                    "value", T.box_cox_fixed(v, lmbda=lmbda))
+        elif method in ("standard_scaler", "minmax_scaler",
+                        "robust_scaler", "maxabs_scaler"):
+            out = getattr(T, method)(self.df, keys=self.keys)
+        else:
+            raise ValueError(f"unknown transform method: {method!r}")
+        return self._wrap(out)
+
+    def detect_outliers(self, method: Literal[
+        "iqr", "zscore", "hampel", "isolation_forest", "lof"
+    ], rolling: bool = False, window: int = 6, remove: bool = True,
+            **kwargs: Any) -> "Dataset":
+        """gensor ``detect_outliers`` (core/base.py:207-237): flags via the
+        chosen detector; ``remove=True`` returns the clean Dataset with the
+        flagged points on ``.outliers`` (mask, don't delete)."""
+        from gensor_spark.operators import outliers as O
+
+        if method == "zscore":
+            flagged = (O.zscore_rolling(self.df, window=window, keys=self.keys,
+                                        **kwargs)
+                       if rolling else
+                       O.zscore_global(self.df, keys=self.keys, **kwargs))
+        elif method == "iqr":
+            flagged = (O.iqr_rolling(self.df, window=window, keys=self.keys,
+                                     **kwargs)
+                       if rolling else
+                       O.iqr_global(self.df, keys=self.keys, **kwargs))
+        elif method == "hampel":
+            flagged = O.hampel(self.df, window=window, keys=self.keys, **kwargs)
+        elif method == "lof":
+            flagged = O.lof(self.df, keys=self.keys, **kwargs)
+        elif method == "isolation_forest":
+            flagged = O.isolation_forest(self.df, keys=self.keys, **kwargs)
+        else:
+            raise ValueError(f"unknown outlier method: {method!r}")
+        if not remove:
+            return Dataset(self.df, keys=self.keys,
+                           outliers=Dataset(flagged.filter("is_outlier"),
+                                            keys=self.keys))
+        clean, outs = O.split_outliers(flagged)
+        return Dataset(clean.select(*self.df.columns), keys=self.keys,
+                       outliers=Dataset(outs, keys=self.keys))
+
+    def mask_with(self, other: "Dataset",
+                  mode: Literal["keep", "remove"] = "remove") -> "Dataset":
+        """gensor ``mask_with`` (core/base.py:239-268)."""
+        from gensor_spark.operators.masking import mask_with
+
+        return self._wrap(mask_with(self.df, other.df, mode=mode))
+
+    def smooth_data(self, window: int = 6,
+                    method: Literal["mean", "median"] = "mean") -> "Dataset":
+        """gensor ``smooth_data`` (processing/smoothing.py:10-66): centered
+        rolling mean/median replacing the value column."""
+        from gensor_spark.operators.masking import smooth
+
+        return self._wrap(smooth(self.df, window=window,
+                                 method=f"rolling_{method}",
+                                 keys=self.keys))
+
+    def interpolate(self, method: Literal["locf", "nocb", "linear", "time"]
+                    = "linear") -> "Dataset":
+        """gensor gap-fill (LOCF / interpolation; processing)."""
+        from gensor_spark.operators import gapfill as G
+
+        fns = {"locf": G.locf, "nocb": G.nocb}
+        if method in fns:
+            out = fns[method](self.df, keys=self.keys)
+        else:
+            out = G.interpolate(self.df, method=method, keys=self.keys)
+        return self._wrap(out)
+
+    def compensate(self, baro: "Dataset | float", sensor_alt: Any = 0.0,
+                   **kwargs: Any) -> "Dataset":
+        """gensor barometric compensation (processing/compensation.py):
+        align to the baro series and convert pressure to water-column head,
+        fieldwork/out-of-water masks preserved quirk-for-quirk."""
+        from gensor_spark.operators.compensation import compensate
+
+        b = baro.df if isinstance(baro, Dataset) else baro
+        return self._wrap(compensate(self.df, b, sensor_alt, **kwargs))
+
+    def trend(self) -> DataFrame:
+        """gensor ``ts.trend()``: per-series OLS slope/intercept."""
+        return self.df.groupBy(*self.keys).agg(
+            F.regr_slope("value", F.col("seq").cast("double")).alias("slope"),
+            F.regr_intercept("value",
+                             F.col("seq").cast("double")).alias("intercept"),
+        )
+
+    # ------------------------------------------------------------- plotting
+
+    def plot_data(self, bins: int = 1000, method: str = "m4") -> DataFrame:
+        """gensor ``plot()`` served as data (core/dataset.py:486): M4
+        pixel-exact or LTTB perceptual downsampling of every series."""
+        from gensor_spark.operators.plotdata import lttb_downsample, m4_downsample
+
+        if method == "m4":
+            return m4_downsample(self.df, bins=bins, keys=self.keys)
+        if method == "lttb":
+            return lttb_downsample(self.df, k=bins, keys=self.keys)
+        raise ValueError(f"unknown plot method: {method!r}")

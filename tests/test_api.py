@@ -1,0 +1,128 @@
+"""gensor-call-compatible facade (gensor_spark/api.py) vs direct operators.
+
+Each facade verb must be EXACTLY its delegate operator (the operators are
+already DuckDB/pandas-oracled; the facade only owes call-surface fidelity),
+plus one chained gensor-style workflow exercising the composition.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gensor_spark.api import Dataset
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ds(spark):
+    d = Dataset.from_parquet(spark, SF)
+    d.df = d.df.cache()
+    return d
+
+
+def _same(a, b):
+    assert a.schema == b.schema, (a.columns, b.columns)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_filter_and_pop(spark, ds):
+    one_src = ds.filter(variable="click")
+    assert one_src.df.select("source").distinct().count() == 1
+    popped, rest = ds.pop(variable="click")
+    _same(popped.df, one_src.df)
+    assert popped.df.count() + rest.df.count() == ds.df.count()
+
+
+def test_loc_iloc(spark, ds):
+    sliced = ds.loc("2024-01-02", "2024-01-05")
+    lo, hi = sliced.df.selectExpr("min(ts)", "max(ts)").first()
+    assert str(lo) >= "2024-01-02" and str(hi) <= "2024-01-05 00:00:00"
+    first = ds.iloc(0)
+    assert first.df.count() == ds.df.select("doc_id", "source").distinct().count()
+
+
+def test_resample_named_agg_matches_operator(spark, ds):
+    from gensor_spark.operators.resample import resample
+
+    got = ds.resample("1h", agg_func="mean").df
+    want = resample(ds.df, "1h", aggs="mean")
+    # facade returns the point-view contract; compare values on the bin key
+    j = got.join(want.withColumnRenamed("bin_ts", "ts"),
+                 ["doc_id", "source", "ts"])
+    assert j.filter(~F.col("value").eqNullSafe(F.col("mean"))).count() == 0
+    assert got.count() == want.count()
+
+
+def test_transform_quirks_and_scalers(spark, ds):
+    from gensor_spark.operators import transforms as T
+
+    _same(ds.transform("log").df,
+          ds.df.withColumn("value", T.log_transform(F.col("value"))))
+    _same(ds.transform("standard_scaler").df, T.standard_scaler(ds.df))
+    _same(ds.transform("difference").df, T.difference(ds.df))
+
+
+def test_detect_outliers_remove_and_side_channel(spark, ds):
+    from gensor_spark.operators import outliers as O
+
+    out = ds.detect_outliers("zscore", remove=True, threshold=2.5)
+    flagged = O.zscore_global(ds.df, threshold=2.5)
+    n_out = flagged.filter("is_outlier").count()
+    assert n_out > 0
+    assert out.outliers.df.count() == n_out
+    assert out.df.count() == ds.df.count() - n_out
+    # remove=False keeps everything, flags ride the side channel
+    kept = ds.detect_outliers("zscore", remove=False, threshold=2.5)
+    assert kept.df.count() == ds.df.count()
+    assert kept.outliers.df.count() == n_out
+
+
+def test_mask_smooth_interpolate_chain(spark, ds):
+    """A gensor-style chained workflow: filter → smooth → interpolate —
+    every step the composition of the (oracled) operators."""
+    from gensor_spark.operators.gapfill import interpolate
+    from gensor_spark.operators.masking import smooth
+
+    chain = (ds.filter(variable="click")
+             .smooth_data(window=5, method="mean")
+             .interpolate("linear"))
+    direct = interpolate(
+        smooth(ds.filter(variable="click").df, window=5,
+               method="rolling_mean"),
+        method="linear",
+    )
+    _same(chain.df, direct)
+
+
+def test_mask_with_modes(spark, ds):
+    other = ds.loc("2024-01-02", "2024-01-04")
+    kept = ds.mask_with(other, mode="keep").df
+    removed = ds.mask_with(other, mode="remove").df
+    assert kept.count() + removed.count() == ds.df.count()
+
+
+def test_add_keep_first(spark, ds):
+    shifted = Dataset(ds.df.withColumn("value", F.col("value") + 100.0))
+    merged = ds.add(shifted)
+    # every (series, ts) present once; the FIRST input's values win
+    assert merged.df.count() == ds.df.count()
+    assert merged.df.exceptAll(ds.df).count() == 0
+
+
+def test_info_trend_shapes(spark, ds):
+    info = ds.info()
+    assert set(info.columns) == {"doc_id", "source", "cnt", "start", "end", "slope"}
+    tr = ds.trend()
+    assert tr.count() == ds.df.select("doc_id", "source").distinct().count()
+
+
+def test_plot_data_methods(spark, ds):
+    m4 = ds.plot_data(bins=50, method="m4")
+    assert m4.count() > 0
+    lttb = ds.plot_data(bins=10, method="lttb")
+    assert lttb.count() > 0
+    with pytest.raises(ValueError):
+        ds.plot_data(method="nope")
