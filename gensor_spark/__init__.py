@@ -20,10 +20,26 @@ Architecture (Spark-first, not a port):
 - ``plans``      — incremental tier maintenance: partition-idempotent merges,
                    checkpoint ledger, per-partition lineage rows.
 - ``functions``  — column-level helpers (tokenization, text quality, hashing).
+- ``streaming``  — Structured Streaming forms: tier/histogram rollups,
+                   stateful sessions and counter rates, as-of/interval
+                   enrichment, watermarked dedup.
+- ``api``        — gensor-call-compatible ``Dataset`` facade (keep your
+                   gensor call-sites; every verb delegates to the
+                   driver-oracled operators).
 """
 
 from gensor_spark.session import get_spark
 
+
+def __getattr__(name):
+    # lazy: api pulls pyspark.sql at import; keep bare-package import cheap
+    if name == "Dataset":
+        from gensor_spark.api import Dataset
+
+        return Dataset
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "Dataset", "__version__"]

@@ -274,6 +274,13 @@ class Dataset:
                              F.col("seq").cast("double")).alias("intercept"),
         )
 
+    def to_store(self, pipeline, wave: int) -> dict:
+        """gensor ``to_sql(db)`` analogue (core/base.py:269-283): persist
+        this Dataset's points into the incremental tier store, as a
+        backfill wave — idempotent per (wave, bucket) through the ledger,
+        the distributed form of gensor's ON-CONFLICT-DO-NOTHING insert."""
+        return pipeline.ingest_points_wave(self.df, wave=wave)
+
     # ------------------------------------------------------------- plotting
 
     def plot_data(self, bins: int = 1000, method: str = "m4") -> DataFrame:

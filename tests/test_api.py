@@ -126,3 +126,16 @@ def test_plot_data_methods(spark, ds):
     assert lttb.count() > 0
     with pytest.raises(ValueError):
         ds.plot_data(method="nope")
+
+
+def test_to_store_wave(spark, ds, tmp_path):
+    from gensor_spark.operators.rollup import finalize_tier, rollup_tier
+    from gensor_spark.plans.incremental import TierPipeline
+
+    pipe = TierPipeline(spark, str(tmp_path / "store"), n_batches=2)
+    stats = ds.filter(variable="click").to_store(pipe, wave=1)
+    assert stats["processed"]
+    got = pipe.read_tier("1h").count()
+    want = finalize_tier(
+        rollup_tier(ds.filter(variable="click").df, "1h")).count()
+    assert got == want > 0
