@@ -98,6 +98,26 @@ class Dataset:
             cond = cond & F.col("source").isin([str(v) for v in vals])
         return popped, self._wrap(self.df.filter(~cond))
 
+    def get_locations(self) -> list:
+        """gensor ``Dataset.get_locations`` (core/dataset.py:194): the
+        distinct series ids (small by construction — one row per series)."""
+        return [r.doc_id for r in
+                self.df.select("doc_id").distinct().orderBy("doc_id").collect()]
+
+    def __contains__(self, location: object) -> bool:
+        """gensor ``location in dataset`` (core/dataset.py:190)."""
+        return self.df.filter(
+            F.col("doc_id") == str(location)).limit(1).count() > 0
+
+    def one(self, **filters: Any) -> "Dataset":
+        """gensor ``Dataset.one`` (core/dataset.py:282): exactly one series
+        must match, else raise."""
+        hit = self.filter(**filters)
+        n = hit.df.select(*self.keys).distinct().count()
+        if n != 1:
+            raise ValueError(f"one() matched {n} series, expected exactly 1")
+        return hit
+
     def add(self, other: "Dataset") -> "Dataset":
         """gensor ``Dataset.add`` / ``concatenate`` (core/dataset.py:308,
         core/base.py:134): union with keep-first dedup on the point key."""

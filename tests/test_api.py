@@ -139,3 +139,14 @@ def test_to_store_wave(spark, ds, tmp_path):
     want = finalize_tier(
         rollup_tier(ds.filter(variable="click").df, "1h")).count()
     assert got == want > 0
+
+
+def test_locations_contains_one(spark, ds):
+    locs = ds.get_locations()
+    assert len(locs) > 1 and locs == sorted(locs)
+    assert locs[0] in ds
+    assert "no-such-location" not in ds
+    one = ds.one(location=locs[0], variable="click")
+    assert one.df.select("doc_id", "source").distinct().count() == 1
+    with pytest.raises(ValueError, match="expected exactly 1"):
+        ds.one(variable="click")  # many locations match
