@@ -20,7 +20,11 @@ SF = "/root/testdata/sf0.001"
 def ds(spark):
     d = Dataset.from_parquet(spark, SF)
     d.df = d.df.cache()
-    return d
+    yield d
+    # unpersist on teardown: Spark's CacheManager substitutes cached plans
+    # into ANY later query over the same source, which would rewrite the
+    # physical plans the plan-guard tests assert on (cross-file pollution)
+    d.df.unpersist()
 
 
 def _same(a, b):

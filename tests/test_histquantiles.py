@@ -28,8 +28,11 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def pts(spark):
-    return events_to_points(
+    df = events_to_points(
         spark.read.parquet(f"{SF}/events.parquet")).cache()
+    yield df
+    # see test_api.ds: cached plans leak into later files' physical plans
+    df.unpersist()
 
 
 def _duck_quantiles(pdf: pd.DataFrame, step_s: int) -> pd.DataFrame:
