@@ -88,6 +88,8 @@ class Dataset:
     def pop(self, location: Any = None, variable: Any = None
             ) -> tuple["Dataset", "Dataset"]:
         """gensor ``Dataset.pop`` (core/dataset.py:394): (popped, rest)."""
+        if location is None and variable is None:
+            raise ValueError("pop() needs a location and/or variable to pop")
         popped = self.filter(location=location, variable=variable)
         cond = F.lit(True)
         if location is not None:
@@ -96,7 +98,11 @@ class Dataset:
         if variable is not None:
             vals = variable if isinstance(variable, (list, tuple, set)) else [variable]
             cond = cond & F.col("source").isin([str(v) for v in vals])
-        return popped, self._wrap(self.df.filter(~cond))
+        # NULL-key rows: `isin` is three-valued, so ~cond is NULL (dropped
+        # by filter) — coalesce to False so a null-key row lands in `rest`
+        # (it matched no popped location) and popped ∪ rest == original.
+        return popped, self._wrap(
+            self.df.filter(~F.coalesce(cond, F.lit(False))))
 
     def get_locations(self) -> list:
         """gensor ``Dataset.get_locations`` (core/dataset.py:194): the
@@ -137,9 +143,19 @@ class Dataset:
         return self._wrap(df)
 
     def iloc(self, i: int) -> "Dataset":
-        """gensor positional indexing (core/indexer.py:20-32) — the point
-        view carries the per-series ordinal ``seq``."""
-        return self._wrap(self.df.filter(F.col("seq") == int(i)))
+        """gensor positional indexing (core/indexer.py:20-32), pandas
+        semantics: positional on the CURRENT view (a fresh per-series
+        row_number, not the original ``seq``, so indexing stays correct
+        after filter/mask verbs) and negative indices count from the end
+        (``iloc(-1)`` = last point of each series)."""
+        i = int(i)
+        w = Window.partitionBy(*self.keys).orderBy("ts", "seq")
+        pos = F.row_number().over(w) - 1
+        n = F.count(F.lit(1)).over(Window.partitionBy(*self.keys))
+        target = F.lit(i) if i >= 0 else n + F.lit(i)
+        return self._wrap(
+            self.df.withColumn("_pos", pos).withColumn("_t", target)
+            .filter(F.col("_pos") == F.col("_t")).drop("_pos", "_t"))
 
     def info(self) -> DataFrame:
         """gensor ``Dataset.info`` (core/dataset.py:229): per-series

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from gensor_spark.operators.resample import bin_ts, freq_to_seconds
-from gensor_spark.operators.rollup import TIER_SECONDS
+from gensor_spark.operators.rollup import TIER_SECONDS, ragged_bins
 
 KEYS = ("doc_id", "source")
 
@@ -109,23 +109,13 @@ def rollup_hist_docs_arrow(
 
     def kernel(batches):
         for pdf in batches:
-            toks = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
-            lens = np.fromiter((t.size for t in toks), dtype=np.int64,
-                               count=len(toks))
-            keep = lens > 0
-            if not keep.any():
+            rb = ragged_bins(pdf, k, dtype=np.int64)
+            if rb is None:
                 continue
-            toks = [t for t, kp in zip(toks, keep) if kp]
-            lens = lens[keep]
-            flat = np.concatenate(toks)
+            keep, flat, lens, nbins, doc_off, bin_off, bin_local, total_bins = rb
             if flat.min() < 0 or flat.max() >= _VMAX:
                 raise ValueError(
                     "histogram fast path requires token ids in [0, 2^24)")
-            ndocs = lens.size
-            nbins = -(-lens // k)
-            doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            bin_off = np.concatenate([[0], np.cumsum(nbins)[:-1]])
-            total_bins = int(nbins.sum())
             # per-token GLOBAL bin id (affine: position // k within its doc)
             pos = np.arange(flat.size) - np.repeat(doc_off, lens)
             tok_bin = np.repeat(bin_off, lens) + pos // k
@@ -140,7 +130,6 @@ def rollup_hist_docs_arrow(
                 dict(zip(v.tolist(), ct.tolist()))
                 for v, ct in zip(np.split(u_val, split), np.split(c, split))
             ]
-            bin_local = np.arange(total_bins) - np.repeat(bin_off, nbins)
             yield pd.DataFrame({
                 "doc_id": np.repeat(pdf["doc_id"].to_numpy()[keep], nbins),
                 "source": np.repeat(pdf["source"].to_numpy()[keep], nbins),

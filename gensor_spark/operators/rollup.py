@@ -138,6 +138,40 @@ def rollup_docs_arrays(
     )
 
 
+def ragged_bins(pdf, k: int, dtype=None):
+    """Per-Arrow-batch ragged-offset prefix sums shared by every affine
+    token→bin kernel (``rollup_docs_arrow``, ``rollup_docs_arrow_narrow``,
+    ``histquantiles.rollup_hist_docs_arrow``) — ONE owner for the
+    empty-doc mask and the doc/bin offset arithmetic, so an edge-case fix
+    lands in all three kernels at once.
+
+    Returns ``None`` for an all-empty batch, else the tuple
+    ``(keep, flat, lens, nbins, doc_off, bin_off, bin_local, total_bins)``:
+    ``keep`` the non-empty-doc mask over the incoming rows, ``flat`` the
+    concatenation of the kept token arrays (cast to ``dtype``), ``lens``
+    kept doc lengths, ``nbins`` per-doc bin counts at ``k`` ticks per bin,
+    ``doc_off``/``bin_off`` exclusive prefix sums, and ``bin_local`` each
+    global bin's index within its own doc.
+    """
+    import numpy as np
+
+    toks = [np.asarray(t, dtype=dtype) for t in pdf["tokens"]]
+    lens = np.fromiter((t.size for t in toks), dtype=np.int64,
+                       count=len(toks))
+    keep = lens > 0
+    if not keep.any():
+        return None
+    toks = [t for t, kp in zip(toks, keep) if kp]
+    lens = lens[keep]
+    flat = np.concatenate(toks)
+    nbins = -(-lens // k)
+    doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    bin_off = np.concatenate([[0], np.cumsum(nbins)[:-1]])
+    total_bins = int(nbins.sum())
+    bin_local = np.arange(total_bins) - np.repeat(bin_off, nbins)
+    return keep, flat, lens, nbins, doc_off, bin_off, bin_local, total_bins
+
+
 def rollup_docs_arrow(
     docs: DataFrame,
     tier: str = "1m",
@@ -178,20 +212,10 @@ def rollup_docs_arrow(
 
     def kernel(batches):
         for pdf in batches:
-            toks = [np.asarray(t, dtype=np.float64) for t in pdf["tokens"]]
-            lens = np.fromiter((t.size for t in toks), dtype=np.int64,
-                               count=len(toks))
-            keep = lens > 0
-            if not keep.any():
+            rb = ragged_bins(pdf, k, dtype=np.float64)
+            if rb is None:
                 continue
-            toks = [t for t, kp in zip(toks, keep) if kp]
-            lens = lens[keep]
-            flat = np.concatenate(toks)
-            nbins = -(-lens // k)
-            doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            bin_off = np.concatenate([[0], np.cumsum(nbins)[:-1]])
-            total_bins = int(nbins.sum())
-            bin_local = np.arange(total_bins) - np.repeat(bin_off, nbins)
+            keep, flat, lens, nbins, doc_off, bin_off, bin_local, total_bins = rb
             starts = np.repeat(doc_off, nbins) + bin_local * k
             ends = np.minimum(starts + k, np.repeat(doc_off + lens, nbins))
             cnt = ends - starts
@@ -246,8 +270,6 @@ def _merge_partials(partials: DataFrame, group_cols: list[str]) -> DataFrame:
 
 NARROW_PARTIAL_COLS = ("cnt", "vmin", "vmax", "vsum", "last", "last_t")
 
-_F32_EXACT_MAX = float(1 << 24)
-
 
 def rollup_docs_arrow_narrow(
     docs: DataFrame,
@@ -278,32 +300,28 @@ def rollup_docs_arrow_narrow(
 
     def kernel(batches):
         for pdf in batches:
-            toks = [np.asarray(t, dtype=np.float64) for t in pdf["tokens"]]
-            lens = np.fromiter((t.size for t in toks), dtype=np.int64,
-                               count=len(toks))
-            keep = lens > 0
-            if not keep.any():
+            rb = ragged_bins(pdf, k, dtype=np.float64)
+            if rb is None:
                 continue
-            toks = [t for t, kp in zip(toks, keep) if kp]
-            lens = lens[keep]
-            flat = np.concatenate(toks)
-            nbins = -(-lens // k)
-            doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            bin_off = np.concatenate([[0], np.cumsum(nbins)[:-1]])
-            total_bins = int(nbins.sum())
-            bin_local = np.arange(total_bins) - np.repeat(bin_off, nbins)
+            keep, flat, lens, nbins, doc_off, bin_off, bin_local, total_bins = rb
             starts = np.repeat(doc_off, nbins) + bin_local * k
             ends = np.minimum(starts + k, np.repeat(doc_off + lens, nbins))
             cnt = ends - starts
             vmin = np.minimum.reduceat(flat, starts)
             vmax = np.maximum.reduceat(flat, starts)
-            # f32-exactness check on the per-bin extrema (tiny arrays), NOT
-            # on `flat` — an `abs(flat)` pass would allocate a full copy of
-            # every token in the batch
-            if max(vmax.max(initial=0.0), -vmin.min(initial=0.0)) >= _F32_EXACT_MAX:
+            last = flat[ends - 1]
+            # f32-exactness check on the per-bin STORED values (tiny
+            # arrays), NOT on `flat` — a full-batch pass would allocate a
+            # copy of every token. The contract is abort-not-round, so the
+            # test is the exact one: every value that will be cast survives
+            # a f32 round-trip (catches non-integers like 0.1 that a
+            # magnitude-only |v| < 2^24 bound would silently round).
+            stored = np.concatenate((vmin, vmax, last))
+            if np.any(stored != stored.astype(np.float32).astype(np.float64)):
                 raise ValueError(
-                    "narrow partials require |token| < 2^24 for lossless "
-                    "float32 extrema; use rollup_docs_arrow instead"
+                    "narrow partials require every stored value (per-bin "
+                    "min/max/last) to be exactly float32-representable — "
+                    "integers with |v| < 2^24; use rollup_docs_arrow instead"
                 )
             yield pd.DataFrame({
                 "doc_id": np.repeat(pdf["doc_id"].to_numpy()[keep], nbins),
@@ -313,7 +331,7 @@ def rollup_docs_arrow_narrow(
                 "vmin": vmin.astype(np.float32),
                 "vmax": vmax.astype(np.float32),
                 "vsum": np.add.reduceat(flat, starts),
-                "last": flat[ends - 1].astype(np.float32),
+                "last": last.astype(np.float32),
                 "last_t": (bin_local * k + cnt - 1).astype(np.int32),
             })
 

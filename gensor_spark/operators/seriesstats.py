@@ -234,20 +234,25 @@ def counter_rate(
     mu = F.unix_micros(F.col(ts_col))
     dt = (mu - F.lag(mu).over(w)).cast("double") / F.lit(1e6)
     delta = v - pv
+    # the full mask from the docstring: first point (pv NULL), NULL value,
+    # AND non-positive Δt (duplicate timestamp after the tie-broken sort)
+    # all yield NULL increase — a dt=0 pair has no time base, so charging
+    # its delta as an "increase" double-counts the instant for callers
+    # summing increases. is_reset follows increase (False wherever NULL).
+    valid = pv.isNotNull() & v.isNotNull() & (dt > 0)
     reset = F.col("is_reset")
-    increase = F.when(
-        pv.isNull() | v.isNull(), F.lit(None).cast("double")
-    ).otherwise(F.when(reset, v).otherwise(delta))
+    increase = F.when(valid, F.when(reset, v).otherwise(delta))
     out = (
         points.withColumn(
             "is_reset",
-            F.when(pv.isNotNull() & v.isNotNull() & (delta < 0) & F.lit(counter), True)
+            F.when(valid & (delta < 0) & F.lit(counter), True)
             .otherwise(F.lit(False)),
         )
         .withColumn("increase", increase)
         .withColumn(
+            # dt > 0 is implied by increase being non-NULL
             "rate",
-            F.when(dt > 0, F.col("increase") / dt * F.lit(per_seconds)),
+            F.col("increase") / dt * F.lit(per_seconds),
         )
     )
     return out
@@ -293,11 +298,9 @@ def seasonal_anomaly(
     else:
         raise ValueError(f"unsupported period: {period!r}")
 
-    from pyspark.sql import Window as W2
-
     w = (
-        W2.partitionBy(*keys, "phase")
-        .rowsBetween(W2.unboundedPreceding, W2.unboundedFollowing)
+        W.partitionBy(*keys, "phase")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     v = F.col(value_col)
     withp = points.withColumn("phase", phase)

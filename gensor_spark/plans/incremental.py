@@ -438,15 +438,42 @@ class TierPipeline:
             hist, str(self.store / "tier_hist_1m" / f"batch={sid}")
         )
 
+    def _hist_contribs(self) -> list:
+        """Complete (``_SUCCESS``-marked) histogram contribution dirs.
+
+        A crash mid-write leaves a partial ``batch=*`` dir with no
+        ``_SUCCESS``; reading it would merge half an epoch, and compacting
+        it away while marking the epoch folded would LOSE the other half.
+        Incomplete dirs are therefore invisible everywhere — the writer
+        (batch retry or stream epoch replay) overwrites them in full.
+        """
+        base = self.store / "tier_hist_1m"
+        return sorted(p for p in base.glob("batch=*")
+                      if (p / "_SUCCESS").exists())
+
+    def _hist_folded(self) -> set[str]:
+        """Stream-epoch contribution ids already absorbed by a compacting
+        rewrite (``compact_hist`` / ``apply_hist_retention``). foreachBatch
+        replay is at-least-once: a replayed epoch whose ``batch=s<id>`` dir
+        was folded into ``batch=-1`` and deleted would re-add (double-count)
+        its histograms unless the sink can see it was absorbed — this
+        manifest is that memory, written atomically WITH the fold (inside
+        the compact tmp dir, promoted by the same rename)."""
+        f = self.store / "tier_hist_1m" / "_folded.json"
+        if not f.exists():
+            return set()
+        return set(json.loads(f.read_text()).get("folded_stream_epochs", []))
+
     def _read_hist_merged(self) -> DataFrame:
         self._recover_compact("hist_1m")
-        base = self.store / "tier_hist_1m"
-        parts = sorted(base.glob("batch=*"))
+        parts = self._hist_contribs()
         if not parts:
+            base = self.store / "tier_hist_1m"
             raise FileNotFoundError(
                 f"no histogram partials under {base} — construct the "
                 "pipeline with hist_tiers=True and run() it first"
             )
+        base = self.store / "tier_hist_1m"
         raw = self.spark.read.option("basePath", str(base)).parquet(
             *[str(p) for p in parts]
         ).drop("batch")
@@ -465,10 +492,22 @@ class TierPipeline:
             merged = cascade_hist(merged, tier, keys=self.keys)
         return quantiles_from_hist(merged, ps=ps, keys=self.keys)
 
+    def _hist_fold_manifest(self) -> dict:
+        """Manifest for a hist rewrite: previously-folded stream epochs ∪
+        the complete stream contributions this rewrite absorbs."""
+        absorbed = {p.name.split("=", 1)[1] for p in self._hist_contribs()
+                    if p.name.startswith("batch=s")}
+        return {"folded_stream_epochs":
+                sorted(self._hist_folded() | absorbed)}
+
     def compact_hist(self) -> None:
         """Fold all histogram contributions into one (crash-safe rewrite —
-        the same promote/rollback protocol as ``compact``)."""
-        self._rewrite_tier("hist_1m", self._read_hist_merged())
+        the same promote/rollback protocol as ``compact``). Absorbed stream
+        epochs are recorded in the tier's ``_folded.json`` so an
+        at-least-once replay of those epochs skips re-writing them."""
+        manifest = self._hist_fold_manifest()
+        self._rewrite_tier("hist_1m", self._read_hist_merged(),
+                           manifest=manifest)
 
     def apply_hist_retention(self, age: str, now) -> str:
         """Drop 1m histogram bins older than ``now - age`` (compacting
@@ -478,10 +517,13 @@ class TierPipeline:
         import pandas as pd
 
         cutoff = (pd.Timestamp(now) - pd.Timedelta(age)).isoformat(sep=" ")
+        manifest = self._hist_fold_manifest()
         kept = self._read_hist_merged().filter(
             F.col("bin_ts") >= F.lit(cutoff).cast("timestamp")
         )
-        self._rewrite_tier("hist_1m", kept)
+        # retention is also a fold: every stream contribution dir is
+        # absorbed (or expired) by the rewrite, so record them all
+        self._rewrite_tier("hist_1m", kept, manifest=manifest)
         self._lineage_row({"retention": {"hist_1m": cutoff}})
         return cutoff
 
@@ -552,16 +594,22 @@ class TierPipeline:
             os.replace(old, final)  # tmp incomplete — roll back
             shutil.rmtree(tmp, ignore_errors=True)
 
-    def _rewrite_tier(self, tier: str, partials: DataFrame) -> None:
+    def _rewrite_tier(self, tier: str, partials: DataFrame,
+                      manifest: dict | None = None) -> None:
         """Atomically replace a tier's contents (parquet backend).
 
         Crash-safe: the current tier is renamed aside, not deleted, until the
         new copy is promoted — see ``_recover_compact`` for the repair of
-        every intermediate state.
+        every intermediate state. ``manifest`` (the hist tier's folded
+        stream epochs) is written INSIDE tmp before the promote rename, so
+        the fold and its memory become visible in the same atomic step — no
+        window where contributions are folded but the manifest is missing.
         """
         final, tmp, old = self._compact_paths(tier)
         shutil.rmtree(tmp, ignore_errors=True)
         partials.write.mode("overwrite").parquet(str(tmp / "batch=-1"))  # step 1
+        if manifest is not None:
+            (tmp / "_folded.json").write_text(json.dumps(manifest))
         os.replace(final, old)  # step 2: set aside, never rmtree the live tier
         os.replace(tmp, final)  # step 3: promote
         shutil.rmtree(old)  # step 4: cleanup

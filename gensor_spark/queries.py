@@ -894,15 +894,15 @@ l AS (SELECT doc_id, source, seq, value, ts,
       FROM pts
       WINDOW w AS (PARTITION BY doc_id, source ORDER BY ts, seq))
 SELECT doc_id, source, seq,
-       coalesce(pv IS NOT NULL AND value IS NOT NULL AND value < pv,
+       coalesce(pv IS NOT NULL AND value IS NOT NULL AND dt > 0
+                AND value < pv,
                 FALSE) AS is_reset,
-       round(CASE WHEN pv IS NULL OR value IS NULL THEN NULL
+       round(CASE WHEN pv IS NULL OR value IS NULL OR dt <= 0 THEN NULL
                   WHEN value < pv THEN value
                   ELSE value - pv END + 1e-9, 6) AS inc,
-       round(CASE WHEN dt > 0 THEN
-                  (CASE WHEN pv IS NULL OR value IS NULL THEN NULL
-                        WHEN value < pv THEN value
-                        ELSE value - pv END) / dt
+       round(CASE WHEN pv IS NULL OR value IS NULL OR dt <= 0 THEN NULL
+                  WHEN value < pv THEN value / dt
+                  ELSE (value - pv) / dt
              END + 1e-9, 6) AS rt
 FROM l
 """

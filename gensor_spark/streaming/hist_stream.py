@@ -16,10 +16,19 @@ overwrites exactly its own contribution (the asof_stream sink contract).
 Contribution ids are prefixed ``s`` so they can never collide with the batch
 pipeline's integer ids (run buckets and wave·n+bucket); a TierPipeline over
 the same store dir merges batch, wave and stream contributions together.
+
+One hole overwrite-per-epoch alone can't close: ``compact_hist`` /
+``apply_hist_retention`` FOLD contribution dirs into ``batch=-1`` and delete
+them — a replay of an already-folded epoch would then re-add its histograms
+next to the folded copy and double-count. The fold therefore records the
+absorbed stream epochs in the tier's ``_folded.json`` (written atomically
+with the fold, see TierPipeline._rewrite_tier), and this sink SKIPS any
+epoch listed there.
 """
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame
@@ -27,6 +36,26 @@ from pyspark.sql import DataFrame
 from gensor_spark.operators.histquantiles import rollup_hist
 
 KEYS = ("doc_id", "source")
+
+
+def make_hist_sink(store_dir: str, keys: tuple[str, ...] = KEYS):
+    """The per-epoch sink function (exposed for direct replay testing)."""
+    base = Path(store_dir) / "tier_hist_1m"
+
+    def _sink(batch: DataFrame, epoch_id: int) -> None:
+        folded_file = base / "_folded.json"
+        if folded_file.exists():
+            folded = set(json.loads(folded_file.read_text())
+                         .get("folded_stream_epochs", []))
+            if f"s{epoch_id}" in folded:
+                # this epoch's contribution was already absorbed into
+                # batch=-1 by a compact/retention fold — re-writing it
+                # would double-count every histogram it carried
+                return
+        hist = rollup_hist(batch, "1m", keys=keys)
+        hist.write.mode("overwrite").parquet(str(base / f"batch=s{epoch_id}"))
+
+    return _sink
 
 
 def start_hist_sink(
@@ -40,11 +69,7 @@ def start_hist_sink(
     ``{store_dir}/tier_hist_1m/batch=s<epoch>`` (the TierPipeline hist
     store layout — ``read_hist_quantiles`` on the same store folds stream,
     batch and wave contributions into one exact percentile view)."""
-    base = Path(store_dir) / "tier_hist_1m"
-
-    def _sink(batch: DataFrame, epoch_id: int) -> None:
-        hist = rollup_hist(batch, "1m", keys=keys)
-        hist.write.mode("overwrite").parquet(str(base / f"batch=s{epoch_id}"))
+    _sink = make_hist_sink(store_dir, keys)
 
     writer = (
         points.writeStream.foreachBatch(_sink)

@@ -89,9 +89,15 @@ def streaming_counter_rate(
             prev_us = last_us
             prev_val = np.nan if last_val_null else float(last_val)
 
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # Arrow hands the group as an ITERATOR of chunks (~10k rows each)
+        # in arbitrary order; sorting each chunk alone would pair lag
+        # partners wrongly whenever a series' micro-batch rows span chunks.
+        # Concatenate first, sort ONCE, compute once. Memory bound: one
+        # series' rows for one micro-batch — the same bound every
+        # applyInPandasWithState group already has.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values("ts", kind="stable")
             ts_us = (pd.to_datetime(pdf["ts"]).astype("int64") // 1000
                      ).to_numpy()
@@ -104,10 +110,14 @@ def streaming_counter_rate(
             )
             with np.errstate(invalid="ignore", divide="ignore"):
                 delta = vals - pv
-                reset = (delta < 0) & bool(counter)  # NaN compares False
-                increase = np.where(reset, vals, delta)  # NaN propagates
                 dt = (ts_us.astype(float) - p_us) / 1e6
-                rate = np.where(dt > 0, increase / dt * per_seconds, np.nan)
+                # batch-operator mask: non-positive Δt (duplicate ts) has
+                # no time base — NULL increase/rate, is_reset False
+                valid = dt > 0  # NaN compares False
+                reset = valid & (delta < 0) & bool(counter)
+                increase = np.where(
+                    valid, np.where(reset, vals, delta), np.nan)
+                rate = np.where(valid, increase / dt * per_seconds, np.nan)
 
             yield pd.DataFrame({
                 "doc_id": doc_id,

@@ -79,6 +79,20 @@ def streaming_rollup(
     )
 
 
+def make_tier_sink(store_dir: str, tier: str = "1m"):
+    """The per-epoch sink function (exposed for direct replay testing)."""
+    out_dir = f"{store_dir}/tier_{tier}_stream"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        n = max(1, batch_df.sparkSession.sparkContext.defaultParallelism // 4)
+        batch_df.repartition(n).write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={batch_id}")
+
+    return sink
+
+
 def start_tier_sink(
     rolled: DataFrame,
     store_dir: str,
@@ -88,18 +102,16 @@ def start_tier_sink(
 ):
     """Write the streaming partials into the shared tier store.
 
-    ``foreachBatch`` + append parquet per micro-batch: each closed window
-    arrives exactly once (append-mode watermark semantics + streaming
-    checkpoint), so plain appends are the parquet stand-in for Iceberg's
-    ``MERGE INTO``. Returns the started StreamingQuery.
+    ``foreachBatch`` is at-least-once on replay (a failed epoch re-runs
+    after a possibly partial write), so each epoch writes its OWN
+    ``epoch=<id>`` partition in overwrite mode: a replay clobbers exactly
+    its previous attempt instead of appending a duplicate — idempotent per
+    epoch, the parquet stand-in for Iceberg's ``MERGE INTO``. Window rows
+    stay disjoint across epochs (append-mode watermark semantics emits
+    each closed window once), so the read-side partial merge is exact.
+    Returns the started StreamingQuery.
     """
-    out_dir = f"{store_dir}/tier_{tier}_stream"
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        n = max(1, batch_df.sparkSession.sparkContext.defaultParallelism // 4)
-        batch_df.repartition(n).write.mode("append").parquet(out_dir)
+    sink = make_tier_sink(store_dir, tier)
 
     writer = (
         rolled.writeStream.outputMode("append")
@@ -118,6 +130,6 @@ def read_stream_tier(spark, store_dir: str, tier: str = "1m",
     across micro-batch appends like the batch reader does across batches."""
     from gensor_spark.operators.rollup import finalize_tier
 
-    df = spark.read.parquet(f"{store_dir}/tier_{tier}_stream")
+    df = spark.read.parquet(f"{store_dir}/tier_{tier}_stream").drop("epoch")
     merged = _merge_partials(df, ["doc_id", "source", "bin_ts"])
     return finalize_tier(merged) if finalize else merged

@@ -59,11 +59,25 @@ def _apply_merges(oq: dict, nq: dict) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flag = 1.25
-    for a in sys.argv[1:]:
+    # consume --flag (and its space-separated value) BEFORE collecting
+    # positionals, so `--flag 1.5 NEW OLD` doesn't leak '1.5' into the
+    # file list
+    argv, args, flag = sys.argv[1:], [], 1.25
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--flag"):
-            flag = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                flag = float(a.split("=", 1)[1])
+            else:
+                flag = float(argv[i + 1])
+                i += 1
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        sys.exit(__doc__.strip().splitlines()[0] + "\nusage: bench_compare.py"
+                 " NEW.json OLD.json [--flag 1.25]")
     new, old = load(args[0]), load(args[1])
     nq, oq = new["queries"], old["queries"]
     oq = _apply_merges(oq, nq)

@@ -48,6 +48,40 @@ def test_loc_iloc(spark, ds):
     assert first.df.count() == ds.df.select("doc_id", "source").distinct().count()
 
 
+def test_iloc_negative_and_post_filter_positions(spark, ds):
+    """pandas iloc parity: negative index = from the end of each series,
+    and positions are relative to the CURRENT (possibly filtered) view,
+    not the original seq ordinals."""
+    n_series = ds.df.select("doc_id", "source").distinct().count()
+    last = ds.iloc(-1)
+    assert last.df.count() == n_series
+    # iloc(-1) picks each series' max-ts row
+    want = (ds.df.groupBy("doc_id", "source")
+            .agg(F.max("ts").alias("ts")))
+    got = last.df.select("doc_id", "source", "ts")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # after a filter that removes seq 0, position 0 is the first REMAINING
+    # point (pandas semantics), not an empty frame
+    trimmed = ds._wrap(ds.df.filter("seq >= 5"))
+    head = trimmed.iloc(0)
+    assert head.df.count() == trimmed.df.select(
+        "doc_id", "source").distinct().count()
+    assert head.df.filter("seq <> 5").count() == 0
+
+
+def test_pop_keeps_null_key_rows_in_rest(spark, ds):
+    """A NULL doc_id matches no popped location: it must land in `rest`
+    (three-valued ~isin would silently drop it from both halves)."""
+    withnull = ds._wrap(ds.df.limit(50).withColumn(
+        "doc_id", F.lit(None).cast("string")).unionByName(ds.df))
+    loc = ds.df.select("doc_id").first().doc_id
+    popped, rest = withnull.pop(location=loc)
+    assert popped.df.count() + rest.df.count() == withnull.df.count()
+    assert rest.df.filter("doc_id IS NULL").count() == 50
+    with pytest.raises(ValueError):
+        ds.pop()
+
+
 def test_resample_named_agg_matches_operator(spark, ds):
     from gensor_spark.operators.resample import resample
 

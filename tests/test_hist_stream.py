@@ -126,3 +126,39 @@ def test_epoch_replay_is_idempotent(spark, tmp_path_factory, tmp_path):
         np.testing.assert_allclose(
             got[c].to_numpy(float), want[c].to_numpy(float), rtol=1e-12
         )
+
+
+def test_compact_then_replay_does_not_double_count(spark, tmp_path_factory,
+                                                   tmp_path):
+    """The overwrite-per-epoch contract alone cannot survive a COMPACT
+    between write and replay: the fold absorbs ``batch=s<epoch>`` into
+    ``batch=-1`` and deletes it, so a replayed epoch would re-add its
+    histograms. The fold's ``_folded.json`` manifest makes the sink skip
+    absorbed epochs — percentiles stay exact through write → compact →
+    full replay → (for good measure) a second compact."""
+    pts = events_to_points(spark.read.parquet(f"{SF}/events.parquet")) \
+        .select("doc_id", "source", "ts", "value")
+    in_dir = _split_files(spark, tmp_path_factory, pts, "foldreplay")
+    store = str(tmp_path / "store")
+    schema = spark.read.parquet(in_dir).schema
+
+    def run_pass(ck):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(in_dir))
+        q = start_hist_sink(stream, store, trigger_once=True,
+                            checkpoint_dir=str(tmp_path / ck))
+        q.awaitTermination(180)
+
+    run_pass("c1")
+    pipe = TierPipeline(spark, store, hist_tiers=True)
+    pipe.compact_hist()  # folds s0/s1 into batch=-1 and deletes them
+    run_pass("c2")       # fresh checkpoint = at-least-once replay of both
+    pipe.compact_hist()  # idempotent again over the (unchanged) store
+
+    got = _quantiles_pdf(pipe.read_hist_quantiles("1h"))
+    want = _quantiles_pdf(rollup_quantiles(pts, "1h", via_tier=None))
+    assert len(got) == len(want) > 0
+    for c in ("p50", "p95", "p99"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(float), want[c].to_numpy(float), rtol=1e-12
+        )

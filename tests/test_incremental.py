@@ -361,3 +361,25 @@ def test_hist_tiers_requires_parquet_backend(spark, tmp_path):
     with pytest.raises(ValueError, match="hist_tiers"):
         TierPipeline(spark, str(tmp_path / "s"), backend="iceberg",
                      hist_tiers=True)
+
+
+def test_narrow_kernel_aborts_on_unrepresentable_values(spark):
+    """The narrow kernel's contract is abort-not-round: any stored value
+    (per-bin min/max/last) that does not survive a float32 round-trip —
+    e.g. a non-integer like 0.1, well under the 2^24 magnitude bound —
+    must raise, not silently lose precision."""
+    from gensor_spark.operators.rollup import rollup_docs_arrow_narrow
+
+    bad = spark.createDataFrame(
+        [("d1", "s", [1.0, 2.0, 0.1], 3)],
+        "doc_id string, source string, tokens array<double>, n_tok int",
+    )
+    with pytest.raises(Exception, match="float32"):
+        rollup_docs_arrow_narrow(bad, "1m", tick_seconds=60).collect()
+
+    ok = spark.createDataFrame(
+        [("d1", "s", [float(x) for x in range(100)], 100)],
+        "doc_id string, source string, tokens array<double>, n_tok int",
+    )
+    # tick=1s → 60 tokens per 1m bin → 100 integer tokens = 2 bins, no raise
+    assert rollup_docs_arrow_narrow(ok, "1m", tick_seconds=1).count() == 2

@@ -147,3 +147,48 @@ def test_stream_gauge_mode_passes_negative_deltas(spark, tmp_path_factory,
                               counter=False))
     assert got["increase"].iloc[1] == pytest.approx(-6.0)
     assert not got["is_reset"].any()
+
+
+def test_stream_series_spanning_arrow_chunks(spark, tmp_path_factory,
+                                             tmp_path):
+    """applyInPandasWithState hands a group to the operator as an ITERATOR
+    of Arrow chunks (~10k rows each) in arbitrary order. A series whose
+    single micro-batch exceeds one chunk — written here in SHUFFLED row
+    order so later chunks carry earlier timestamps — must still pair every
+    lag partner correctly: the operator sorts the WHOLE group once, never
+    chunk-by-chunk."""
+    n = 25_000  # > 2x spark.sql.execution.arrow.maxRecordsPerBatch (10k)
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame({
+        "doc_id": "big", "source": "s",
+        "ts": pd.date_range("2024-01-01", periods=n, freq="s", tz="UTC"),
+        "value": np.cumsum(np.abs(rng.randn(n))),
+    })
+    shuffled = pdf.iloc[rng.permutation(n)].reset_index(drop=True)
+    in_dir = tmp_path_factory.mktemp("bigchunks")
+    spark.createDataFrame(shuffled).coalesce(1).write.mode(
+        "overwrite").parquet(str(in_dir / "f"))
+
+    got = _sorted(_run_stream(spark, str(in_dir / "f"), tmp_path,
+                              "bigchunk_out", counter=True))
+
+    batch_in = spark.createDataFrame(pdf).withColumn(
+        "seq",
+        F.row_number().over(
+            Window.partitionBy("doc_id", "source").orderBy("ts")) - 1,
+    )
+    want = _sorted(
+        counter_rate(batch_in, counter=True)
+        .select("doc_id", "source", "ts", "value", "is_reset",
+                "increase", "rate")
+        .toPandas()
+    )
+    assert len(got) == len(want) == n
+    for c in ("increase", "rate"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+            rtol=1e-12, equal_nan=True,
+        )
+    # a monotone counter never resets — a per-chunk sort would produce
+    # spurious resets at every chunk seam
+    assert not got["is_reset"].any()

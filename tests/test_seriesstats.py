@@ -19,7 +19,11 @@ def sensor_points(spark):
     from gensor_spark.operators.points import events_to_points
 
     pts = events_to_points(spark.read.parquet(f"{SF}/events.parquet"))
-    return pts.cache()
+    df = pts.cache()
+    yield df
+    # see tests/test_api.py ds fixture: cached plans leak into later files'
+    # physical plans via the session CacheManager
+    df.unpersist()
 
 
 # ---------------------------------------------------------------- EWMA
@@ -425,6 +429,32 @@ def test_counter_rate_reset_semantics(spark):
     per_min = {r.seq: r for r in counter_rate(
         spark.createDataFrame(pdf), per_seconds=60.0).collect()}
     assert per_min[1].rate == pytest.approx(60.0 * 15.0 / 30.0)
+
+
+def test_counter_rate_duplicate_ts_masks_increase(spark):
+    """Non-positive Δt (duplicate timestamp) has no time base: increase AND
+    rate are NULL and is_reset stays False — the documented mask, so callers
+    summing ``increase`` never double-count a duplicated instant."""
+    from gensor_spark.operators.seriesstats import counter_rate
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:00:30",
+        "2024-01-01 00:00:30",  # duplicate instant (seq tie-break orders it)
+        "2024-01-01 00:01:00",
+    ], utc=True)
+    pdf = pd.DataFrame({
+        "doc_id": "d", "source": "s", "seq": np.arange(4),
+        "ts": ts, "value": [10.0, 20.0, 5.0, 8.0],
+    })
+    rows = {r.seq: r for r in counter_rate(spark.createDataFrame(pdf)).collect()}
+    assert rows[1].increase == pytest.approx(10.0)
+    # seq 2 shares seq 1's timestamp: dt = 0 — masked even though the value
+    # dropped (which would otherwise read as a reset)
+    assert rows[2].increase is None and rows[2].rate is None
+    assert not rows[2].is_reset
+    # the next real interval is measured against the duplicate (lag partner)
+    assert rows[3].increase == pytest.approx(3.0)
+    assert rows[3].rate == pytest.approx(3.0 / 30.0)
 
 
 def test_counter_rate_monotone_equals_gauge(spark, sensor_points):

@@ -79,3 +79,43 @@ def test_streaming_resume_is_idempotent(spark, store, events_dir):
     q.awaitTermination(120)
     after = read_stream_tier(spark, store, "1m", finalize=False).count()
     assert after == before
+
+
+def test_tier_sink_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a failed epoch re-runs after a
+    possibly complete write. The sink writes each epoch to its own
+    ``epoch=<id>`` partition in overwrite mode, so replaying an epoch —
+    invoked here directly on the exposed sink function — must leave the
+    merged tier identical to a single delivery (a plain append would
+    double every partial's cnt/vsum)."""
+    from gensor_spark.streaming.rollup_stream import make_tier_sink
+
+    pts = stream_points_from_events(
+        spark.read.parquet(f"{SF}/events.parquet"))
+    rolled = (
+        pts.groupBy("doc_id", "source",
+                    F.window("ts", "60 seconds").alias("window"))
+        .agg(F.count("value").alias("cnt"), F.min("value").alias("vmin"),
+             F.max("value").alias("vmax"), F.sum("value").alias("vsum"),
+             F.max_by("value", F.when(F.col("value").isNotNull(),
+                                      F.col("ts"))).alias("last"),
+             F.max(F.when(F.col("value").isNotNull(),
+                          F.col("ts"))).alias("last_ts"))
+        .select("doc_id", "source", F.col("window.start").alias("bin_ts"),
+                "cnt", "vmin", "vmax", "vsum", "last", "last_ts")
+    )
+    store = str(tmp_path / "store")
+    sink = make_tier_sink(store, "1m")
+    half = rolled.filter(F.crc32(F.col("doc_id")) % 2 == 0)
+    rest = rolled.filter(F.crc32(F.col("doc_id")) % 2 == 1)
+    sink(half, 0)
+    sink(rest, 1)
+    sink(half, 0)  # the replay
+
+    got = read_stream_tier(spark, store, "1m", finalize=True)
+    want = finalize_tier(rollup_tier(
+        events_to_points(spark.read.parquet(f"{SF}/events.parquet")), "1m"))
+    cols = sorted(set(got.columns) & set(want.columns))
+    g, w = got.select(*cols), want.select(*cols)
+    assert len(cols) >= 7  # keys + bin_ts + the finalized aggregates
+    assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
