@@ -10,6 +10,7 @@ from gensor_spark.operators.asof import asof_join
 from gensor_spark.operators.decontaminate import contamination_stats
 from gensor_spark.operators.intervaljoin import interval_join
 from gensor_spark.operators.seriesstats import (
+    acf,
     counter_rate,
     cusum_changepoint,
     ewma,
@@ -44,6 +45,7 @@ __all__ = [
     "asof_join",
     "contamination_stats",
     "interval_join",
+    "acf",
     "ewma",
     "series_corr",
     "cusum_changepoint",

@@ -136,6 +136,67 @@ def series_corr(
 
 
 # ---------------------------------------------------------------------------
+# autocorrelation function (ACF)
+# ---------------------------------------------------------------------------
+
+def acf(
+    points: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3, 4, 5),
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Per-series autocorrelation at the given positional lags.
+
+    The classic seasonality/persistence diagnostic the smoothing verbs
+    (`smooth_data`, `ewma`) assume but gensor never measures: for each lag k,
+    the Pearson correlation between the series and itself shifted k
+    positions (``pandas.Series.autocorr(k)`` semantics — correlation over
+    the pairs where both ends are non-null, NOT the fixed-denominator
+    statsmodels estimator).
+
+    Plan: ONE window Exchange on the series key produces every lag column
+    (a single sort serves all of them), an `explode` fans each row to its
+    (lag, v, v_lag) triples row-locally, then one partial-agg shuffle
+    computes corr + pair count per (series, lag). At 100 TB each point is
+    shuffled once for the window and contributes len(lags) narrow rows to a
+    map-side-combined aggregate; hot series cost is bounded by per-series
+    length, the same contract as ``ewma``/``cusum_changepoint``.
+
+    Output: ``keys..., lag, n_pairs, acf`` — one row per (series, lag) with
+    at least one complete pair. Zero-variance slices yield NaN from Spark's
+    ``corr``; callers needing SQL NULL semantics mask with ``isnan``.
+    """
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("lags must be positive ints")
+    w = W.partitionBy(*keys).orderBy(order_col)
+    # windows first, generator second: Spark rejects a generator whose input
+    # embeds window expressions in the same projection
+    lagged = points.select(
+        *keys,
+        F.col(value_col).alias("v"),
+        *[F.lag(value_col, int(k)).over(w).alias(f"_lag{k}") for k in lags],
+    )
+    triples = F.array(*[
+        F.struct(
+            F.lit(int(k)).alias("lag"),
+            F.col("v").alias("v"),
+            F.col(f"_lag{k}").alias("vlag"),
+        )
+        for k in lags
+    ])
+    exploded = (
+        lagged.select(*keys, F.explode(triples).alias("e"))
+        .select(*keys, "e.lag", "e.v", "e.vlag")
+        .filter(F.col("v").isNotNull() & F.col("vlag").isNotNull())
+    )
+    return exploded.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.corr("v", "vlag").alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CUSUM change-point (Taylor's cumulative-sum chart)
 # ---------------------------------------------------------------------------
 

@@ -794,14 +794,24 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Pearson correlation over the 100 best-covered series.
+    """Cross-series correlation + per-series autocorrelation, method-tagged.
 
-    The pair space of all-vs-all correlation is quadratic in co-occurring
-    series (sf0.1: 7,500 series → 108M day-bin join pairs) — the production
-    pattern is to pre-select the series worth correlating. Top-coverage
-    selection is one agg + a broadcast semi-join, then the bin self-join
-    runs over 100 series only."""
-    from gensor_spark.operators.seriesstats import series_corr
+    Two statistics over the same 100 best-covered series, unioned into one
+    shape (the merged-row form the r3 round sanctioned):
+
+    - ``method='pair'``: pairwise Pearson correlation between day-binned
+      series means (``lag=0``, ``sid_a < sid_b``). The pair space of
+      all-vs-all correlation is quadratic in co-occurring series (sf0.1:
+      7,500 series → 108M day-bin join pairs) — the production pattern is to
+      pre-select the series worth correlating. Top-coverage selection is one
+      agg + a broadcast semi-join, then the bin self-join runs over 100
+      series only.
+    - ``method='acf'``: autocorrelation of each picked series at positional
+      lags 1,2,3,5,10 (``sid_a == sid_b``), pandas ``Series.autocorr``
+      semantics — one window Exchange produces every lag column, one
+      partial-agg shuffle scores them.
+    """
+    from gensor_spark.operators.seriesstats import acf, series_corr
 
     pts = _points(spark, sf_dir)
     sid = F.concat_ws("|", "doc_id", "source")
@@ -816,10 +826,23 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's corr emits NaN for a zero-variance side where SQL engines emit
     # NULL — normalize so the oracle hash agrees on degenerate pairs
     r = F.col("corr")
-    return out.select(
-        "sid_a", "sid_b", "n_overlap",
+    pair_rows = out.select(
+        F.lit("pair").alias("method"),
+        "sid_a", "sid_b", F.lit(0).alias("lag"),
+        F.col("n_overlap").alias("n"),
         _r6(F.when(~F.isnan(r), r)).alias("r"),
     )
+    ac = acf(picked, lags=(1, 2, 3, 5, 10))
+    ar = F.col("acf")
+    acf_rows = ac.select(
+        F.lit("acf").alias("method"),
+        F.concat_ws("|", "doc_id", "source").alias("sid_a"),
+        F.concat_ws("|", "doc_id", "source").alias("sid_b"),
+        "lag",
+        F.col("n_pairs").alias("n"),
+        _r6(F.when(~F.isnan(ar), ar)).alias("r"),
+    )
+    return pair_rows.unionByName(acf_rows)
 
 
 SQL_SERIES_CORR = f"""
@@ -827,15 +850,24 @@ WITH pts AS ({_PTS_SQL}),
 cov AS (SELECT doc_id || '|' || source AS sid, count(*) AS cov
         FROM pts GROUP BY 1
         ORDER BY cov DESC, sid LIMIT 100),
-binned AS (SELECT doc_id || '|' || source AS sid,
-                  date_trunc('day', ts) AS bin_ts, avg(value) AS v
-           FROM pts
-           WHERE doc_id || '|' || source IN (SELECT sid FROM cov)
-           GROUP BY 1, 2)
-SELECT a.sid AS sid_a, b.sid AS sid_b, count(*) AS n_overlap,
-       round(corr(a.v, b.v) + 1e-9, 6) AS r
+base AS (SELECT doc_id || '|' || source AS sid, seq, ts, value
+         FROM pts
+         WHERE doc_id || '|' || source IN (SELECT sid FROM cov)),
+binned AS (SELECT sid, date_trunc('day', ts) AS bin_ts, avg(value) AS v
+           FROM base GROUP BY 1, 2),
+acfp AS (SELECT p.sid, k.lag, p.value AS v, q.value AS vlag
+         FROM base p
+         CROSS JOIN (VALUES (1), (2), (3), (5), (10)) AS k(lag)
+         JOIN base q ON q.sid = p.sid AND q.seq = p.seq - k.lag
+         WHERE p.value IS NOT NULL AND q.value IS NOT NULL)
+SELECT 'pair' AS method, a.sid AS sid_a, b.sid AS sid_b, 0 AS lag,
+       count(*) AS n, round(corr(a.v, b.v) + 1e-9, 6) AS r
 FROM binned a JOIN binned b ON a.bin_ts = b.bin_ts AND a.sid < b.sid
-GROUP BY 1, 2 HAVING count(*) >= 5
+GROUP BY 2, 3 HAVING count(*) >= 5
+UNION ALL
+SELECT 'acf' AS method, sid AS sid_a, sid AS sid_b, lag,
+       count(*) AS n, round(corr(v, vlag) + 1e-9, 6) AS r
+FROM acfp GROUP BY sid, lag
 """
 
 

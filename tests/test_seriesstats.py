@@ -196,44 +196,74 @@ def test_cusum_plan_stays_jvm_side(spark, sensor_points):
 # ------------------------------------------------- registry entries (no driver slot)
 
 def test_registry_series_corr_matches_duckdb(spark):
-    """q_series_corr (top-100-coverage pre-selection + day-bin corr) vs the
-    identical DuckDB pipeline — the driver window is full, so the registry
-    entry is oracled here instead."""
-    from gensor_spark.queries import q_series_corr
+    """q_series_corr (method-tagged union: top-100 day-bin pair corr +
+    per-series ACF at lags 1,2,3,5,10) vs the registry's own DuckDB oracle."""
+    from gensor_spark.queries import ORACLES, q_series_corr
 
+    order = ["method", "sid_a", "sid_b", "lag"]
     got = (
         q_series_corr(spark, SF).toPandas()
-        .sort_values(["sid_a", "sid_b"]).reset_index(drop=True)
+        .sort_values(order).reset_index(drop=True)
     )
     con = duckdb.connect()
-    want = con.execute(f"""
-        WITH p AS (
-          SELECT user_id::VARCHAR AS doc_id, event_type AS source, ts, value
-          FROM read_parquet('{SF}/events.parquet')
-        ),
-        top AS (
-          SELECT doc_id || '|' || source AS sid_k, count(*) AS cov
-          FROM p GROUP BY 1 ORDER BY cov DESC, sid_k LIMIT 100
-        ),
-        binned AS (
-          SELECT doc_id || '|' || source AS sid,
-                 date_trunc('day', ts) AS bin_ts, avg(value) AS v
-          FROM p WHERE doc_id || '|' || source IN (SELECT sid_k FROM top)
-          GROUP BY 1, 2
-        )
-        SELECT a.sid AS sid_a, b.sid AS sid_b, count(*) AS n_overlap,
-               round(corr(a.v, b.v) + 1e-9, 6) AS r
-        FROM binned a JOIN binned b ON a.bin_ts = b.bin_ts AND a.sid < b.sid
-        GROUP BY 1, 2 HAVING count(*) >= 5
-        ORDER BY sid_a, sid_b
-    """).df().reset_index(drop=True)
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = (
+        con.execute(ORACLES["series_corr"]).df()
+        .sort_values(order).reset_index(drop=True)
+    )
     assert len(got) == len(want) > 0
-    for c in ("sid_a", "sid_b"):
+    assert (got["method"] == "pair").any() and (got["method"] == "acf").any()
+    for c in ("method", "sid_a", "sid_b", "lag"):
         np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy())
     np.testing.assert_array_equal(
-        got["n_overlap"].to_numpy(dtype=np.int64), want["n_overlap"].to_numpy(dtype=np.int64))
+        got["n"].to_numpy(dtype=np.int64), want["n"].to_numpy(dtype=np.int64))
     np.testing.assert_allclose(
-        got["r"].to_numpy(dtype=float), want["r"].to_numpy(dtype=float), atol=2e-6)
+        got["r"].to_numpy(dtype=float), want["r"].to_numpy(dtype=float),
+        atol=2e-6)
+
+
+# ---------------------------------------------------------------- ACF
+
+def test_acf_matches_pandas(spark, sensor_points):
+    """acf == pandas Series.autocorr(k) per series (corr over complete
+    pairs), including short-series fallout: a series with no complete pair
+    at lag k simply has no row."""
+    from gensor_spark.operators.seriesstats import acf
+
+    lags = (1, 2, 5)
+    got = acf(sensor_points, lags=lags).toPandas()
+    got_ix = got.set_index(["doc_id", "source", "lag"]).sort_index()
+    pdf = sensor_points.toPandas().sort_values(["doc_id", "source", "seq"])
+    checked = 0
+    for (d, s), g in pdf.groupby(["doc_id", "source"]):
+        v = g["value"].reset_index(drop=True)
+        for k in lags:
+            pairs = pd.DataFrame({"a": v, "b": v.shift(k)}).dropna()
+            key = (d, s, k)
+            if len(pairs) == 0:
+                assert key not in got_ix.index
+                continue
+            row = got_ix.loc[key]
+            assert int(row["n_pairs"]) == len(pairs)
+            want = v.autocorr(lag=k)
+            have = float(row["acf"])
+            if np.isnan(want):
+                assert np.isnan(have)
+            else:
+                np.testing.assert_allclose(have, want, rtol=1e-9)
+            checked += 1
+    assert checked > 0
+
+
+def test_acf_rejects_bad_lags(spark, sensor_points):
+    from gensor_spark.operators.seriesstats import acf
+
+    with pytest.raises(ValueError):
+        acf(sensor_points, lags=())
+    with pytest.raises(ValueError):
+        acf(sensor_points, lags=(1, 0))
 
 
 def test_registry_ewma_and_cusum_smoke(spark):
