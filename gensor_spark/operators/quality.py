@@ -125,3 +125,92 @@ def unigram_logprob_scores(
         "avg_logprob",
         F.exp(-F.col("avg_logprob")).alias("ppl"),
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram-LM perplexity scoring — one LM order up from
+    ``unigram_logprob_scores``, and a materially sharper quality filter:
+    token soup with a plausible unigram mix (shuffled text, keyword
+    stuffing) still scores high because its *transitions* are improbable.
+
+    Jelinek-Mercer interpolation, self-trained on ``docs``:
+
+        p(w2 | w1) = lam * c(w1,w2)/c1(w1) + (1-lam) * (c(w2)+alpha)/(N+alpha*V)
+
+    where ``c1(w1)`` is w1's *context* count (bigram occurrences starting
+    with w1 — so the ML term is a true conditional that sums to 1), and the
+    backoff term is exactly the add-``alpha`` unigram law the unigram scorer
+    uses. ``lam`` in (0,1) keeps every probability positive without bigram
+    smoothing. Each document is scored by the mean log-prob of its
+    ``n_tok - 1`` transitions; docs with < 2 tokens keep ``n_pairs = 0``
+    with null score (mask-don't-crash).
+
+    Shape at scale: bigram extraction is ROW-LOCAL (two array slices zipped
+    — no per-doc window, no Exchange), then: one partial-aggregated shuffle
+    for bigram counts, a tiny second agg for context counts, one shuffle
+    for unigram counts, and the scoring joins shuffle the transition table
+    on (w1,w2) and w2. Everything JVM-side; the zipf head-broadcast cap
+    that ``unigram_logprob_scores`` exposes applies the same way here if a
+    deployment wants broadcast scoring joins (left as the shuffle-exact
+    default — correctness first, the cap under-weights tail grams).
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+    toks_arr = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+    npairs = F.greatest(F.size("t") - 1, F.lit(0))
+    pairs = (
+        toks_arr.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, npairs),
+                    F.slice("t", 2, npairs),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    big = pooled_cache(
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = pooled_cache(
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("c"))
+    )
+    norm = F.broadcast(uni.agg(
+        (F.sum("c") + F.lit(alpha) * F.count("*")).cast("double").alias("_denom")
+    ))
+    lp = (
+        F.lit(lam) * F.col("c12") / F.col("c1")
+        + F.lit(1.0 - lam) * (F.col("c") + F.lit(alpha)) / F.col("_denom")
+    )
+    # score each DISTINCT bigram once (count-table scale), then join the
+    # occurrence table a single time — not three occurrence-scale joins
+    lp_table = (
+        big.join(ctx, "w1")
+        .join(uni, F.col("w2") == F.col("tok"))
+        .crossJoin(norm)
+        .select("w1", "w2", F.log(lp).alias("lp"))
+    )
+    scored = (
+        pairs.join(lp_table, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"), F.avg("lp").alias("avg_logprob"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "avg_logprob",
+        F.exp(-F.col("avg_logprob")).alias("ppl"),
+    )

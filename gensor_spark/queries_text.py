@@ -899,28 +899,63 @@ FROM b
 # token-native repetition (operators/quality.py, operators/decontaminate.py)
 # --------------------------------------------------------------------------
 
-def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM (add-1) mean token log-prob per doc — the KenLM-proxy
-    quality filter, trained on the corpus itself in the same lazy plan."""
-    from gensor_spark.operators.quality import unigram_logprob_scores
+_BIGRAM_LAM = 0.7  # Jelinek-Mercer weight on the bigram ML term
 
-    out = unigram_logprob_scores(_docs(spark, sf_dir))
-    return out.select(
-        "doc_id", "n_tok", _r6(F.col("avg_logprob")).alias("avg_logprob")
+
+def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM perplexity quality filters, method-tagged union (r4 merged form):
+    ``method='uni'`` — unigram add-1 mean token log-prob (KenLM proxy);
+    ``method='bi'`` — Jelinek-Mercer interpolated bigram over the doc's
+    transitions (``n`` = scored positions: tokens for uni, pairs for bi).
+    Both trained on the corpus itself in the same lazy plan."""
+    from gensor_spark.operators.quality import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
     )
+
+    docs = _docs(spark, sf_dir)
+    uni = unigram_logprob_scores(docs).select(
+        F.lit("uni").alias("method"),
+        "doc_id", F.col("n_tok").alias("n"),
+        _r6(F.col("avg_logprob")).alias("avg_logprob"),
+    )
+    bi = bigram_logprob_scores(docs, lam=_BIGRAM_LAM).select(
+        F.lit("bi").alias("method"),
+        "doc_id", F.col("n_pairs").alias("n"),
+        _r6(F.col("avg_logprob")).alias("avg_logprob"),
+    )
+    return uni.unionByName(bi)
 
 
 SQL_PERPLEXITY = f"""
 WITH toks AS ({_TOKS_SQL}),
-tok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i
+        FROM toks),
 counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
 norm AS (SELECT (sum(c) + 1.0 * count(*))::DOUBLE AS denom FROM counts),
 lp AS (SELECT tok, ln((c + 1.0) / denom) AS lp FROM counts, norm),
 scored AS (SELECT doc_id, count(*) AS n_tok, avg(lp) AS avg_logprob
-           FROM tok JOIN lp USING (tok) GROUP BY 1)
-SELECT d.doc_id, coalesce(s.n_tok, 0) AS n_tok,
+           FROM tok JOIN lp USING (tok) GROUP BY 1),
+pairs AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+          FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+blp AS (SELECT p.doc_id,
+               ln({_BIGRAM_LAM} * big.c12 / ctx.c1
+                  + {1.0 - _BIGRAM_LAM} * (u.c + 1.0) / norm.denom) AS lp
+        FROM pairs p
+        JOIN big USING (w1, w2)
+        JOIN ctx USING (w1)
+        JOIN counts u ON u.tok = p.w2, norm),
+bscored AS (SELECT doc_id, count(*) AS n, avg(lp) AS avg_logprob
+            FROM blp GROUP BY 1)
+SELECT 'uni' AS method, d.doc_id, coalesce(s.n_tok, 0) AS n,
        ROUND(s.avg_logprob + 1e-9, 6) AS avg_logprob
 FROM documents d LEFT JOIN scored s USING (doc_id)
+UNION ALL
+SELECT 'bi' AS method, d.doc_id, coalesce(b.n, 0) AS n,
+       ROUND(b.avg_logprob + 1e-9, 6) AS avg_logprob
+FROM documents d LEFT JOIN bscored b USING (doc_id)
 """
 
 

@@ -359,6 +359,79 @@ def test_unigram_logprob_scores_vs_duckdb(spark):
                if exact[d] is not None)
 
 
+def _ref_bigram_scores(texts: dict, lam: float = 0.7, alpha: float = 1.0):
+    """Independent pure-Python Jelinek-Mercer bigram reference."""
+    import math
+    import re
+    from collections import Counter
+
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    seqs = {d: tok(t) for d, t in texts.items()}
+    uni = Counter(t for s in seqs.values() for t in s)
+    big = Counter(
+        (s[i], s[i + 1]) for s in seqs.values() for i in range(len(s) - 1)
+    )
+    ctx = Counter()
+    for (w1, _), c in big.items():
+        ctx[w1] += c
+    denom = sum(uni.values()) + alpha * len(uni)
+    out = {}
+    for d, s in seqs.items():
+        lps = [
+            math.log(
+                lam * big[(s[i], s[i + 1])] / ctx[s[i]]
+                + (1.0 - lam) * (uni[s[i + 1]] + alpha) / denom
+            )
+            for i in range(len(s) - 1)
+        ]
+        out[d] = (len(lps), sum(lps) / len(lps) if lps else None)
+    return out
+
+
+def test_bigram_logprob_scores_vs_python_reference(spark):
+    """Interpolated bigram scorer vs an independent pure-Python model,
+    including the short-doc mask (0/1 tokens -> n_pairs=0, null score)."""
+    from gensor_spark.operators.quality import bigram_logprob_scores
+    from gensor_spark.plans.caching import release_caches
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the hat",
+        3: "a dog ran over the mat",
+        4: "mat the on sat cat the",   # same unigrams as doc 1, odd order
+        5: "zzz",                       # 1 token: no transitions
+        6: "",                          # empty
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_pairs, r.avg_logprob)
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    release_caches()
+    want = _ref_bigram_scores(texts)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        if want[d][1] is None:
+            assert got[d][1] is None
+        else:
+            assert abs(got[d][1] - want[d][1]) < 1e-12, d
+    # the filter's point: doc 4 has doc 1's exact unigram mix but improbable
+    # transitions — the bigram model must score it strictly worse
+    assert got[4][1] < got[1][1] - 0.1
+
+
+def test_bigram_logprob_rejects_bad_lam(spark):
+    from gensor_spark.operators.quality import bigram_logprob_scores
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for bad in (0.0, 1.0, -0.2, 1.5):
+        with pytest.raises(ValueError):
+            bigram_logprob_scores(docs, lam=bad)
+
+
 def test_cluster_representatives_keep_best(spark):
     from gensor_spark.operators.dedup import cluster_representatives
 
