@@ -14,6 +14,7 @@ from gensor_spark.operators.seriesstats import (
     counter_rate,
     cusum_changepoint,
     ewma,
+    mann_kendall,
     seasonal_anomaly,
     series_corr,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "ewma",
     "series_corr",
     "cusum_changepoint",
+    "mann_kendall",
     "counter_rate",
     "seasonal_anomaly",
     "rollup_hist",

@@ -248,6 +248,100 @@ def cusum_changepoint(
 
 
 # ---------------------------------------------------------------------------
+# Mann-Kendall trend test
+# ---------------------------------------------------------------------------
+
+def _mk_kernel(x: np.ndarray) -> tuple[int, int, float, float]:
+    """Exact ties-aware Mann-Kendall statistics for one series.
+
+    Returns ``(n, S, z, tau)`` over the non-NaN values in time order:
+    ``S = Σ_{i<j} sign(x_j − x_i)``, the tie-corrected normal approximation
+    ``z`` (Kendall 1975: continuity-corrected (S∓1)/√Var(S), 0 when S=0),
+    and ``tau = S / (n(n−1)/2)``.
+
+    The pair sum is evaluated in vectorized numpy blocks — O(n²) work but
+    never an O(n²) Python loop; per-series n is the bound (hydrology runs
+    MK on binned series — resample first at web scale).
+    """
+    x = np.asarray(x, dtype=float)
+    x = x[~np.isnan(x)]
+    n = int(len(x))
+    if n < 2:
+        return n, 0, float("nan"), float("nan")
+    s = 0
+    block = 4096
+    for j0 in range(1, n, block):
+        j1 = min(j0 + block, n)
+        # rows are j in [j0, j1); columns are candidate i in [0, j1)
+        diff = x[j0:j1, None] - x[None, :j1]
+        mask = np.arange(j1)[None, :] < np.arange(j0, j1)[:, None]
+        s += int(np.sign(diff, where=mask, out=np.zeros_like(diff)).sum())
+    _, tie_counts = np.unique(x, return_counts=True)
+    t = tie_counts[tie_counts > 1].astype(np.int64)
+    tie_term = int((t * (t - 1) * (2 * t + 5)).sum())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1) / np.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / np.sqrt(var_s)
+    else:
+        z = 0.0
+    tau = s / (0.5 * n * (n - 1))
+    return n, s, float(z), float(tau)
+
+
+def mann_kendall(
+    points: DataFrame,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per series — the standard
+    nonparametric trend test in hydrology (gensor's domain), the robust
+    counterpart to the OLS ``trend`` verb (``gensor/core/base.py``
+    ``trend()``): insensitive to outliers and to the trend's functional
+    form, with the exact tie-corrected variance.
+
+    Output: ``keys..., n, s_stat, z, tau`` — one row per series.
+    NaN/NULL values are dropped per series (mask-don't-crash); series with
+    n < 2 report ``s_stat=0`` and null ``z``/``tau``.
+
+    Plan shape: the pair statistic is inherently sequential-quadratic, so
+    it runs as a batched Arrow kernel (udfkernel.per_series_map — the
+    Hampel/LOF shape): ONE shuffle on the series key, numpy-vectorized
+    block pair sums inside, one output row per series. At web scale the
+    caller bins/resamples first (MK is defined on regular series; per-series
+    n — not series count — bounds the quadratic term).
+    """
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    out_schema = T.StructType(
+        [f for f in points.schema.fields if f.name in keys]
+        + [
+            T.StructField("n", T.LongType()),
+            T.StructField("s_stat", T.LongType()),
+            T.StructField("z", T.DoubleType()),
+            T.StructField("tau", T.DoubleType()),
+        ]
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        n, s, z, tau = _mk_kernel(pdf[value_col].to_numpy(dtype=float))
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update(
+            n=[n], s_stat=[s],
+            z=[None if np.isnan(z) else z],
+            tau=[None if np.isnan(tau) else tau],
+        )
+        return pd.DataFrame(row)
+
+    return per_series_map(
+        points.select(*keys, order_col, value_col),
+        per_series, out_schema, keys=keys, sort_col=order_col,
+    )
+
+
+# ---------------------------------------------------------------------------
 # counter rate / delta (monitoring-rollup primitive)
 # ---------------------------------------------------------------------------
 

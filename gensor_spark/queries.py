@@ -872,15 +872,29 @@ FROM acfp GROUP BY sid, lag
 
 
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Taylor CUSUM change-point per series (window algebra, one shuffle)."""
-    from gensor_spark.operators.seriesstats import cusum_changepoint
+    """Per-series change/trend statistics, method-tagged union (r4 merged
+    form): ``method='cusum'`` — Taylor CUSUM change-point (window algebra,
+    one shuffle; ``stat_i=cp_seq, stat_x=|C|max, stat_y=C-range``);
+    ``method='mk'`` — Mann-Kendall monotonic-trend test (ties-exact, Arrow
+    kernel; ``stat_i=S, stat_x=z, stat_y=tau``)."""
+    from gensor_spark.operators.seriesstats import cusum_changepoint, mann_kendall
 
-    out = cusum_changepoint(_points(spark, sf_dir))
-    return out.select(
-        "doc_id", "source", "n", "cp_seq",
-        _r6(F.col("cusum_absmax")).alias("cmax"),
-        _r6(F.col("cusum_range")).alias("crange"),
+    pts = _points(spark, sf_dir)
+    cu = cusum_changepoint(pts).select(
+        F.lit("cusum").alias("method"),
+        "doc_id", "source", "n",
+        F.col("cp_seq").cast("long").alias("stat_i"),
+        _r6(F.col("cusum_absmax")).alias("stat_x"),
+        _r6(F.col("cusum_range")).alias("stat_y"),
     )
+    mk = mann_kendall(pts).select(
+        F.lit("mk").alias("method"),
+        "doc_id", "source", "n",
+        F.col("s_stat").alias("stat_i"),
+        _r6(F.col("z")).alias("stat_x"),
+        _r6(F.col("tau")).alias("stat_y"),
+    )
+    return cu.unionByName(mk)
 
 
 SQL_CUSUM_CHANGEPOINT = f"""
@@ -892,15 +906,43 @@ c AS (SELECT doc_id, source, seq,
              sum(dev) OVER (PARTITION BY doc_id, source ORDER BY seq
                             ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW) AS cu
-      FROM m)
-SELECT doc_id, source, count(*) AS n,
-       min(CASE WHEN rn = 1 THEN seq END) AS cp_seq,
-       round(max(abs(cu)) + 1e-9, 6) AS cmax,
-       round(max(cu) - min(cu) + 1e-9, 6) AS crange
+      FROM m),
+mkn AS (SELECT doc_id, source, count(value) AS n
+        FROM pts GROUP BY 1, 2),
+mks AS (SELECT a.doc_id, a.source,
+               sum(sign(b.value - a.value))::BIGINT AS s
+        FROM pts a JOIN pts b
+          ON b.doc_id = a.doc_id AND b.source = a.source AND b.seq > a.seq
+        WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+        GROUP BY 1, 2),
+mkt AS (SELECT doc_id, source,
+               sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+        FROM (SELECT doc_id, source, value, count(*) AS t
+              FROM pts WHERE value IS NOT NULL GROUP BY 1, 2, 3)
+        WHERE t > 1 GROUP BY 1, 2),
+mk AS (SELECT n.doc_id, n.source, n.n, coalesce(s.s, 0) AS s,
+              (n.n * (n.n - 1) * (2 * n.n + 5)
+               - coalesce(t.tie_term, 0)) / 18.0 AS var_s
+       FROM mkn n
+       LEFT JOIN mks s ON s.doc_id = n.doc_id AND s.source = n.source
+       LEFT JOIN mkt t ON t.doc_id = n.doc_id AND t.source = n.source)
+SELECT 'cusum' AS method, doc_id, source, count(*) AS n,
+       min(CASE WHEN rn = 1 THEN seq END) AS stat_i,
+       round(max(abs(cu)) + 1e-9, 6) AS stat_x,
+       round(max(cu) - min(cu) + 1e-9, 6) AS stat_y
 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, source
                                    ORDER BY abs(cu) DESC, seq ASC) AS rn
       FROM c)
 GROUP BY doc_id, source
+UNION ALL
+SELECT 'mk' AS method, doc_id, source, n, s AS stat_i,
+       round(CASE WHEN n < 2 THEN NULL
+                  WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END + 1e-9, 6) AS stat_x,
+       round(CASE WHEN n < 2 THEN NULL
+                  ELSE s / (0.5 * n * (n - 1)) END + 1e-9, 6) AS stat_y
+FROM mk
 """
 
 

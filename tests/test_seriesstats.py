@@ -272,8 +272,88 @@ def test_registry_ewma_and_cusum_smoke(spark):
     e = q_ewma_smooth(spark, SF)
     assert e.columns == ["doc_id", "source", "seq", "sm"]
     c = q_cusum_changepoint(spark, SF)
-    assert c.columns == ["doc_id", "source", "n", "cp_seq", "cmax", "crange"]
+    assert c.columns == [
+        "method", "doc_id", "source", "n", "stat_i", "stat_x", "stat_y"]
+    cm = {r[0] for r in c.select("method").distinct().collect()}
+    assert cm == {"cusum", "mk"}
     assert e.count() > 0 and c.count() > 0
+
+
+# ---------------------------------------------------------------- Mann-Kendall
+
+def _mk_loop(x):
+    """Brute-force loop reference for the MK statistics."""
+    import math
+    from collections import Counter
+
+    x = [v for v in x if v == v]  # drop NaN
+    n = len(x)
+    s = sum(
+        (0 if x[j] == x[i] else (1 if x[j] > x[i] else -1))
+        for i in range(n) for j in range(i + 1, n)
+    )
+    if n < 2:
+        return n, 0, None, None
+    ties = Counter(x)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var_s)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var_s)
+    else:
+        z = 0.0
+    tau = s / (0.5 * n * (n - 1))
+    return n, s, z, tau
+
+
+def test_mann_kendall_randomized_vs_loop(spark):
+    """Exact S/z/tau parity with a brute-force pair loop on randomized
+    series with heavy ties and NaNs, crossing the kernel's block boundary."""
+    from gensor_spark.operators.seriesstats import mann_kendall
+
+    rng = np.random.default_rng(7)
+    rows, expect = [], {}
+    for d in range(12):
+        n = int(rng.integers(0, 60)) if d < 10 else 5000  # past block=4096
+        vals = rng.integers(0, 6, size=n).astype(float)   # heavy ties
+        vals[rng.random(n) < 0.1] = np.nan
+        expect[str(d)] = _mk_loop(vals.tolist())
+        rows += [(str(d), "s", i, None if v != v else float(v))
+                 for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, seq int, value double")
+    got = {r.doc_id: r for r in mann_kendall(df).collect()}
+    checked = 0
+    for d, (n, s, z, tau) in expect.items():
+        if n == 0:
+            # empty series never reaches the kernel (no rows at all) unless
+            # it had NaN-only rows; either way a row may exist with n=0
+            if d in got:
+                assert got[d].n == 0
+            continue
+        r = got[d]
+        assert (r.n, r.s_stat) == (n, s), d
+        if z is None:
+            assert r.z is None and r.tau is None
+        else:
+            np.testing.assert_allclose([r.z, r.tau], [z, tau], rtol=1e-12)
+        checked += 1
+    assert checked >= 10
+
+
+def test_mann_kendall_directions(spark):
+    """Monotone up -> tau=1 and z>0; constant -> S=0, z=0."""
+    from gensor_spark.operators.seriesstats import mann_kendall
+
+    up = [("u", "s", i, float(i)) for i in range(30)]
+    flat = [("f", "s", i, 2.5) for i in range(30)]
+    df = spark.createDataFrame(
+        up + flat, "doc_id string, source string, seq int, value double")
+    got = {r.doc_id: r for r in mann_kendall(df).collect()}
+    assert got["u"].tau == pytest.approx(1.0)
+    assert got["u"].s_stat == 30 * 29 // 2 and got["u"].z > 5
+    assert got["f"].s_stat == 0 and got["f"].z == 0.0
 
 
 # ------------------------------------------------------------ seasonal_anomaly
