@@ -14,7 +14,9 @@ from gensor_spark.operators.seriesstats import (
     counter_rate,
     cusum_changepoint,
     ewma,
+    holt_smooth,
     mann_kendall,
+    pacf,
     seasonal_anomaly,
     series_corr,
 )
@@ -48,6 +50,8 @@ __all__ = [
     "interval_join",
     "acf",
     "ewma",
+    "holt_smooth",
+    "pacf",
     "series_corr",
     "cusum_changepoint",
     "mann_kendall",

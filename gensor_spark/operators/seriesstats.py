@@ -90,6 +90,87 @@ def ewma(
 
 
 # ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing
+# ---------------------------------------------------------------------------
+
+def _holt_kernel(x: np.ndarray, alpha: float, beta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Holt's linear method, per series:
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    Initialized l_0 = x_0, b_0 = x_1 - x_0 (0 when the series has one
+    point) — the textbook initialization. NaN observations SKIP the update
+    (level and trend carry unchanged) and emit NaN at that position.
+    Returns (level, trend) arrays aligned to x.
+    """
+    n = len(x)
+    level = np.full(n, np.nan)
+    trend = np.full(n, np.nan)
+    obs = np.flatnonzero(~np.isnan(x))
+    b0 = (x[obs[1]] - x[obs[0]]) if len(obs) >= 2 else 0.0
+    l = b = None
+    for i, v in enumerate(x):
+        if np.isnan(v):
+            continue
+        if l is None:
+            l, b = v, b0
+        else:
+            prev_l = l
+            l = alpha * v + (1 - alpha) * (l + b)
+            b = beta * (l - prev_l) + (1 - beta) * b
+        level[i] = l
+        trend[i] = b
+    return level, trend
+
+
+def holt_smooth(
+    points: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    out_level: str = "level",
+    out_trend: str = "trend",
+) -> DataFrame:
+    """Holt linear (double-exponential) smoothing per series — EWMA's
+    trend-aware sibling: where ``ewma`` lags behind a trending series by
+    construction, Holt carries an explicit trend state so the level tracks
+    a ramp without systematic lag.
+
+    Output: input columns + ``level`` (smoothed value) and ``trend``
+    (current slope estimate). NaN observations skip the state update and
+    emit NaN (mask-don't-crash).
+
+    Sequential recurrence → batched Arrow kernel (udfkernel.per_series_map,
+    the ewma/Hampel shape): one shuffle on the series key, one JVM↔Python
+    crossing per ~10k-row batch.
+    """
+    for p, name in ((alpha, "alpha"), (beta, "beta")):
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1]")
+    for c in (out_level, out_trend):
+        if c in points.columns:
+            raise ValueError(f"out col {c!r} already exists in the input")
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    schema = T.StructType(
+        points.schema.fields
+        + [T.StructField(out_level, T.DoubleType()),
+           T.StructField(out_trend, T.DoubleType())]
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.reset_index(drop=True)
+        lv, tr = _holt_kernel(out[value_col].to_numpy(dtype=float), alpha, beta)
+        out[out_level] = lv
+        out[out_trend] = tr
+        return out
+
+    return per_series_map(points, per_series, schema, keys=keys)
+
+
+# ---------------------------------------------------------------------------
 # cross-series correlation matrix
 # ---------------------------------------------------------------------------
 
@@ -244,6 +325,95 @@ def cusum_changepoint(
             F.max("_absc").alias("cusum_absmax"),
             (F.max("_c") - F.min("_c")).alias("cusum_range"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# partial autocorrelation (PACF, Durbin-Levinson)
+# ---------------------------------------------------------------------------
+
+def _pacf_kernel(x: np.ndarray, max_lag: int) -> np.ndarray:
+    """PACF at lags 1..max_lag via Durbin-Levinson on the standard biased
+    ACF estimator (fixed denominator n — the statsmodels/Box-Jenkins
+    convention, NOT the pairwise-complete estimator ``acf`` uses, which is
+    not positive-definite and can push |pacf| past 1).
+
+    Returns an array of length max_lag; NaN where undefined (short or
+    zero-variance series). NaN observations are dropped first.
+    """
+    x = np.asarray(x, dtype=float)
+    x = x[~np.isnan(x)]
+    n = len(x)
+    out = np.full(max_lag, np.nan)
+    if n < 2:
+        return out
+    xc = x - x.mean()
+    denom = float(xc @ xc)
+    if denom <= 0.0:
+        return out
+    kmax = min(max_lag, n - 1)
+    # biased autocorrelations rho_1..rho_kmax in one vectorized sweep each
+    rho = np.array([float(xc[k:] @ xc[:-k]) / denom for k in range(1, kmax + 1)])
+    # Durbin-Levinson recursion
+    phi_prev = np.empty(0)
+    for k in range(1, kmax + 1):
+        if k == 1:
+            phi_kk = rho[0]
+            phi = np.array([phi_kk])
+        else:
+            num = rho[k - 1] - float(phi_prev @ rho[k - 2 :: -1][:k - 1])
+            den = 1.0 - float(phi_prev @ rho[: k - 1])
+            if den == 0.0:
+                break  # degenerate (perfectly predictable); rest stay NaN
+            phi_kk = num / den
+            phi = np.append(phi_prev - phi_kk * phi_prev[::-1], phi_kk)
+        out[k - 1] = phi_kk
+        phi_prev = phi
+    return out
+
+
+def pacf(
+    points: DataFrame,
+    max_lag: int = 10,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Partial autocorrelation per series at lags 1..``max_lag`` — the
+    AR-order diagnostic that completes the ``acf`` pair: PACF at lag k is
+    the correlation between x_t and x_{t-k} after regressing out lags
+    1..k-1, so an AR(p) series shows a sharp cutoff after lag p where the
+    plain ACF tails off geometrically.
+
+    Durbin-Levinson on the biased ACF estimator (Box-Jenkins convention).
+    Output: ``keys..., lag, pacf`` — one row per (series, lag) with a
+    defined value; short/flat series simply have fewer (or no) rows.
+
+    Sequential recurrence → batched Arrow kernel (udfkernel.per_series_map):
+    one shuffle on the series key; the O(max_lag²) recursion runs on
+    numpy vectors per series.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    out_schema = T.StructType(
+        [f for f in points.schema.fields if f.name in keys]
+        + [T.StructField("lag", T.IntegerType()),
+           T.StructField("pacf", T.DoubleType())]
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = _pacf_kernel(pdf[value_col].to_numpy(dtype=float), max_lag)
+        ok = ~np.isnan(vals)
+        lags = np.arange(1, max_lag + 1)[ok]
+        row = {k: np.repeat(pdf[k].iloc[0], len(lags)) for k in keys}
+        row.update(lag=lags.astype(np.int32), pacf=vals[ok])
+        return pd.DataFrame(row)
+
+    return per_series_map(
+        points.select(*keys, order_col, value_col),
+        per_series, out_schema, keys=keys, sort_col=order_col,
     )
 
 

@@ -793,6 +793,31 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "seq", _r6(F.col("ewma")).alias("sm"))
 
 
+def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear smoothing per series — registry entry outside the driver
+    window (sequential recurrence, not SQL-expressible); loop-reference
+    parity at rtol 1e-12 + an exact linear-ramp invariant are pinned in
+    tests/test_seriesstats.py."""
+    from gensor_spark.operators.seriesstats import holt_smooth
+
+    out = holt_smooth(_points(spark, sf_dir), alpha=0.5, beta=0.3)
+    return out.select(
+        "doc_id", "source", "seq",
+        _r6(F.col("level")).alias("lv"), _r6(F.col("trend")).alias("tr"),
+    )
+
+
+def q_pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF at lags 1..5 per series — registry entry outside the driver
+    window (Durbin-Levinson recursion, not SQL-expressible); Yule-Walker
+    solve parity is pinned in tests/test_seriesstats.py."""
+    from gensor_spark.operators.seriesstats import pacf
+
+    out = pacf(_points(spark, sf_dir), max_lag=5)
+    return out.select(
+        "doc_id", "source", "lag", _r6(F.col("pacf")).alias("p"))
+
+
 def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-series correlation + per-series autocorrelation, method-tagged.
 
@@ -1470,6 +1495,8 @@ QUERIES["outliers_lof"] = q_outliers_lof
 QUERIES["outliers_isolation_forest"] = q_outliers_isolation_forest
 QUERIES["ewma_smooth"] = q_ewma_smooth
 QUERIES["lttb_downsample"] = q_lttb_downsample
+QUERIES["holt_smooth"] = q_holt_smooth
+QUERIES["pacf_lags"] = q_pacf_lags
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

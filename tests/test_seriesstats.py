@@ -279,6 +279,141 @@ def test_registry_ewma_and_cusum_smoke(spark):
     assert e.count() > 0 and c.count() > 0
 
 
+# ---------------------------------------------------------------- Holt / PACF
+
+def _holt_loop(x, alpha, beta):
+    """Independent loop reference for Holt's linear method."""
+    lv, tr = [], []
+    obs = [v for v in x if v == v]
+    b0 = obs[1] - obs[0] if len(obs) >= 2 else 0.0
+    l = b = None
+    for v in x:
+        if v != v:
+            lv.append(float("nan")); tr.append(float("nan"))
+            continue
+        if l is None:
+            l, b = v, b0
+        else:
+            pl = l
+            l = alpha * v + (1 - alpha) * (l + b)
+            b = beta * (l - pl) + (1 - beta) * b
+        lv.append(l); tr.append(b)
+    return lv, tr
+
+
+def test_holt_matches_loop_reference(spark):
+    from gensor_spark.operators.seriesstats import holt_smooth
+
+    rng = np.random.default_rng(11)
+    rows, ref = [], {}
+    for d in range(6):
+        n = int(rng.integers(1, 40))
+        vals = rng.normal(0, 1, n).cumsum()
+        vals[rng.random(n) < 0.15] = np.nan
+        ref[str(d)] = _holt_loop(vals.tolist(), 0.4, 0.2)
+        rows += [(str(d), "s", i, None if v != v else float(v))
+                 for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, seq int, value double")
+    got = holt_smooth(df, alpha=0.4, beta=0.2).toPandas().sort_values(
+        ["doc_id", "seq"])
+    for d, (lv, tr) in ref.items():
+        g = got[got.doc_id == d]
+        np.testing.assert_allclose(g["level"].to_numpy(), lv, rtol=1e-12)
+        np.testing.assert_allclose(g["trend"].to_numpy(), tr, rtol=1e-12)
+
+
+def test_holt_tracks_linear_ramp_exactly(spark):
+    """On x_t = c + m*t Holt is EXACT (level == x, trend == m) for any
+    alpha/beta — the invariant EWMA provably cannot meet (it lags a ramp)."""
+    from gensor_spark.operators.seriesstats import ewma, holt_smooth
+
+    rows = [("r", "s", i, 3.0 + 0.7 * i) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, seq int, value double")
+    g = holt_smooth(df, alpha=0.3, beta=0.6).toPandas().sort_values("seq")
+    np.testing.assert_allclose(
+        g["level"].to_numpy(), g["value"].to_numpy(), rtol=1e-12)
+    np.testing.assert_allclose(g["trend"].to_numpy(), 0.7, rtol=1e-12)
+    e = ewma(df, alpha=0.3).toPandas().sort_values("seq")
+    assert (e["ewma"].to_numpy()[10:] < e["value"].to_numpy()[10:] - 0.5).all()
+
+
+def test_holt_rejects_bad_params(spark):
+    from gensor_spark.operators.seriesstats import holt_smooth
+
+    df = spark.createDataFrame(
+        [("a", "s", 0, 1.0)], "doc_id string, source string, seq int, value double")
+    for a, b in ((0.0, 0.5), (0.5, 1.2), (-1, 0.5)):
+        with pytest.raises(ValueError):
+            holt_smooth(df, alpha=a, beta=b)
+    with pytest.raises(ValueError):
+        holt_smooth(df.withColumnRenamed("value", "level")
+                    .withColumnRenamed("seq", "value").withColumn(
+                        "seq", F.lit(0)), alpha=0.5, beta=0.5)
+
+
+def _pacf_yule_walker(x, max_lag):
+    """Independent PACF reference: solve the Yule-Walker system per k."""
+    x = np.asarray(x, float)
+    x = x[~np.isnan(x)]
+    n = len(x)
+    xc = x - x.mean()
+    denom = xc @ xc
+    kmax = min(max_lag, n - 1)
+    rho = np.array([xc[k:] @ xc[:-k] / denom for k in range(1, kmax + 1)])
+    full = np.concatenate([[1.0], rho])
+    out = np.full(max_lag, np.nan)
+    for k in range(1, kmax + 1):
+        R = np.array([[full[abs(i - j)] for j in range(k)] for i in range(k)])
+        phi = np.linalg.solve(R, rho[:k])
+        out[k - 1] = phi[-1]
+    return out
+
+
+def test_pacf_matches_yule_walker_solve(spark):
+    from gensor_spark.operators.seriesstats import pacf
+
+    rng = np.random.default_rng(23)
+    rows, ref = [], {}
+    for d in range(5):
+        n = int(rng.integers(20, 120))
+        # AR(2)-ish series so higher-lag pacf is non-trivial
+        e = rng.normal(0, 1, n)
+        v = np.zeros(n)
+        for i in range(n):
+            v[i] = 0.6 * v[i - 1] - 0.3 * v[i - 2] + e[i] if i >= 2 else e[i]
+        ref[str(d)] = _pacf_yule_walker(v, 8)
+        rows += [(str(d), "s", i, float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, seq int, value double")
+    got = pacf(df, max_lag=8).toPandas()
+    for d, want in ref.items():
+        g = got[got.doc_id == d].sort_values("lag")
+        ok = ~np.isnan(want)
+        assert list(g["lag"]) == list(np.arange(1, 9)[ok])
+        np.testing.assert_allclose(
+            g["pacf"].to_numpy(), want[ok], rtol=1e-9, atol=1e-12)
+
+
+def test_pacf_ar1_cutoff(spark):
+    """AR(1): pacf(1) ~= the AR coefficient, pacf(k>=2) ~= 0."""
+    from gensor_spark.operators.seriesstats import pacf
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    v = np.zeros(n)
+    e = rng.normal(0, 1, n)
+    for i in range(1, n):
+        v[i] = 0.75 * v[i - 1] + e[i]
+    df = spark.createDataFrame(
+        [("a", "s", i, float(x)) for i, x in enumerate(v)],
+        "doc_id string, source string, seq int, value double")
+    g = pacf(df, max_lag=5).toPandas().sort_values("lag")
+    assert abs(g["pacf"].iloc[0] - 0.75) < 0.05
+    assert (np.abs(g["pacf"].iloc[1:].to_numpy()) < 0.06).all()
+
+
 # ---------------------------------------------------------------- Mann-Kendall
 
 def _mk_loop(x):
