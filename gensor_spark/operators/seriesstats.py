@@ -136,7 +136,9 @@ def holt_smooth(
     """Holt linear (double-exponential) smoothing per series — EWMA's
     trend-aware sibling: where ``ewma`` lags behind a trending series by
     construction, Holt carries an explicit trend state so the level tracks
-    a ramp without systematic lag.
+    a ramp without systematic lag. (Extends the reference's smoothing
+    surface, ``/root/reference/gensor/processing/smoothing.py:10-66``,
+    which offers only centered rolling mean/median.)
 
     Output: input columns + ``level`` (smoothed value) and ``trend``
     (current slope estimate). NaN observations skip the state update and
@@ -250,6 +252,8 @@ def acf(
     """
     if not lags or any(k < 1 for k in lags):
         raise ValueError("lags must be positive ints")
+    if len(set(lags)) != len(lags):
+        raise ValueError("lags must be distinct")
     w = W.partitionBy(*keys).orderBy(order_col)
     # windows first, generator second: Spark rejects a generator whose input
     # embeds window expressions in the same projection
@@ -440,12 +444,16 @@ def _mk_kernel(x: np.ndarray) -> tuple[int, int, float, float]:
         return n, 0, float("nan"), float("nan")
     s = 0
     block = 4096
+    # both dimensions chunked: peak temp is block² doubles (~134 MB),
+    # independent of n — a hot unbinned series degrades to time, not OOM
     for j0 in range(1, n, block):
         j1 = min(j0 + block, n)
-        # rows are j in [j0, j1); columns are candidate i in [0, j1)
-        diff = x[j0:j1, None] - x[None, :j1]
-        mask = np.arange(j1)[None, :] < np.arange(j0, j1)[:, None]
-        s += int(np.sign(diff, where=mask, out=np.zeros_like(diff)).sum())
+        for i0 in range(0, j1, block):
+            i1 = min(i0 + block, j1)
+            # rows are j in [j0, j1); columns are candidate i in [i0, i1), i < j
+            diff = x[j0:j1, None] - x[None, i0:i1]
+            mask = np.arange(i0, i1)[None, :] < np.arange(j0, j1)[:, None]
+            s += int(np.sign(diff, where=mask, out=np.zeros_like(diff)).sum())
     _, tie_counts = np.unique(x, return_counts=True)
     t = tie_counts[tie_counts > 1].astype(np.int64)
     tie_term = int((t * (t - 1) * (2 * t + 5)).sum())
@@ -468,8 +476,9 @@ def mann_kendall(
 ) -> DataFrame:
     """Mann-Kendall monotonic-trend test per series — the standard
     nonparametric trend test in hydrology (gensor's domain), the robust
-    counterpart to the OLS ``trend`` verb (``gensor/core/base.py``
-    ``trend()``): insensitive to outliers and to the trend's functional
+    counterpart to the reference's OLS trend verb
+    (``/root/reference/gensor/analysis/stats.py:21`` ``trend()``, surfaced
+    as a linregress over the series): insensitive to outliers and to the trend's functional
     form, with the exact tie-corrected variance.
 
     Output: ``keys..., n, s_stat, z, tau`` — one row per series.
