@@ -1,12 +1,15 @@
-"""Per-series statistics beyond gensor's surface: EWMA smoothing,
-cross-series correlation, and CUSUM change-point detection.
+"""Per-series statistics beyond gensor's surface: EWMA and Holt smoothing,
+auto-/partial-/cross-series correlation, CUSUM change-point detection,
+Mann-Kendall trend testing, reset-aware counter rates and seasonal-profile
+anomalies.
 
 gensor smooths only with centered rolling mean/median
-(``/root/reference/gensor/processing/smoothing.py:10-66``); real sensor and
+(``/root/reference/gensor/processing/smoothing.py:10-66``) and trends only
+with OLS (``/root/reference/gensor/analysis/stats.py:21``); real sensor and
 token-rate pipelines also want exponentially-weighted smoothing, pairwise
 series correlation (which loggers co-move?) and change detection (when did a
-series shift regime?). All three follow this engine's established physical
-shapes:
+series shift regime?). Everything here follows this engine's established
+physical shapes:
 
 - ``ewma`` is a sequential per-series recurrence — the one class of operator
   the repo sanctions as a batched Arrow kernel (udfkernel.py: Hampel, LOF,
