@@ -310,6 +310,51 @@ class Dataset:
                              F.col("seq").cast("double")).alias("intercept"),
         )
 
+    def ewma(self, alpha: float = 0.3, adjust: bool = True,
+             ignore_na: bool = False) -> "Dataset":
+        """Exponentially-weighted smoothing (pandas ``.ewm().mean()`` exact);
+        adds an ``ewma`` column. Beyond gensor's rolling-only smoothing."""
+        from gensor_spark.operators.seriesstats import ewma
+
+        return self._wrap(ewma(self.df, alpha=alpha, adjust=adjust,
+                               ignore_na=ignore_na, keys=self.keys))
+
+    def holt(self, alpha: float = 0.5, beta: float = 0.3) -> "Dataset":
+        """Holt linear (double-exponential) smoothing; adds ``level`` and
+        ``trend`` columns — tracks ramps without EWMA's systematic lag."""
+        from gensor_spark.operators.seriesstats import holt_smooth
+
+        return self._wrap(holt_smooth(self.df, alpha=alpha, beta=beta,
+                                      keys=self.keys))
+
+    def acf(self, lags: tuple = (1, 2, 3, 4, 5)) -> DataFrame:
+        """Per-series autocorrelation at the given positional lags
+        (pandas ``Series.autocorr`` pair semantics)."""
+        from gensor_spark.operators.seriesstats import acf
+
+        return acf(self.df, lags=lags, keys=self.keys)
+
+    def pacf(self, max_lag: int = 10) -> DataFrame:
+        """Per-series partial autocorrelation at lags 1..max_lag
+        (Durbin-Levinson, Box-Jenkins estimator) — the AR-order diagnostic."""
+        from gensor_spark.operators.seriesstats import pacf
+
+        return pacf(self.df, max_lag=max_lag, keys=self.keys)
+
+    def mann_kendall(self) -> DataFrame:
+        """Mann-Kendall monotonic-trend test per series (ties-exact S, z,
+        tau) — the robust counterpart of ``trend()``."""
+        from gensor_spark.operators.seriesstats import mann_kendall
+
+        return mann_kendall(self.df, keys=self.keys)
+
+    def changepoint(self) -> DataFrame:
+        """Taylor-CUSUM level-shift detection per series: the most likely
+        change position (``cp_seq``) and its evidence."""
+        from gensor_spark.operators.seriesstats import cusum_changepoint
+
+        return cusum_changepoint(self.df, keys=self.keys)
+
     def to_store(self, pipeline, wave: int) -> dict:
         """gensor ``to_sql(db)`` analogue (core/base.py:269-283): persist
         this Dataset's points into the incremental tier store, as a

@@ -157,6 +157,25 @@ def test_info_trend_shapes(spark, ds):
     assert tr.count() == ds.df.select("doc_id", "source").distinct().count()
 
 
+def test_analysis_verbs(spark, ds):
+    """Round-4 analysis verbs: smoothers return wrapped Datasets with their
+    new columns; diagnostics return per-series DataFrames."""
+    sm = ds.ewma(alpha=0.4)
+    assert "ewma" in sm.df.columns and sm.df.count() == ds.df.count()
+    ho = ds.holt(alpha=0.5, beta=0.3)
+    assert {"level", "trend"} <= set(ho.df.columns)
+    n_series = ds.df.select("doc_id", "source").distinct().count()
+    mk = ds.mann_kendall()
+    assert set(mk.columns) == {"doc_id", "source", "n", "s_stat", "z", "tau"}
+    assert mk.count() == n_series
+    cp = ds.changepoint()
+    assert cp.count() == n_series
+    a = ds.acf(lags=(1, 2)).toPandas()
+    assert set(a["lag"]) <= {1, 2} and len(a) > 0
+    p = ds.pacf(max_lag=3).toPandas()
+    assert set(p["lag"]) <= {1, 2, 3} and len(p) > 0
+
+
 def test_plot_data_methods(spark, ds):
     m4 = ds.plot_data(bins=50, method="m4")
     assert m4.count() > 0
