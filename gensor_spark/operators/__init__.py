@@ -18,6 +18,7 @@ from gensor_spark.operators.seriesstats import (
     mann_kendall,
     pacf,
     seasonal_anomaly,
+    seasonal_decompose,
     series_corr,
 )
 from gensor_spark.operators.histquantiles import (
@@ -57,6 +58,7 @@ __all__ = [
     "mann_kendall",
     "counter_rate",
     "seasonal_anomaly",
+    "seasonal_decompose",
     "rollup_hist",
     "rollup_hist_docs_arrow",
     "merge_hist",

@@ -596,6 +596,83 @@ def counter_rate(
 
 
 # ---------------------------------------------------------------------------
+# classic additive seasonal decomposition
+# ---------------------------------------------------------------------------
+
+def seasonal_decompose(
+    points: DataFrame,
+    period: int,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Classic additive decomposition x = trend + seasonal + resid per
+    series (statsmodels ``seasonal_decompose`` convention, positional
+    period over the ``order_col`` ordering):
+
+    - ``trend``: centered moving average of length ``period`` (even periods
+      use the standard 2x``period`` double average so the window stays
+      centered); NULL where the full window is incomplete (series edges) —
+      classic decomposition simply has no trend there.
+    - ``seasonal``: per-phase (position mod period) mean of the detrended
+      series, centered so the seasonal component sums to ~0 over a cycle.
+    - ``resid``: x − trend − seasonal (NULL wherever trend is).
+
+    The caller supplies ``period`` and a REGULAR series (resample first —
+    operators/resample.py — exactly like every classical decomposition
+    API). Pure window algebra: one Exchange on the series key serves the
+    centered-MA frames, one on (series, phase) for the seasonal means, one
+    unbounded per-series frame centers them — whole-stage codegen end to
+    end, no Python.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    v = F.col(value_col)
+    ordered = W.partitionBy(*keys).orderBy(order_col)
+    half = period // 2
+    if period % 2:
+        ma_w = ordered.rowsBetween(-half, half)
+        complete = F.count(v).over(ma_w) == period
+        trend = F.when(complete, F.avg(v).over(ma_w))
+    else:
+        # 2xMA: average of the two length-`period` windows straddling the
+        # center — equivalently a weighted window with half weights at the
+        # two extreme offsets
+        w_lo = ordered.rowsBetween(-half, half - 1)
+        w_hi = ordered.rowsBetween(-half + 1, half)
+        complete = (
+            (F.count(v).over(w_lo) == period)
+            & (F.count(v).over(w_hi) == period)
+        )
+        trend = F.when(
+            complete, (F.avg(v).over(w_lo) + F.avg(v).over(w_hi)) / 2.0
+        )
+    witht = points.withColumn("trend", trend).withColumn(
+        "phase", (F.col(order_col) % period).cast("int")
+    ).withColumn("_det", v - F.col("trend"))
+    phase_w = W.partitionBy(*keys, "phase").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    series_w = W.partitionBy(*keys).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    # materialize the per-phase mean and a one-per-phase representative flag
+    # BEFORE the centering window — window functions cannot nest
+    staged = witht.withColumn("_pm", F.avg("_det").over(phase_w)).withColumn(
+        "_rep",
+        F.row_number().over(W.partitionBy(*keys, "phase").orderBy(order_col)) == 1,
+    )
+    # center: subtract the mean of the per-phase means (each observed phase
+    # weighted once, via its representative row)
+    ph_bar = F.avg(F.when(F.col("_rep"), F.col("_pm"))).over(series_w)
+    return (
+        staged.withColumn("seasonal", F.col("_pm") - ph_bar)
+        .withColumn("resid", v - F.col("trend") - F.col("seasonal"))
+        .drop("_det", "_pm", "_rep")
+    )
+
+
+# ---------------------------------------------------------------------------
 # seasonal baseline + deviation anomalies
 # ---------------------------------------------------------------------------
 

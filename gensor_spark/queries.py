@@ -740,20 +740,41 @@ def q_outliers_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-day seasonal-profile anomalies (driver-oracled r4)."""
-    from gensor_spark.operators.seriesstats import seasonal_anomaly
+_DECOMP_PERIOD = 5  # positional period for the decomposition rows
 
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal analytics, method-tagged union (r4 merged form):
+    ``method='anomaly'`` — hour-of-day per-source profile z-scores over the
+    2.5-sigma bar (driver-oracled r4); ``method='trend'/'seasonal'/'resid'``
+    — classic additive decomposition per series at positional period 5
+    (non-null component rows only: series edges have no centered trend)."""
+    from gensor_spark.operators.seriesstats import seasonal_anomaly, seasonal_decompose
+
+    pts = _points(spark, sf_dir)
     # profile per sensor type: the testdata's per-(doc,source) series are
     # ~a dozen points, far below min_bucket at any phase grain, so the
     # per-series form scores nothing at small SF — the per-source profile
     # is the populated (and equally legitimate) demonstration
-    out = seasonal_anomaly(_points(spark, sf_dir), period="hour_of_day",
-                           keys=("source",), n_sigma=2.5)
-    return out.filter("is_anomaly").select(
+    an = seasonal_anomaly(pts, period="hour_of_day",
+                          keys=("source",), n_sigma=2.5)
+    anomaly_rows = an.filter("is_anomaly").select(
+        F.lit("anomaly").alias("method"),
         "doc_id", "source", "seq", "phase",
-        _r6(F.col("season_z")).alias("sz"),
+        _r6(F.col("season_z")).alias("v"),
     )
+    de = seasonal_decompose(pts, period=_DECOMP_PERIOD)
+    decomp_rows = (
+        de.select(
+            "doc_id", "source", "seq", "phase",
+            F.expr("stack(3, 'trend', trend, 'seasonal', seasonal, "
+                   "'resid', resid) AS (method, raw)"),
+        )
+        .filter(F.col("raw").isNotNull())
+        .select("method", "doc_id", "source", "seq", "phase",
+                _r6(F.col("raw")).alias("v"))
+    )
+    return anomaly_rows.unionByName(decomp_rows)
 
 
 SQL_SEASONAL_ANOMALY = f"""
@@ -761,10 +782,38 @@ WITH pts AS ({_PTS_SQL}),
 p AS (SELECT doc_id, source, seq, value, hour(ts) AS phase FROM pts),
 s AS (SELECT *, avg(value) OVER w AS m, stddev_samp(value) OVER w AS sd,
              count(value) OVER w AS c
-      FROM p WINDOW w AS (PARTITION BY source, phase))
-SELECT doc_id, source, seq, phase,
-       round((value - m) / sd + 1e-9, 6) AS sz
+      FROM p WINDOW w AS (PARTITION BY source, phase)),
+dt AS (SELECT doc_id, source, seq, value, seq % {_DECOMP_PERIOD} AS dphase,
+              CASE WHEN count(value) OVER w = {_DECOMP_PERIOD}
+                   THEN avg(value) OVER w END AS trend
+       FROM pts
+       WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
+                    ROWS BETWEEN {_DECOMP_PERIOD // 2} PRECEDING
+                    AND {_DECOMP_PERIOD // 2} FOLLOWING)),
+ds AS (SELECT *, avg(value - trend) OVER pw AS pm,
+              row_number() OVER (PARTITION BY doc_id, source, dphase
+                                 ORDER BY seq) = 1 AS rep
+       FROM dt
+       WINDOW pw AS (PARTITION BY doc_id, source, dphase)),
+dc AS (SELECT *, avg(CASE WHEN rep THEN pm END)
+                   OVER (PARTITION BY doc_id, source) AS phbar
+       FROM ds),
+comp AS (SELECT doc_id, source, seq, dphase AS phase, trend,
+                pm - phbar AS seasonal,
+                value - trend - (pm - phbar) AS resid
+         FROM dc)
+SELECT 'anomaly' AS method, doc_id, source, seq, phase,
+       round((value - m) / sd + 1e-9, 6) AS v
 FROM s WHERE c >= 5 AND sd > 0 AND abs((value - m) / sd) > 2.5
+UNION ALL
+SELECT 'trend', doc_id, source, seq, phase, round(trend + 1e-9, 6)
+FROM comp WHERE trend IS NOT NULL
+UNION ALL
+SELECT 'seasonal', doc_id, source, seq, phase, round(seasonal + 1e-9, 6)
+FROM comp WHERE seasonal IS NOT NULL
+UNION ALL
+SELECT 'resid', doc_id, source, seq, phase, round(resid + 1e-9, 6)
+FROM comp WHERE resid IS NOT NULL
 """
 
 

@@ -491,6 +491,142 @@ def test_mann_kendall_directions(spark):
     assert got["f"].s_stat == 0 and got["f"].z == 0.0
 
 
+# ------------------------------------------------------ seasonal_decompose
+
+def _ref_decompose(x, period):
+    """Loop reference for the classic additive decomposition."""
+    x = np.asarray(x, float)
+    n = len(x)
+    trend = np.full(n, np.nan)
+    half = period // 2
+    for i in range(n):
+        if period % 2:
+            lo, hi = i - half, i + half + 1
+            if lo >= 0 and hi <= n and not np.isnan(x[lo:hi]).any():
+                trend[i] = x[lo:hi].mean()
+        else:
+            lo1, hi1 = i - half, i + half
+            lo2, hi2 = i - half + 1, i + half + 1
+            if lo1 >= 0 and hi2 <= n and not np.isnan(x[lo1:hi2]).any():
+                trend[i] = (x[lo1:hi1].mean() + x[lo2:hi2].mean()) / 2.0
+    det = x - trend
+    phases = np.arange(n) % period
+    pm = np.full(n, np.nan)
+    means = {}
+    for j in set(phases.tolist()):
+        vals = det[phases == j]
+        means[j] = np.nanmean(vals) if (~np.isnan(vals)).any() else np.nan
+        pm[phases == j] = means[j]
+    obs = [means[j] for j in sorted(means) if not np.isnan(means[j])]
+    phbar = np.mean(obs) if obs else np.nan
+    seasonal = pm - phbar
+    return trend, seasonal, x - trend - seasonal
+
+
+@pytest.mark.parametrize("period", [5, 6])
+def test_seasonal_decompose_vs_loop(spark, period):
+    from gensor_spark.operators.seriesstats import seasonal_decompose
+
+    rng = np.random.default_rng(17)
+    rows, ref = [], {}
+    for d in range(4):
+        n = int(rng.integers(3, 80))
+        vals = rng.normal(0, 1, n)
+        vals[rng.random(n) < 0.1] = np.nan
+        ref[str(d)] = _ref_decompose(vals, period)
+        rows += [(str(d), "s", i, None if v != v else float(v))
+                 for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, seq int, value double")
+    got = seasonal_decompose(df, period=period).toPandas().sort_values(
+        ["doc_id", "seq"])
+    for d, (tr, se, re_) in ref.items():
+        g = got[got.doc_id == d]
+        for col, want in (("trend", tr), ("seasonal", se), ("resid", re_)):
+            have = g[col].to_numpy(dtype=float)
+            np.testing.assert_allclose(have, want, rtol=1e-9, atol=1e-12,
+                                       equal_nan=True, err_msg=f"{d}/{col}")
+
+
+@pytest.mark.parametrize("period", [7, 8])
+def test_seasonal_decompose_exact_recovery(spark, period):
+    """Linear trend + zero-sum seasonal is recovered EXACTLY in the
+    interior (centered MA of a line is the line; a full cycle of the
+    seasonal averages to zero)."""
+    from gensor_spark.operators.seriesstats import seasonal_decompose
+
+    n = 6 * period
+    season = np.arange(period, dtype=float)
+    season -= season.mean()
+    x = 2.0 + 0.5 * np.arange(n) + season[np.arange(n) % period]
+    df = spark.createDataFrame(
+        [("a", "s", i, float(v)) for i, v in enumerate(x)],
+        "doc_id string, source string, seq int, value double")
+    g = seasonal_decompose(df, period=period).toPandas().sort_values("seq")
+    interior = g["trend"].notna().to_numpy()
+    assert interior.sum() == n - 2 * (period // 2)
+    np.testing.assert_allclose(
+        g["trend"].to_numpy()[interior],
+        (2.0 + 0.5 * np.arange(n))[interior], rtol=1e-12)
+    np.testing.assert_allclose(
+        g["seasonal"].to_numpy(), season[np.arange(n) % period], atol=1e-9)
+    np.testing.assert_allclose(
+        g["resid"].to_numpy()[interior], 0.0, atol=1e-9)
+
+
+def test_seasonal_decompose_matches_duckdb_windows(spark, sensor_points):
+    """The same decomposition written as DuckDB window SQL (the oracle
+    formulation) on real-shaped input, odd period."""
+    import duckdb
+
+    from gensor_spark.operators.seriesstats import seasonal_decompose
+
+    got = (
+        seasonal_decompose(sensor_points, period=5)
+        .select("doc_id", "source", "seq", "trend", "seasonal", "resid")
+        .toPandas().sort_values(["doc_id", "source", "seq"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH p AS (
+          SELECT user_id::VARCHAR AS doc_id, event_type AS source, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) - 1 AS seq
+          FROM read_parquet('{SF}/events.parquet')
+        ),
+        t AS (SELECT *, seq % 5 AS phase,
+                     CASE WHEN count(value) OVER w = 5
+                          THEN avg(value) OVER w END AS trend
+              FROM p
+              WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
+                           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+        s AS (SELECT *, avg(value - trend) OVER pw AS pm,
+                     row_number() OVER (PARTITION BY doc_id, source, phase
+                                        ORDER BY seq) = 1 AS rep
+              FROM t
+              WINDOW pw AS (PARTITION BY doc_id, source, phase)),
+        c AS (SELECT *, avg(CASE WHEN rep THEN pm END)
+                          OVER (PARTITION BY doc_id, source) AS phbar
+              FROM s)
+        SELECT doc_id, source, seq, trend,
+               pm - phbar AS seasonal,
+               value - trend - (pm - phbar) AS resid
+        FROM c ORDER BY doc_id, source, seq
+    """).df().reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for col in ("trend", "seasonal", "resid"):
+        np.testing.assert_allclose(
+            got[col].to_numpy(dtype=float), want[col].to_numpy(dtype=float),
+            rtol=1e-9, atol=1e-12, equal_nan=True)
+
+
+def test_seasonal_decompose_rejects_bad_period(spark, sensor_points):
+    from gensor_spark.operators.seriesstats import seasonal_decompose
+
+    with pytest.raises(ValueError):
+        seasonal_decompose(sensor_points, period=1)
+
+
 # ------------------------------------------------------------ seasonal_anomaly
 
 def test_seasonal_anomaly_matches_duckdb(spark, sensor_points):
