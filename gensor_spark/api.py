@@ -341,6 +341,15 @@ class Dataset:
 
         return pacf(self.df, max_lag=max_lag, keys=self.keys)
 
+    def decompose(self, period: int) -> "Dataset":
+        """Classic additive seasonal decomposition: adds ``trend``,
+        ``seasonal``, ``resid`` (and ``phase``) columns; resample to a
+        regular grid first."""
+        from gensor_spark.operators.seriesstats import seasonal_decompose
+
+        return self._wrap(seasonal_decompose(self.df, period=period,
+                                             keys=self.keys))
+
     def mann_kendall(self) -> DataFrame:
         """Mann-Kendall monotonic-trend test per series (ties-exact S, z,
         tau) — the robust counterpart of ``trend()``."""

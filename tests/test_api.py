@@ -174,6 +174,9 @@ def test_analysis_verbs(spark, ds):
     assert set(a["lag"]) <= {1, 2} and len(a) > 0
     p = ds.pacf(max_lag=3).toPandas()
     assert set(p["lag"]) <= {1, 2, 3} and len(p) > 0
+    de = ds.decompose(period=5)
+    assert {"trend", "seasonal", "resid", "phase"} <= set(de.df.columns)
+    assert de.df.filter("trend IS NOT NULL").count() > 0
 
 
 def test_plot_data_methods(spark, ds):
