@@ -1,0 +1,125 @@
+"""Stateful streaming EWMA vs the batch operator and vs pandas itself.
+
+Same harness as test_rate_stream: two time-split files, one micro-batch
+each — the recurrence state of every second-batch first point lives in the
+first batch, so equality with the batch operator proves the GroupState
+(num, den) carry works, including NaN aging at the boundary.
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gensor_spark.operators.seriesstats import ewma
+from gensor_spark.streaming.smooth_stream import streaming_ewma
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_split(spark, tmp_path_factory, df, name):
+    d = tmp_path_factory.mktemp(f"{name}_in")
+    mid = df.selectExpr("percentile(unix_micros(ts), 0.5) p").collect()[0].p
+    early = df.filter(f"unix_micros(ts) <= {mid}")
+    late = df.filter(f"unix_micros(ts) > {mid}")
+    early.coalesce(1).write.mode("overwrite").parquet(str(d / "a"))
+    time.sleep(1.1)
+    late.coalesce(1).write.mode("overwrite").parquet(str(d / "b"))
+    out = tmp_path_factory.mktemp(f"{name}_flat")
+    for i, sub in enumerate(("a", "b")):
+        src = next((d / sub).glob("*.parquet"))
+        shutil.copy(src, out / f"{i}_{src.name}")
+        time.sleep(1.1)
+    return str(out)
+
+
+def _run_stream(spark, in_dir, tmp_path, qname, **kwargs):
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = streaming_ewma(stream, **kwargs)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {qname}").toPandas()
+
+
+@pytest.fixture(scope="module")
+def unique_ts_points(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "cast(user_id as string) doc_id", "event_type source",
+        "cast(ts as timestamp) ts", "value")
+    return (
+        ev.groupBy("doc_id", "source", "ts")
+        .agg(F.min("value").alias("value"))
+    )
+
+
+def _sorted(pdf):
+    return pdf.sort_values(["doc_id", "source", "ts"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("ignore_na", [False, True])
+def test_stream_ewma_equals_batch(spark, unique_ts_points, tmp_path_factory,
+                                  tmp_path, ignore_na):
+    in_dir = _write_split(
+        spark, tmp_path_factory, unique_ts_points, f"ewma{int(ignore_na)}")
+    got = _sorted(_run_stream(
+        spark, in_dir, tmp_path, f"ewma_out{int(ignore_na)}",
+        alpha=0.35, ignore_na=ignore_na))
+
+    batch_in = unique_ts_points.withColumn(
+        "seq",
+        F.row_number().over(
+            Window.partitionBy("doc_id", "source").orderBy("ts")) - 1,
+    )
+    want = _sorted(
+        ewma(batch_in, alpha=0.35, adjust=True, ignore_na=ignore_na)
+        .select("doc_id", "source", "ts", "value", "ewma")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    for c in ("doc_id", "source", "ts"):
+        assert (got[c] == want[c]).all()
+    for c in ("value", "ewma"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float), want[c].to_numpy(dtype=float),
+            rtol=1e-12, equal_nan=True,
+        )
+
+
+def test_stream_ewma_nan_at_boundary(spark, tmp_path_factory, tmp_path):
+    """A NULL as the LAST pre-boundary row: with ignore_na=False the carried
+    weights must age through it (pandas semantics), pinned vs pandas."""
+    ts = pd.date_range("2024-01-01", periods=6, freq="30s", tz="UTC")
+    vals = [2.0, 4.0, None, 8.0, None, 1.0]
+    pdf = pd.DataFrame({"doc_id": "d", "source": "s", "ts": ts,
+                        "value": pd.array(vals, dtype=float)})
+    df = spark.createDataFrame(pdf)
+    in_dir = _write_split(spark, tmp_path_factory, df, "ewmafix")
+    got = _sorted(_run_stream(spark, in_dir, tmp_path, "ewmafix_out",
+                              alpha=0.5, ignore_na=False))
+    want = pd.Series(vals, dtype=float).ewm(
+        alpha=0.5, adjust=True, ignore_na=False).mean().to_numpy()
+    np.testing.assert_allclose(
+        got["ewma"].to_numpy(dtype=float), want, rtol=1e-12, equal_nan=True)
+
+
+def test_stream_ewma_rejects_bad_alpha(spark):
+    with pytest.raises(ValueError):
+        streaming_ewma(None, alpha=0.0)
