@@ -334,6 +334,13 @@ class Dataset:
 
         return acf(self.df, lags=lags, keys=self.keys)
 
+    def ccf(self, lags: tuple = (-1, 1), bin: str = "day") -> DataFrame:
+        """Lagged cross-correlation between series pairs — which series
+        leads which, by how many bins."""
+        from gensor_spark.operators.seriesstats import ccf
+
+        return ccf(self.df, lags=lags, bin=bin, keys=self.keys)
+
     def pacf(self, max_lag: int = 10) -> DataFrame:
         """Per-series partial autocorrelation at lags 1..max_lag
         (Durbin-Levinson, Box-Jenkins estimator) — the AR-order diagnostic."""

@@ -11,6 +11,7 @@ from gensor_spark.operators.decontaminate import contamination_stats
 from gensor_spark.operators.intervaljoin import interval_join
 from gensor_spark.operators.seriesstats import (
     acf,
+    ccf,
     counter_rate,
     cusum_changepoint,
     ewma,
@@ -50,6 +51,7 @@ __all__ = [
     "contamination_stats",
     "interval_join",
     "acf",
+    "ccf",
     "ewma",
     "holt_smooth",
     "pacf",

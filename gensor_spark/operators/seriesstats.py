@@ -222,6 +222,73 @@ def series_corr(
 
 
 # ---------------------------------------------------------------------------
+# lagged cross-correlation (CCF)
+# ---------------------------------------------------------------------------
+
+def ccf(
+    points: DataFrame,
+    lags: tuple[int, ...] = (-1, 1),
+    bin: str = "day",
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Lagged cross-correlation between series pairs — the "which sensor
+    leads which" diagnostic (rainfall leads groundwater level by k days):
+    for each signed lag k, ``corr(a at bin t, b at bin t+k)`` over the
+    pairs of day/hour-binned means both series populate. A positive peak at
+    k>0 means ``sid_a`` leads ``sid_b`` by k bins.
+
+    Signed lags + the ``sid_a < sid_b`` ordering carry the full function
+    (r(a,b,k) == r(b,a,-k)); ``k=0`` is ``series_corr`` — rejected here.
+
+    Plan: the ``series_corr`` shape with a shifted join key — bin → mean
+    (shuffle 1, partial agg) → explode the a-side by the lag set (row-local)
+    → equi-join on the SHIFTED bin ordinal (SMJ/shuffled-hash — never a
+    cartesian) → ``corr`` per (pair, lag) (shuffle 2). Bin ordinals are
+    exact integer epochs / bin seconds (UTC session); the pair fan-out is
+    bounded exactly as series_corr's (pre-select series at web scale).
+    """
+    if not lags or any(k == 0 for k in lags):
+        raise ValueError("lags must be non-zero (k=0 is series_corr)")
+    if len(set(lags)) != len(lags):
+        raise ValueError("lags must be distinct")
+    secs = {"day": 86400, "hour": 3600, "minute": 60}
+    if bin not in secs:
+        raise ValueError(f"unsupported bin: {bin!r}")
+    sid = F.concat_ws("|", *[F.col(k) for k in keys])
+    binned = (
+        points.withColumn(
+            "bin_id",
+            (F.unix_timestamp(F.date_trunc(bin, F.col(ts_col)))
+             / F.lit(secs[bin])).cast("long"),
+        )
+        .withColumn("sid", sid)
+        .groupBy("sid", "bin_id")
+        .agg(F.avg(value_col).alias("v"))
+    )
+    a = binned.select(
+        F.col("sid").alias("sid_a"), "bin_id", F.col("v").alias("va"),
+        F.explode(F.array(*[F.lit(int(k)) for k in lags])).alias("lag"),
+    )
+    b = binned.select(
+        F.col("sid").alias("sid_b"),
+        F.col("bin_id").alias("bin_b"), F.col("v").alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bin_b") == F.col("bin_id") + F.col("lag"))
+        & (F.col("sid_a") < F.col("sid_b")),
+    )
+    return (
+        pairs.groupBy("sid_a", "sid_b", "lag")
+        .agg(F.count(F.lit(1)).alias("n_overlap"), F.corr("va", "vb").alias("corr"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+
+
+# ---------------------------------------------------------------------------
 # autocorrelation function (ACF)
 # ---------------------------------------------------------------------------
 

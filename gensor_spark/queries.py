@@ -885,7 +885,7 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       semantics — one window Exchange produces every lag column, one
       partial-agg shuffle scores them.
     """
-    from gensor_spark.operators.seriesstats import acf, series_corr
+    from gensor_spark.operators.seriesstats import acf, ccf, series_corr
 
     pts = _points(spark, sf_dir)
     sid = F.concat_ws("|", "doc_id", "source")
@@ -916,7 +916,15 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").alias("n"),
         _r6(F.when(~F.isnan(ar), ar)).alias("r"),
     )
-    return pair_rows.unionByName(acf_rows)
+    cc = ccf(picked, lags=(-1, 1), bin="day", min_overlap=5)
+    cr = F.col("corr")
+    ccf_rows = cc.select(
+        F.lit("ccf").alias("method"),
+        "sid_a", "sid_b", "lag",
+        F.col("n_overlap").alias("n"),
+        _r6(F.when(~F.isnan(cr), cr)).alias("r"),
+    )
+    return pair_rows.unionByName(acf_rows).unionByName(ccf_rows)
 
 
 SQL_SERIES_CORR = f"""
@@ -933,7 +941,15 @@ acfp AS (SELECT p.sid, k.lag, p.value AS v, q.value AS vlag
          FROM base p
          CROSS JOIN (VALUES (1), (2), (3), (5), (10)) AS k(lag)
          JOIN base q ON q.sid = p.sid AND q.seq = p.seq - k.lag
-         WHERE p.value IS NOT NULL AND q.value IS NOT NULL)
+         WHERE p.value IS NOT NULL AND q.value IS NOT NULL),
+ccfp AS (SELECT a.sid AS sid_a, b.sid AS sid_b, k.lag,
+                a.v AS va, b.v AS vb
+         FROM binned a
+         CROSS JOIN (VALUES (-1), (1)) AS k(lag)
+         JOIN binned b
+           ON epoch(b.bin_ts)::BIGINT // 86400
+              = epoch(a.bin_ts)::BIGINT // 86400 + k.lag
+          AND a.sid < b.sid)
 SELECT 'pair' AS method, a.sid AS sid_a, b.sid AS sid_b, 0 AS lag,
        count(*) AS n, round(corr(a.v, b.v) + 1e-9, 6) AS r
 FROM binned a JOIN binned b ON a.bin_ts = b.bin_ts AND a.sid < b.sid
@@ -942,6 +958,10 @@ UNION ALL
 SELECT 'acf' AS method, sid AS sid_a, sid AS sid_b, lag,
        count(*) AS n, round(corr(v, vlag) + 1e-9, 6) AS r
 FROM acfp GROUP BY sid, lag
+UNION ALL
+SELECT 'ccf' AS method, sid_a, sid_b, lag,
+       count(*) AS n, round(corr(va, vb) + 1e-9, 6) AS r
+FROM ccfp GROUP BY sid_a, sid_b, lag HAVING count(*) >= 5
 """
 
 

@@ -214,7 +214,8 @@ def test_registry_series_corr_matches_duckdb(spark):
         .sort_values(order).reset_index(drop=True)
     )
     assert len(got) == len(want) > 0
-    assert (got["method"] == "pair").any() and (got["method"] == "acf").any()
+    for m in ("pair", "acf", "ccf"):
+        assert (got["method"] == m).any(), m
     for c in ("method", "sid_a", "sid_b", "lag"):
         np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy())
     np.testing.assert_array_equal(
@@ -222,6 +223,40 @@ def test_registry_series_corr_matches_duckdb(spark):
     np.testing.assert_allclose(
         got["r"].to_numpy(dtype=float), want["r"].to_numpy(dtype=float),
         atol=2e-6)
+
+
+# ---------------------------------------------------------------- CCF
+
+def test_ccf_recovers_known_lead(spark):
+    """b is exactly a shifted one day later -> ccf(a,b) peaks at lag=+1
+    with r=1 (a leads b); the mirrored lag carries distinct information."""
+    from gensor_spark.operators.seriesstats import ccf
+
+    days = pd.date_range("2024-01-01", periods=40, freq="D", tz="UTC")
+    vals = np.sin(np.arange(40) * 2.0)  # decorrelates off the true lag
+    rows = [("a", "x", t.to_pydatetime(), float(v))
+            for t, v in zip(days, vals)]
+    rows += [("b", "x", (t + pd.Timedelta(days=1)).to_pydatetime(), float(v))
+             for t, v in zip(days, vals)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, ts timestamp, value double")
+    got = {(r.sid_a, r.sid_b, r.lag): (r.n_overlap, r["corr"])
+           for r in ccf(df, lags=(-1, 1, 2), bin="day").collect()}
+    n1, r1 = got[("a|x", "b|x", 1)]
+    assert n1 == 40 and r1 == pytest.approx(1.0, abs=1e-12)
+    # off the true lag the aligned pairs are one waveform step apart —
+    # corr ~= cos(2) ~= -0.42 for this waveform
+    assert got[("a|x", "b|x", 2)][1] < 0.5
+    assert got[("a|x", "b|x", -1)][1] < 0.5
+
+
+def test_ccf_guards(spark, sensor_points):
+    from gensor_spark.operators.seriesstats import ccf
+
+    for bad in ((), (0,), (1, 1)):
+        with pytest.raises(ValueError):
+            ccf(sensor_points, lags=bad)
+    with pytest.raises(ValueError):
+        ccf(sensor_points, bin="week")
 
 
 # ---------------------------------------------------------------- ACF
