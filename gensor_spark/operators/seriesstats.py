@@ -495,24 +495,37 @@ def pacf(
 # Mann-Kendall trend test
 # ---------------------------------------------------------------------------
 
-def _mk_kernel(x: np.ndarray) -> tuple[int, int, float, float]:
-    """Exact ties-aware Mann-Kendall statistics for one series.
+def _mk_kernel(
+    x: np.ndarray, positions: np.ndarray | None = None
+) -> tuple[int, int, float, float, float]:
+    """Exact ties-aware Mann-Kendall statistics + Sen's slope for one series.
 
-    Returns ``(n, S, z, tau)`` over the non-NaN values in time order:
+    Returns ``(n, S, z, tau, sen)`` over the non-NaN values in time order:
     ``S = Σ_{i<j} sign(x_j − x_i)``, the tie-corrected normal approximation
     ``z`` (Kendall 1975: continuity-corrected (S∓1)/√Var(S), 0 when S=0),
-    and ``tau = S / (n(n−1)/2)``.
+    ``tau = S / (n(n−1)/2)``, and ``sen`` — the Theil-Sen slope estimate
+    (median of all pairwise slopes ``(x_j − x_i)/(p_j − p_i)``, the robust
+    magnitude that always accompanies the MK test in hydrology).
+    ``positions`` defaults to the observation index; pass the original
+    ``order_col`` values so gaps from dropped NaNs keep their true spacing.
 
-    The pair sum is evaluated in vectorized numpy blocks — O(n²) work but
-    never an O(n²) Python loop; per-series n is the bound (hydrology runs
-    MK on binned series — resample first at web scale).
+    The pair statistics are evaluated in vectorized numpy blocks — O(n²)
+    work but never an O(n²) Python loop; per-series n is the bound
+    (hydrology runs MK on binned series — resample first at web scale).
     """
     x = np.asarray(x, dtype=float)
-    x = x[~np.isnan(x)]
+    keep = ~np.isnan(x)
+    if positions is None:
+        positions = np.arange(len(x), dtype=float)
+    else:
+        positions = np.asarray(positions, dtype=float)
+    p = positions[keep]
+    x = x[keep]
     n = int(len(x))
     if n < 2:
-        return n, 0, float("nan"), float("nan")
+        return n, 0, float("nan"), float("nan"), float("nan")
     s = 0
+    slopes: list[np.ndarray] = []
     block = 4096
     # both dimensions chunked: peak temp is block² doubles (~134 MB),
     # independent of n — a hot unbinned series degrades to time, not OOM
@@ -524,6 +537,10 @@ def _mk_kernel(x: np.ndarray) -> tuple[int, int, float, float]:
             diff = x[j0:j1, None] - x[None, i0:i1]
             mask = np.arange(i0, i1)[None, :] < np.arange(j0, j1)[:, None]
             s += int(np.sign(diff, where=mask, out=np.zeros_like(diff)).sum())
+            dp = p[j0:j1, None] - p[None, i0:i1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sl = diff / dp
+            slopes.append(sl[mask & (dp != 0)])
     _, tie_counts = np.unique(x, return_counts=True)
     t = tie_counts[tie_counts > 1].astype(np.int64)
     tie_term = int((t * (t - 1) * (2 * t + 5)).sum())
@@ -535,7 +552,9 @@ def _mk_kernel(x: np.ndarray) -> tuple[int, int, float, float]:
     else:
         z = 0.0
     tau = s / (0.5 * n * (n - 1))
-    return n, s, float(z), float(tau)
+    all_slopes = np.concatenate(slopes) if slopes else np.empty(0)
+    sen = float(np.median(all_slopes)) if len(all_slopes) else float("nan")
+    return n, s, float(z), float(tau), sen
 
 
 def mann_kendall(
@@ -551,9 +570,11 @@ def mann_kendall(
     as a linregress over the series): insensitive to outliers and to the trend's functional
     form, with the exact tie-corrected variance.
 
-    Output: ``keys..., n, s_stat, z, tau`` — one row per series.
-    NaN/NULL values are dropped per series (mask-don't-crash); series with
-    n < 2 report ``s_stat=0`` and null ``z``/``tau``.
+    Output: ``keys..., n, s_stat, z, tau, sen_slope`` — one row per series
+    (``sen_slope`` is the Theil-Sen median pairwise slope per unit of
+    ``order_col``, MK's standard magnitude companion). NaN/NULL values are
+    dropped per series (mask-don't-crash); series with n < 2 report
+    ``s_stat=0`` and null ``z``/``tau``/``sen_slope``.
 
     Plan shape: the pair statistic is inherently sequential-quadratic, so
     it runs as a batched Arrow kernel (udfkernel.per_series_map — the
@@ -571,16 +592,21 @@ def mann_kendall(
             T.StructField("s_stat", T.LongType()),
             T.StructField("z", T.DoubleType()),
             T.StructField("tau", T.DoubleType()),
+            T.StructField("sen_slope", T.DoubleType()),
         ]
     )
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        n, s, z, tau = _mk_kernel(pdf[value_col].to_numpy(dtype=float))
+        n, s, z, tau, sen = _mk_kernel(
+            pdf[value_col].to_numpy(dtype=float),
+            pdf[order_col].to_numpy(dtype=float),
+        )
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row.update(
             n=[n], s_stat=[s],
             z=[None if np.isnan(z) else z],
             tau=[None if np.isnan(tau) else tau],
+            sen_slope=[None if np.isnan(sen) else sen],
         )
         return pd.DataFrame(row)
 

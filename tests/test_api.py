@@ -166,7 +166,8 @@ def test_analysis_verbs(spark, ds):
     assert {"level", "trend"} <= set(ho.df.columns)
     n_series = ds.df.select("doc_id", "source").distinct().count()
     mk = ds.mann_kendall()
-    assert set(mk.columns) == {"doc_id", "source", "n", "s_stat", "z", "tau"}
+    assert set(mk.columns) == {
+        "doc_id", "source", "n", "s_stat", "z", "tau", "sen_slope"}
     assert mk.count() == n_series
     cp = ds.changepoint()
     assert cp.count() == n_series

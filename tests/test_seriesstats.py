@@ -452,19 +452,24 @@ def test_pacf_ar1_cutoff(spark):
 # ---------------------------------------------------------------- Mann-Kendall
 
 def _mk_loop(x):
-    """Brute-force loop reference for the MK statistics."""
+    """Brute-force loop reference for the MK statistics + Sen's slope."""
     import math
     from collections import Counter
 
-    x = [v for v in x if v == v]  # drop NaN
-    n = len(x)
+    obs = [(i, v) for i, v in enumerate(x) if v == v]  # drop NaN, keep pos
+    n = len(obs)
     s = sum(
-        (0 if x[j] == x[i] else (1 if x[j] > x[i] else -1))
+        (0 if obs[j][1] == obs[i][1] else (1 if obs[j][1] > obs[i][1] else -1))
         for i in range(n) for j in range(i + 1, n)
     )
     if n < 2:
-        return n, 0, None, None
-    ties = Counter(x)
+        return n, 0, None, None, None
+    slopes = [
+        (obs[j][1] - obs[i][1]) / (obs[j][0] - obs[i][0])
+        for i in range(n) for j in range(i + 1, n)
+    ]
+    sen = float(np.median(slopes))
+    ties = Counter(v for _, v in obs)
     tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
     var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
     if s > 0:
@@ -474,7 +479,7 @@ def _mk_loop(x):
     else:
         z = 0.0
     tau = s / (0.5 * n * (n - 1))
-    return n, s, z, tau
+    return n, s, z, tau, sen
 
 
 def test_mann_kendall_randomized_vs_loop(spark):
@@ -495,7 +500,7 @@ def test_mann_kendall_randomized_vs_loop(spark):
         rows, "doc_id string, source string, seq int, value double")
     got = {r.doc_id: r for r in mann_kendall(df).collect()}
     checked = 0
-    for d, (n, s, z, tau) in expect.items():
+    for d, (n, s, z, tau, sen) in expect.items():
         if n == 0:
             # empty series never reaches the kernel (no rows at all) unless
             # it had NaN-only rows; either way a row may exist with n=0
@@ -505,9 +510,10 @@ def test_mann_kendall_randomized_vs_loop(spark):
         r = got[d]
         assert (r.n, r.s_stat) == (n, s), d
         if z is None:
-            assert r.z is None and r.tau is None
+            assert r.z is None and r.tau is None and r.sen_slope is None
         else:
-            np.testing.assert_allclose([r.z, r.tau], [z, tau], rtol=1e-12)
+            np.testing.assert_allclose(
+                [r.z, r.tau, r.sen_slope], [z, tau, sen], rtol=1e-12)
         checked += 1
     assert checked >= 10
 
@@ -523,7 +529,9 @@ def test_mann_kendall_directions(spark):
     got = {r.doc_id: r for r in mann_kendall(df).collect()}
     assert got["u"].tau == pytest.approx(1.0)
     assert got["u"].s_stat == 30 * 29 // 2 and got["u"].z > 5
+    assert got["u"].sen_slope == pytest.approx(1.0, abs=1e-12)
     assert got["f"].s_stat == 0 and got["f"].z == 0.0
+    assert got["f"].sen_slope == pytest.approx(0.0, abs=1e-12)
 
 
 # ------------------------------------------------------ seasonal_decompose
