@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from gensor_spark.operators.points import events_to_points
+from gensor_spark.plans.caching import pooled_cache
 from gensor_spark.operators.resample import resample
 from gensor_spark.operators.rollup import finalize_tier, rollup_tier
 from gensor_spark.sources.tables import load_table
@@ -751,7 +752,9 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (non-null component rows only: series edges have no centered trend)."""
     from gensor_spark.operators.seriesstats import seasonal_anomaly, seasonal_decompose
 
-    pts = _points(spark, sf_dir)
+    # the anomaly profile and the decomposition each re-window the full
+    # point view — cache it (the seq row_number is itself a shuffle)
+    pts = pooled_cache(_points(spark, sf_dir))
     # profile per sensor type: the testdata's per-(doc,source) series are
     # ~a dozen points, far below min_bucket at any phase grain, so the
     # per-series form scores nothing at small SF — the per-source profile
@@ -893,9 +896,12 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.groupBy(sid.alias("sid_k")).agg(F.count(F.lit(1)).alias("cov"))
         .orderBy(F.desc("cov"), "sid_k").limit(100)
     )
-    picked = pts.join(
+    # three method branches (pair / acf / ccf) consume picked — cache it so
+    # the events scan + top-coverage semi-join run once, not three times
+    # (released by the caller via plans.caching.release_caches())
+    picked = pooled_cache(pts.join(
         F.broadcast(top.select("sid_k")), sid == F.col("sid_k"), "left_semi"
-    )
+    ))
     out = series_corr(picked, bin="day", min_overlap=5)
     # Spark's corr emits NaN for a zero-variance side where SQL engines emit
     # NULL — normalize so the oracle hash agrees on degenerate pairs
@@ -973,7 +979,8 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel; ``stat_i=S, stat_x=z, stat_y=tau``)."""
     from gensor_spark.operators.seriesstats import cusum_changepoint, mann_kendall
 
-    pts = _points(spark, sf_dir)
+    # both method branches window/shuffle the full point view — cache it
+    pts = pooled_cache(_points(spark, sf_dir))
     cu = cusum_changepoint(pts).select(
         F.lit("cusum").alias("method"),
         "doc_id", "source", "n",

@@ -56,6 +56,9 @@ def main() -> None:
             print(f"{name}: ORACLE ERROR {str(exc)[:200]}")
             failures += 1
             continue
+        from gensor_spark.plans.caching import release_caches
+
+        release_caches()  # bench.py's per-query hygiene, mirrored here
         hs, ns = value_hash(sdf)
         ho, no = value_hash(odf)
         ok = hs == ho
