@@ -8,6 +8,11 @@ from gensor_spark.operators.resample import resample, FREQ_SECONDS
 from gensor_spark.operators.rollup import rollup_tier, cascade_tier, finalize_tier
 from gensor_spark.operators.asof import asof_join
 from gensor_spark.operators.decontaminate import contamination_stats
+from gensor_spark.operators.distinctrollup import (
+    cascade_distinct,
+    finalize_distinct,
+    rollup_distinct,
+)
 from gensor_spark.operators.intervaljoin import interval_join
 from gensor_spark.operators.seriesstats import (
     acf,
@@ -58,6 +63,9 @@ __all__ = [
     "series_corr",
     "cusum_changepoint",
     "mann_kendall",
+    "rollup_distinct",
+    "cascade_distinct",
+    "finalize_distinct",
     "counter_rate",
     "seasonal_anomaly",
     "seasonal_decompose",

@@ -859,6 +859,25 @@ def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-value tier (1h, cascaded through 1m sketches) —
+    registry entry outside the driver window; pytest pins the cascaded
+    estimates EXACTLY equal to DuckDB COUNT(DISTINCT) in the sketch's
+    sparse regime plus the dense-regime accuracy bound
+    (tests/test_distinctrollup.py)."""
+    from gensor_spark.operators.distinctrollup import (
+        cascade_distinct,
+        finalize_distinct,
+        rollup_distinct,
+    )
+
+    out = finalize_distinct(
+        cascade_distinct(rollup_distinct(_points(spark, sf_dir), "1m"), "1h")
+    )
+    return _fmt_bin(out).select(
+        "doc_id", "source", "bin_ts", F.col("n_distinct").alias("nd"))
+
+
 def q_pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PACF at lags 1..5 per series — registry entry outside the driver
     window (Durbin-Levinson recursion, not SQL-expressible); Yule-Walker
@@ -1573,6 +1592,7 @@ QUERIES["ewma_smooth"] = q_ewma_smooth
 QUERIES["lttb_downsample"] = q_lttb_downsample
 QUERIES["holt_smooth"] = q_holt_smooth
 QUERIES["pacf_lags"] = q_pacf_lags
+QUERIES["rollup_distinct"] = q_rollup_distinct
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,
