@@ -6,9 +6,13 @@ finer ones without touching raw points. Distinct counts (distinct tokens per
 bin = vocab coverage; distinct docs per source-bin = active-series density)
 have no exact associative partial of bounded size, but the Datasketches HLL
 sketch is the standard mergeable substitute: a union of sketches takes the
-per-register MAX, so a cascaded union over 1m sketches carries REGISTER-
-IDENTICAL state to a direct aggregation of the raw points — the estimate is
-exactly the same number, proven in tests, and the 1m→1h→1d cascade
+per-register MAX, so a cascaded union over 1m sketches carries the same
+register information as a direct aggregation of the raw points. In the
+sparse regime the estimates are EXACTLY equal (proven in tests at every
+tier); across the sparse→dense conversion boundary (~2^lgk/8 items) a
+direct sketch converts to the lossy dense representation earlier than a
+union of small sparse contributions, so estimates there agree within the
+standard error bound rather than bit-for-bit. The 1m→1h→1d cascade
 contract of the store extends to sketches unchanged.
 
 Spark 3.5+ exposes the Datasketches implementation natively
@@ -75,6 +79,14 @@ def cascade_distinct(
     identical to a direct ``rollup_distinct`` at ``tier``."""
     rebinned = finer.withColumn("bin_ts", bin_ts(F.col("bin_ts"), _step(tier)))
     return rebinned.groupBy(*keys, "bin_ts").agg(
+        F.hll_union_agg(F.col("hll")).alias("hll")
+    )
+
+
+def merge_distinct(partials: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge same-bin sketch rows from multiple contributions (the store's
+    cross-batch read-side merge — associative, order-free)."""
+    return partials.groupBy(*group_cols).agg(
         F.hll_union_agg(F.col("hll")).alias("hll")
     )
 

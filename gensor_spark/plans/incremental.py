@@ -84,6 +84,9 @@ class TierPipeline:
         iceberg_namespace: str = "local.gensor",
         narrow_partials: bool = False,
         hist_tiers: bool = False,
+        distinct_tiers: bool = False,
+        distinct_of: str = "value",
+        distinct_lgk: int = 12,
     ) -> None:
         self.spark = spark
         self.store = Path(store_dir)
@@ -101,6 +104,8 @@ class TierPipeline:
             raise ValueError("narrow_partials requires the parquet backend")
         if hist_tiers and backend != "parquet":
             raise ValueError("hist_tiers requires the parquet backend")
+        if distinct_tiers and backend != "parquet":
+            raise ValueError("distinct_tiers requires the parquet backend")
         if backend == "iceberg":
             from gensor_spark.plans.iceberg_store import IcebergTierStore
 
@@ -129,6 +134,15 @@ class TierPipeline:
         #: backend only (the Iceberg MERGE templates carry wide rows, not
         #: map columns).
         self.hist_tiers = hist_tiers
+        #: also maintain 1m HLL distinct-count sketches per batch
+        #: (operators/distinctrollup.py) — the mergeable distinct-count
+        #: state (distinct values/tokens/docs per bin) the numeric partials
+        #: cannot express. Coarser tiers cascade at read via register-max
+        #: union (``read_distinct``), exactly the hist contract. Parquet
+        #: backend only.
+        self.distinct_tiers = distinct_tiers
+        self.distinct_of = distinct_of
+        self.distinct_lgk = distinct_lgk
         #: batches in flight at once. Spark schedules concurrent jobs from
         #: driver threads task-by-task, so a second batch's heavy stages fill
         #: the slots the first batch leaves idle during its commit/small-stage
@@ -285,6 +299,9 @@ class TierPipeline:
             raise blob_err[0]
         if self.hist_tiers:
             counts["hist_1m"] = self._store_hist_batch_docs(batch_docs, b)
+        if self.distinct_tiers:
+            counts["distinct_1m"] = self._store_distinct_batch(
+                docs_to_points(batch_docs, tick_seconds=self.tick_seconds), b)
         self._lineage_row(
             {
                 "batch": b,
@@ -403,6 +420,8 @@ class TierPipeline:
                 h1.unpersist()
         if self.hist_tiers:
             counts["hist_1m"] = self._store_hist_batch(pts, sid)
+        if self.distinct_tiers:
+            counts["distinct_1m"] = self._store_distinct_batch(pts, sid)
         self._lineage_row(
             {
                 "batch": sid,
@@ -438,8 +457,16 @@ class TierPipeline:
             hist, str(self.store / "tier_hist_1m" / f"batch={sid}")
         )
 
-    def _hist_contribs(self) -> list:
-        """Complete (``_SUCCESS``-marked) histogram contribution dirs.
+    # ------------------------------------------- sketch-tier family (generic)
+    # The percentile histograms and the HLL distinct sketches share ONE
+    # store contract: per-contribution 1m partial dirs under
+    # ``tier_<name>``, _SUCCESS-gated visibility, a fold manifest for
+    # at-least-once stream replay, and the crash-safe compaction/retention
+    # rewrite. Parameterized by the tier dir name and the read-side merge.
+
+    def _sketch_contribs(self, name: str) -> list:
+        """Complete (``_SUCCESS``-marked) contribution dirs for a sketch
+        tier.
 
         A crash mid-write leaves a partial ``batch=*`` dir with no
         ``_SUCCESS``; reading it would merge half an epoch, and compacting
@@ -447,37 +474,56 @@ class TierPipeline:
         Incomplete dirs are therefore invisible everywhere — the writer
         (batch retry or stream epoch replay) overwrites them in full.
         """
-        base = self.store / "tier_hist_1m"
+        base = self.store / f"tier_{name}"
         return sorted(p for p in base.glob("batch=*")
                       if (p / "_SUCCESS").exists())
 
-    def _hist_folded(self) -> set[str]:
+    def _sketch_folded(self, name: str) -> set[str]:
         """Stream-epoch contribution ids already absorbed by a compacting
-        rewrite (``compact_hist`` / ``apply_hist_retention``). foreachBatch
-        replay is at-least-once: a replayed epoch whose ``batch=s<id>`` dir
-        was folded into ``batch=-1`` and deleted would re-add (double-count)
-        its histograms unless the sink can see it was absorbed — this
-        manifest is that memory, written atomically WITH the fold (inside
-        the compact tmp dir, promoted by the same rename)."""
-        f = self.store / "tier_hist_1m" / "_folded.json"
+        rewrite. foreachBatch replay is at-least-once: a replayed epoch
+        whose ``batch=s<id>`` dir was folded into ``batch=-1`` and deleted
+        would re-add (double-count) its partials unless the sink can see it
+        was absorbed — this manifest is that memory, written atomically
+        WITH the fold (inside the compact tmp dir, promoted by the same
+        rename)."""
+        f = self.store / f"tier_{name}" / "_folded.json"
         if not f.exists():
             return set()
         return set(json.loads(f.read_text()).get("folded_stream_epochs", []))
 
-    def _read_hist_merged(self) -> DataFrame:
-        self._recover_compact("hist_1m")
-        parts = self._hist_contribs()
+    def _read_sketch_merged(self, name: str, merge_fn, hint: str) -> DataFrame:
+        self._recover_compact(name)
+        parts = self._sketch_contribs(name)
+        base = self.store / f"tier_{name}"
         if not parts:
-            base = self.store / "tier_hist_1m"
             raise FileNotFoundError(
-                f"no histogram partials under {base} — construct the "
-                "pipeline with hist_tiers=True and run() it first"
+                f"no partials under {base} — construct the pipeline with "
+                f"{hint} and run() it first"
             )
-        base = self.store / "tier_hist_1m"
         raw = self.spark.read.option("basePath", str(base)).parquet(
             *[str(p) for p in parts]
         ).drop("batch")
+        return merge_fn(raw)
+
+    def _sketch_fold_manifest(self, name: str) -> dict:
+        """Manifest for a sketch-tier rewrite: previously-folded stream
+        epochs ∪ the complete stream contributions this rewrite absorbs."""
+        absorbed = {p.name.split("=", 1)[1] for p in self._sketch_contribs(name)
+                    if p.name.startswith("batch=s")}
+        return {"folded_stream_epochs":
+                sorted(self._sketch_folded(name) | absorbed)}
+
+    # ----------------------------------------------- percentile (hist) tiers
+
+    def _merge_hist_fn(self, raw: DataFrame) -> DataFrame:
         return merge_hist(raw, [*self.keys, "bin_ts"])
+
+    def _hist_folded(self) -> set[str]:
+        return self._sketch_folded("hist_1m")
+
+    def _read_hist_merged(self) -> DataFrame:
+        return self._read_sketch_merged(
+            "hist_1m", self._merge_hist_fn, "hist_tiers=True")
 
     def read_hist_quantiles(
         self, tier: str = "1h", ps: tuple[float, ...] = (0.5, 0.95, 0.99)
@@ -492,20 +538,12 @@ class TierPipeline:
             merged = cascade_hist(merged, tier, keys=self.keys)
         return quantiles_from_hist(merged, ps=ps, keys=self.keys)
 
-    def _hist_fold_manifest(self) -> dict:
-        """Manifest for a hist rewrite: previously-folded stream epochs ∪
-        the complete stream contributions this rewrite absorbs."""
-        absorbed = {p.name.split("=", 1)[1] for p in self._hist_contribs()
-                    if p.name.startswith("batch=s")}
-        return {"folded_stream_epochs":
-                sorted(self._hist_folded() | absorbed)}
-
     def compact_hist(self) -> None:
         """Fold all histogram contributions into one (crash-safe rewrite —
         the same promote/rollback protocol as ``compact``). Absorbed stream
         epochs are recorded in the tier's ``_folded.json`` so an
         at-least-once replay of those epochs skips re-writing them."""
-        manifest = self._hist_fold_manifest()
+        manifest = self._sketch_fold_manifest("hist_1m")
         self._rewrite_tier("hist_1m", self._read_hist_merged(),
                            manifest=manifest)
 
@@ -517,7 +555,7 @@ class TierPipeline:
         import pandas as pd
 
         cutoff = (pd.Timestamp(now) - pd.Timedelta(age)).isoformat(sep=" ")
-        manifest = self._hist_fold_manifest()
+        manifest = self._sketch_fold_manifest("hist_1m")
         kept = self._read_hist_merged().filter(
             F.col("bin_ts") >= F.lit(cutoff).cast("timestamp")
         )
@@ -526,6 +564,49 @@ class TierPipeline:
         self._rewrite_tier("hist_1m", kept, manifest=manifest)
         self._lineage_row({"retention": {"hist_1m": cutoff}})
         return cutoff
+
+    # ------------------------------------------------- distinct (HLL) tiers
+
+    def _merge_distinct_fn(self, raw: DataFrame) -> DataFrame:
+        from gensor_spark.operators.distinctrollup import merge_distinct
+
+        return merge_distinct(raw, [*self.keys, "bin_ts"])
+
+    def _store_distinct_batch(self, points: DataFrame, sid: int) -> int:
+        """Write one contribution's 1m HLL sketch partials."""
+        from gensor_spark.operators.distinctrollup import rollup_distinct
+
+        sk = rollup_distinct(points, "1m", of=self.distinct_of,
+                             keys=self.keys, lgk=self.distinct_lgk)
+        return self._write_counted(
+            sk, str(self.store / "tier_distinct_1m" / f"batch={sid}")
+        )
+
+    def read_distinct(self, tier: str = "1h") -> DataFrame:
+        """Per-bin distinct-count estimates at ``tier`` from the stored 1m
+        sketches — coarser tiers cascade at read via register-max union
+        (exactly equal to direct aggregation; operators/distinctrollup.py),
+        the same bin-grain-only contract as ``read_hist_quantiles``."""
+        from gensor_spark.operators.distinctrollup import (
+            cascade_distinct,
+            finalize_distinct,
+        )
+
+        merged = self._read_sketch_merged(
+            "distinct_1m", self._merge_distinct_fn, "distinct_tiers=True")
+        if tier != "1m":
+            merged = cascade_distinct(merged, tier, keys=self.keys)
+        return finalize_distinct(merged)
+
+    def compact_distinct(self) -> None:
+        """Fold all distinct-sketch contributions into one (the hist
+        crash-safe rewrite protocol, fold manifest included)."""
+        self._rewrite_tier(
+            "distinct_1m",
+            self._read_sketch_merged(
+                "distinct_1m", self._merge_distinct_fn, "distinct_tiers=True"),
+            manifest=self._sketch_fold_manifest("distinct_1m"),
+        )
 
     # ------------------------------------------------------------------- read
 

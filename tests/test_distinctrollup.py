@@ -80,6 +80,43 @@ def test_dense_regime_accuracy(spark):
     assert abs(out[0].n_distinct - 50_000) / 50_000 < 0.05
 
 
+def test_pipeline_distinct_tiers(spark, tmp_path):
+    """TierPipeline(distinct_tiers=True): batch-split sketch contributions
+    merge to the same estimates as a from-scratch rollup over all points —
+    and stay identical through compaction and an idempotent batch re-run."""
+    from gensor_spark.operators.points import docs_to_points
+    from gensor_spark.plans.incremental import TierPipeline
+    from gensor_spark.sources.synth import synth_docs
+
+    docs = synth_docs(spark, n_docs=300, seed=7, num_partitions=4)
+    pipe = TierPipeline(spark, str(tmp_path / "store"), n_batches=2,
+                        tick_seconds=1, distinct_tiers=True)
+    pipe.run(docs)
+    want = _collect(finalize_distinct(
+        rollup_distinct(docs_to_points(docs, tick_seconds=1), "1h")))
+
+    def close(got):
+        # identical keys; estimates equal except at the sparse->dense
+        # transition (~500 items at lgk=12), where a direct sketch converts
+        # to the lossy dense representation earlier than a union of small
+        # sparse contributions — those bins carry the standard HLL error
+        # (sigma ~1.6% at lgk=12; allow 3 sigma)
+        assert set(got) == set(want) and len(got) > 0
+        for k, v in want.items():
+            assert abs(got[k] - v) <= max(1, 0.05 * v), (k, got[k], v)
+
+    close(_collect(pipe.read_distinct("1h")))
+
+    pipe.compact_distinct()
+    first = _collect(pipe.read_distinct("1h"))
+    close(first)
+
+    # idempotent re-run of one batch: overwrite, not double-union — the
+    # stored state must be EXACTLY what it was before the re-run
+    pipe.run(docs, batches=[0])
+    assert _collect(pipe.read_distinct("1h")) == first
+
+
 def test_registry_rollup_distinct_runs(spark):
     from gensor_spark.queries import QUERIES
 
