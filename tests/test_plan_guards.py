@@ -131,6 +131,26 @@ def test_asof_join_no_cartesian(spark, queries):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_r4_merged_slots_stay_jvm_side(spark, queries):
+    """The r4-late merged branches (decomposition, bigram LM, CCF) are pure
+    Catalyst: no row-Python and no cartesian may ever appear. (The MK rows
+    in cusum_changepoint are a sanctioned ArrowEvalPython kernel — row-level
+    BatchEvalPython is still banned there.)"""
+    from gensor_spark.plans.caching import release_caches
+
+    for name in ("seasonal_anomaly", "perplexity", "series_corr",
+                 "cusum_changepoint"):
+        plan = _plan(queries[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        if name != "perplexity":
+            # perplexity's plan legitimately contains BNLJ: the broadcast
+            # 1-ROW normalizer cross join (quality.py `crossJoin(norm)`) —
+            # a single-row build side is the intended constant-fanout plan
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        release_caches()
+
+
 def test_series_corr_topk_broadcast_semi(spark, queries):
     """q_series_corr's top-coverage pre-selection must reach the events scan
     as a broadcast LeftSemi (the quadratic pair space is only realized over
