@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--batches", type=int, default=8)
     ap.add_argument("--tick", type=int, default=60,
                     help="seconds per token tick in the point view")
+    ap.add_argument("--hist-tiers", action="store_true",
+                    help="also maintain exact-percentile histogram partials")
+    ap.add_argument("--distinct-tiers", action="store_true",
+                    help="also maintain HLL distinct-count sketch partials")
     args = ap.parse_args(argv)
 
     from gensor_spark.plans.incremental import TIERS, TierPipeline
@@ -50,13 +54,18 @@ def main(argv: list[str] | None = None) -> None:
         ap.error("one of --docs or --synth-docs is required")
 
     pipe = TierPipeline(spark, args.store, n_batches=args.batches,
-                        tick_seconds=args.tick)
+                        tick_seconds=args.tick, hist_tiers=args.hist_tiers,
+                        distinct_tiers=args.distinct_tiers)
     stats = pipe.run(docs)
     result = {
         "stats": stats,
         "tiers": {t: pipe.read_tier(t).count() for t in TIERS},
         "lineage_tail": pipe.lineage()[-3:],
     }
+    if args.hist_tiers:
+        result["hist_1h_bins"] = pipe.read_hist_quantiles("1h").count()
+    if args.distinct_tiers:
+        result["distinct_1h_bins"] = pipe.read_distinct("1h").count()
     json.dump(result, sys.stdout)
     print()
 
