@@ -45,6 +45,16 @@ MERGES = {
     "emb_neardup": ("emb_neardup_brute", "emb_neardup_lsh"),
 }
 
+# r4-late slots that gained NEW work (not an absorbed old query, so no old
+# component exists to sum): a same-name wall increase here is the added
+# algorithm, not a regression. Annotated in the flag output.
+ADDED_WORK = {
+    "series_corr": "+ per-series ACF (5 lags) + lagged CCF (2 signed lags)",
+    "perplexity": "+ interpolated bigram-LM scoring",
+    "cusum_changepoint": "+ Mann-Kendall + Sen's slope (Arrow kernel)",
+    "seasonal_anomaly": "+ classic additive decomposition (3 component rows/pt)",
+}
+
 
 def _apply_merges(oq: dict, nq: dict) -> dict:
     out = dict(oq)
@@ -90,7 +100,8 @@ def main() -> None:
     flagged = [(r, k) for r, k in rows if r > flag]
     print(f"\n>{flag}x regressions ({len(flagged)}):")
     for r, k in flagged:
-        print(f"  {k:28s} {oq[k]:7.2f} -> {nq[k]:7.2f}  ({r:.2f}x)")
+        note = f"   [added work: {ADDED_WORK[k]}]" if k in ADDED_WORK else ""
+        print(f"  {k:28s} {oq[k]:7.2f} -> {nq[k]:7.2f}  ({r:.2f}x){note}")
     improved = [(r, k) for r, k in rows if r < 1 / flag]
     print(f"\n>{flag}x improvements ({len(improved)}):")
     for r, k in improved[::-1]:
