@@ -403,6 +403,99 @@ def cusum_changepoint(
 
 
 # ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov split-drift test
+# ---------------------------------------------------------------------------
+
+def ks_split(
+    points: DataFrame,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts", "seq"),
+    split_fraction: float = 0.5,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the early and late part of
+    each series: did the VALUE DISTRIBUTION drift, regardless of order?
+
+    Completes the change-detection family: ``cusum_changepoint`` locates a
+    level shift, ``mann_kendall`` scores a monotone trend — both are blind
+    to a variance change or a reshaped distribution with a stable mean,
+    which is exactly what KS measures (sup-norm distance between the two
+    halves' empirical CDFs). In a training-data pipeline this is the
+    snapshot-drift check: split a source's token-rate series at an ingest
+    boundary and KS tells you whether the new crawl still looks like the
+    old one. gensor itself stops at trend/OLS
+    (``/root/reference/gensor/analysis/stats.py:21``); this is the
+    distribution-level complement.
+
+    Semantics: non-null values only (mask-don't-crash), ranked per series
+    by ``order_cols``; the first ``ceil(m*split_fraction)`` points form
+    sample 1, the rest sample 2. ``ks_d`` = sup_x |F1(x) − F2(x)| with the
+    ECDFs evaluated inclusive of ties (scipy's convention — verified
+    against ``scipy.stats.ks_2samp`` in tests). ``ks_stat`` is the scaled
+    statistic D·√(n1·n2/(n1+n2)) and ``p_asymp`` the one-term asymptotic
+    p-value min(1, 2·exp(−2·ks_stat²)) — the standard large-sample
+    approximation, computed identically by the DuckDB oracle. A series
+    whose split leaves either half empty (m < 2) reports NULL statistics.
+
+    Physical plan — pure window algebra, whole-stage codegen end to end:
+    ONE Exchange on the series key serves all three window specs (the
+    order-rank, the per-series counts, and the value-ordered RANGE frame
+    that accumulates both ECDFs with ties included), then the final max is
+    a partial-aggregated ``groupBy`` on the same partitioning — no second
+    shuffle, no join, no Python. At 100 TB this shuffles each point once
+    and streams; per-series work is O(m log m) in the two sorts.
+    """
+    if not 0.0 < split_fraction < 1.0:
+        raise ValueError(f"split_fraction must be in (0, 1), got {split_fraction}")
+    nn = points.filter(F.col(value_col).isNotNull())
+    part = W.partitionBy(*keys)
+    ranked = nn.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(part.orderBy(*order_cols)) - 1).alias("_r"),
+        F.count(F.lit(1)).over(part).alias("_m"),
+    )
+    # first ceil(m*f) points are sample 1: r < ceil(m*f)  <=>  r*1.0 < m*f
+    g1 = (F.col("_r") < F.ceil(F.col("_m") * F.lit(split_fraction))).cast("int")
+    tagged = ranked.select(
+        *keys, "_v", "_m",
+        g1.alias("_g1"),
+        F.sum(g1).over(part).alias("_n1"),
+    )
+    # ECDF at each sample point, ties included: RANGE frame on the value
+    # ordering makes CURRENT ROW mean "all peers <= this value"
+    ecdf = part.orderBy("_v").rangeBetween(W.unboundedPreceding, W.currentRow)
+    c1 = F.sum(F.col("_g1")).over(ecdf)
+    c2 = F.sum(1 - F.col("_g1")).over(ecdf)
+    n1 = F.col("_n1").cast("double")
+    n2 = (F.col("_m") - F.col("_n1")).cast("double")
+    # n2 == 0 divides to NULL and propagates: mask-don't-crash for m < 2
+    d = F.abs(c1 / n1 - c2 / F.when(n2 > 0, n2))
+    scored = tagged.select(*keys, "_m", "_n1", d.alias("_d"))
+    en = F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    stat = F.col("ks_d") * en
+    return (
+        scored.groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.max("_m").alias("n"),
+            F.max("_n1").alias("n1"),
+            (F.max("_m") - F.max("_n1")).alias("n2"),
+            F.max("_d").alias("ks_d"),
+        )
+        .withColumn("ks_stat", stat)
+        .withColumn(
+            "p_asymp",
+            # least() skips NULL args, so guard: a NULL statistic must give
+            # a NULL p, not least(1.0, NULL) = 1.0
+            F.when(
+                F.col("ks_stat").isNotNull(),
+                F.least(F.lit(1.0), 2.0 * F.exp(-2.0 * F.col("ks_stat") * F.col("ks_stat"))),
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # partial autocorrelation (PACF, Durbin-Levinson)
 # ---------------------------------------------------------------------------
 

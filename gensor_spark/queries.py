@@ -995,8 +995,16 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     form): ``method='cusum'`` — Taylor CUSUM change-point (window algebra,
     one shuffle; ``stat_i=cp_seq, stat_x=|C|max, stat_y=C-range``);
     ``method='mk'`` — Mann-Kendall monotonic-trend test (ties-exact, Arrow
-    kernel; ``stat_i=S, stat_x=z, stat_y=tau``)."""
-    from gensor_spark.operators.seriesstats import cusum_changepoint, mann_kendall
+    kernel; ``stat_i=S, stat_x=z, stat_y=tau``); ``method='ks'`` — two-
+    sample Kolmogorov-Smirnov drift test between the series' early and late
+    halves (pure window algebra; ``stat_i=n1, stat_x=D, stat_y=p_asymp``) —
+    the distribution-level change detector the other two are blind to
+    (variance/shape drift with a stable mean)."""
+    from gensor_spark.operators.seriesstats import (
+        cusum_changepoint,
+        ks_split,
+        mann_kendall,
+    )
 
     # both method branches window/shuffle the full point view — cache it
     pts = pooled_cache(_points(spark, sf_dir))
@@ -1014,7 +1022,14 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("z")).alias("stat_x"),
         _r6(F.col("tau")).alias("stat_y"),
     )
-    return cu.unionByName(mk)
+    ks = ks_split(pts).select(
+        F.lit("ks").alias("method"),
+        "doc_id", "source", "n",
+        F.col("n1").cast("long").alias("stat_i"),
+        _r6(F.col("ks_d")).alias("stat_x"),
+        _r6(F.col("p_asymp")).alias("stat_y"),
+    )
+    return cu.unionByName(mk).unionByName(ks)
 
 
 SQL_CUSUM_CHANGEPOINT = f"""
@@ -1045,7 +1060,29 @@ mk AS (SELECT n.doc_id, n.source, n.n, coalesce(s.s, 0) AS s,
                - coalesce(t.tie_term, 0)) / 18.0 AS var_s
        FROM mkn n
        LEFT JOIN mks s ON s.doc_id = n.doc_id AND s.source = n.source
-       LEFT JOIN mkt t ON t.doc_id = n.doc_id AND t.source = n.source)
+       LEFT JOIN mkt t ON t.doc_id = n.doc_id AND t.source = n.source),
+ksr AS (SELECT doc_id, source, value,
+               row_number() OVER (PARTITION BY doc_id, source
+                                  ORDER BY ts, seq) - 1 AS r,
+               count(*) OVER (PARTITION BY doc_id, source) AS m
+        FROM pts WHERE value IS NOT NULL),
+kst AS (SELECT doc_id, source, value, m, g1,
+               CAST(sum(g1) OVER (PARTITION BY doc_id, source) AS BIGINT) AS n1
+        FROM (SELECT *, CASE WHEN r < ceil(m * 0.5) THEN 1 ELSE 0 END AS g1
+              FROM ksr)),
+kse AS (SELECT doc_id, source, m, n1,
+               abs(sum(g1) OVER w / n1::DOUBLE
+                   - sum(1 - g1) OVER w
+                     / (CASE WHEN m - n1 > 0 THEN (m - n1)::DOUBLE END)) AS d
+        FROM kst
+        WINDOW w AS (PARTITION BY doc_id, source ORDER BY value
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ksd AS (SELECT doc_id, source, max(m) AS n, max(n1) AS n1,
+               max(m) - max(n1) AS n2, max(d) AS d
+        FROM kse GROUP BY doc_id, source),
+ks AS (SELECT doc_id, source, n, n1, d,
+              d * sqrt(n1 * n2 / (n1 + n2)) AS stat
+       FROM ksd)
 SELECT 'cusum' AS method, doc_id, source, count(*) AS n,
        min(CASE WHEN rn = 1 THEN seq END) AS stat_i,
        round(max(abs(cu)) + 1e-9, 6) AS stat_x,
@@ -1063,6 +1100,12 @@ SELECT 'mk' AS method, doc_id, source, n, s AS stat_i,
        round(CASE WHEN n < 2 THEN NULL
                   ELSE s / (0.5 * n * (n - 1)) END + 1e-9, 6) AS stat_y
 FROM mk
+UNION ALL
+SELECT 'ks' AS method, doc_id, source, n, n1 AS stat_i,
+       round(d + 1e-9, 6) AS stat_x,
+       round(CASE WHEN stat IS NOT NULL
+                  THEN least(1.0, 2 * exp(-2 * stat * stat)) END + 1e-9, 6) AS stat_y
+FROM ks
 """
 
 

@@ -310,7 +310,7 @@ def test_registry_ewma_and_cusum_smoke(spark):
     assert c.columns == [
         "method", "doc_id", "source", "n", "stat_i", "stat_x", "stat_y"]
     cm = {r[0] for r in c.select("method").distinct().collect()}
-    assert cm == {"cusum", "mk"}
+    assert cm == {"cusum", "mk", "ks"}
     assert e.count() > 0 and c.count() > 0
 
 
@@ -909,5 +909,143 @@ def test_counter_rate_plan_stays_jvm_side(spark, sensor_points):
     # one Exchange serves the whole operator; the cached fixture embeds its
     # own (already-executed) Exchange inside the InMemoryRelation string, so
     # count only the plan above the cache boundary
+    above_cache = plan.split("InMemoryTableScan")[0]
+    assert above_cache.count("Exchange hashpartitioning") <= 1
+
+
+# ------------------------------------------------------------ ks_split drift
+
+def _ks_ref(a: np.ndarray, b: np.ndarray) -> float:
+    """Brute-force two-sample KS D (ECDFs evaluated with ties included) —
+    the textbook definition, independent of the windowed-SQL formulation."""
+    xs = np.sort(np.concatenate([a, b]))
+    f1 = np.searchsorted(np.sort(a), xs, side="right") / len(a)
+    f2 = np.searchsorted(np.sort(b), xs, side="right") / len(b)
+    return float(np.abs(f1 - f2).max())
+
+
+def test_ks_split_matches_bruteforce(spark, sensor_points):
+    from gensor_spark.operators.seriesstats import ks_split
+
+    got = ks_split(sensor_points).toPandas().set_index(["doc_id", "source"])
+    pdf = (
+        sensor_points.toPandas()
+        .dropna(subset=["value"])
+        .sort_values(["doc_id", "source", "ts", "seq"])
+    )
+    checked = 0
+    for (d, s), grp in pdf.groupby(["doc_id", "source"]):
+        v = grp["value"].to_numpy()
+        m = len(v)
+        n1 = int(np.ceil(m * 0.5))
+        row = got.loc[(d, s)]
+        assert row["n"] == m and row["n1"] == n1 and row["n2"] == m - n1
+        if m - n1 == 0:
+            assert pd.isna(row["ks_d"]) and pd.isna(row["p_asymp"])
+            continue
+        want = _ks_ref(v[:n1], v[n1:])
+        np.testing.assert_allclose(row["ks_d"], want, rtol=1e-12, atol=1e-12)
+        en = np.sqrt(n1 * (m - n1) / m)
+        np.testing.assert_allclose(row["ks_stat"], want * en, rtol=1e-12)
+        np.testing.assert_allclose(
+            row["p_asymp"], min(1.0, 2.0 * np.exp(-2.0 * (want * en) ** 2)), rtol=1e-12
+        )
+        checked += 1
+    assert checked > 10
+
+
+def test_ks_split_matches_duckdb(spark, sensor_points):
+    """The windowed-SQL formulation itself, cross-checked engine-vs-engine
+    (same shape the driver oracle uses: RANGE frame on the value ordering)."""
+    from gensor_spark.operators.seriesstats import ks_split
+
+    got = ks_split(sensor_points).toPandas()
+    con = duckdb.connect()
+    con.register("p", sensor_points.toPandas())
+    want = con.execute("""
+        WITH nn AS (
+          SELECT doc_id, source, value,
+                 row_number() OVER (PARTITION BY doc_id, source
+                                    ORDER BY ts, seq) - 1 AS r,
+                 count(*) OVER (PARTITION BY doc_id, source) AS m
+          FROM p WHERE value IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id, source, value, m,
+                 CASE WHEN r < ceil(m * 0.5) THEN 1 ELSE 0 END AS g1
+          FROM nn
+        ),
+        t AS (
+          SELECT doc_id, source, value, m, g1,
+                 sum(g1) OVER (PARTITION BY doc_id, source) AS n1
+          FROM g
+        ),
+        e AS (
+          SELECT doc_id, source, m, n1,
+                 abs(sum(g1) OVER w / n1::DOUBLE
+                     - sum(1 - g1) OVER w
+                       / (CASE WHEN m - n1 > 0 THEN (m - n1)::DOUBLE END)) AS d
+          FROM t
+          WINDOW w AS (PARTITION BY doc_id, source ORDER BY value
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT doc_id, source, max(m) AS n, max(n1) AS n1,
+               max(m) - max(n1) AS n2, max(d) AS ks_d
+        FROM e GROUP BY doc_id, source
+    """).df()
+    k = ["doc_id", "source"]
+    got_s = got.sort_values(k).reset_index(drop=True)
+    want_s = want.sort_values(k).reset_index(drop=True)
+    assert len(got_s) == len(want_s) > 0
+    for c in k + ["n", "n1", "n2"]:
+        np.testing.assert_array_equal(got_s[c].to_numpy(), want_s[c].to_numpy())
+    np.testing.assert_allclose(
+        got_s["ks_d"].to_numpy(dtype=float), want_s["ks_d"].to_numpy(dtype=float),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_ks_split_sees_what_cusum_cannot(spark):
+    """A variance explosion with an unchanged mean: CUSUM's level-shift
+    evidence stays near zero while KS flags the drift decisively — the
+    fixture that justifies the method's existence in the family."""
+    from gensor_spark.operators.seriesstats import ks_split
+
+    rng = np.random.RandomState(7)
+    quiet = rng.uniform(-1, 1, 200)
+    loud = rng.uniform(-50, 50, 200)
+    loud = loud - loud.mean() + quiet.mean()  # pin the means together
+    pdf = pd.DataFrame({
+        "doc_id": "d", "source": "s", "seq": np.arange(400),
+        "ts": pd.date_range("2024-01-01", periods=400, freq="h", tz="UTC"),
+        "value": np.concatenate([quiet, loud]),
+    })
+    df = spark.createDataFrame(pdf)
+    ks = ks_split(df).collect()[0]
+    assert ks.ks_d > 0.4 and ks.p_asymp < 1e-6
+    cu = cusum_changepoint(df).collect()[0]
+    # the level-shift evidence normalized per point is tiny vs the KS signal
+    assert cu.cusum_absmax / 400 < 2.0  # |mean drift| per point ~ noise scale
+
+
+def test_ks_split_short_series_masks(spark):
+    from gensor_spark.operators.seriesstats import ks_split
+
+    pdf = pd.DataFrame({
+        "doc_id": "d", "source": "s", "seq": [0],
+        "ts": pd.to_datetime(["2024-01-01"], utc=True),
+        "value": [1.0],
+    })
+    row = ks_split(spark.createDataFrame(pdf)).collect()[0]
+    assert row.n == 1 and row.n1 == 1 and row.n2 == 0
+    assert row.ks_d is None and row.ks_stat is None and row.p_asymp is None
+
+
+def test_ks_split_plan_stays_jvm_side(spark, sensor_points):
+    from gensor_spark.operators.seriesstats import ks_split
+
+    plan = ks_split(sensor_points)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
     above_cache = plan.split("InMemoryTableScan")[0]
     assert above_cache.count("Exchange hashpartitioning") <= 1
