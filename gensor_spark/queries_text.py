@@ -717,32 +717,129 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 
 
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary heavy hitters: top-50 tokens by frequency.
+    """Corpus vocabulary statistics, method-tagged union (r4 merged form):
 
-    The top-k runs as ``orderBy(...).limit(k)`` — Spark compiles this to
-    TakeOrderedAndProject (per-partition heaps merged at the driver, k rows
-    each), NOT a global sort: the aggregated vocab table is never fully
-    shuffled into one ordered partition. Tie-break on the token keeps the
-    boundary deterministic cross-engine.
+    - ``method='topk'`` — top-50 tokens by frequency (``key=token,
+      cnt=freq, stat=rank``). Runs as ``orderBy(...).limit(k)`` — Spark
+      compiles this to TakeOrderedAndProject (per-partition heaps merged at
+      the driver, k rows each), NOT a global sort: the aggregated vocab
+      table is never fully shuffled into one ordered partition. Tie-break
+      on the token keeps the boundary deterministic cross-engine.
+    - ``method='psi'`` — Population Stability Index of the doc-length
+      distribution per source vs the rest of the corpus
+      (``operators/drift.psi_numeric``; ``key=source, cnt=n_docs,
+      stat=psi``) — the snapshot-drift monitor.
+    - ``method='jsd'`` — Jensen-Shannon divergence of each source's token
+      unigram distribution vs the rest (``operators/drift.vocab_jsd``;
+      ``key=source, cnt=n_tokens, stat=jsd``).
+
+    The topk and jsd branches share ONE tokenize+count pass: the
+    (source, token) count table is pool-cached and the global vocab
+    counts are its second-level aggregate.
     """
     from pyspark.sql import Window as W
 
-    toks = _docs(spark, sf_dir).select(
-        F.explode(T.tokens(F.col("text"))).alias("token"))
-    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    from gensor_spark.operators.drift import psi_numeric, vocab_jsd_from_counts
+    from gensor_spark.plans.caching import pooled_cache
+
+    docs = _docs(spark, sf_dir)
+    gt = pooled_cache(
+        docs.select(
+            F.col("source").alias("_g"),
+            F.explode(T.tokens(F.col("text"))).alias("_t"),
+        )
+        .groupBy("_g", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    counts = gt.groupBy(F.col("_t").alias("token")).agg(
+        F.sum("_c").alias("freq"))
     top = counts.orderBy(F.desc("freq"), "token").limit(50)
     # rank assignment runs on the 50 surviving rows only
-    return top.withColumn(
-        "rank", F.row_number().over(W.orderBy(F.desc("freq"), "token")))
+    topk = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("freq"), "token"))
+    ).select(
+        F.lit("topk").alias("method"),
+        F.col("token").alias("key"),
+        F.col("freq").alias("cnt"),
+        F.col("rank").cast("double").alias("stat"),
+    )
+    psi = psi_numeric(docs, "source", "n_chars", nbins=10).select(
+        F.lit("psi").alias("method"),
+        F.col("source").alias("key"),
+        F.col("n_docs").alias("cnt"),
+        _r6(F.col("psi")).alias("stat"),
+    )
+    jsd = vocab_jsd_from_counts(gt, "_g", "_t", "_c").select(
+        F.lit("jsd").alias("method"),
+        F.col("_g").alias("key"),
+        F.col("n_tokens").alias("cnt"),
+        _r6(F.col("jsd")).alias("stat"),
+    )
+    return topk.unionByName(psi).unionByName(jsd)
 
 
 SQL_VOCAB_TOPK = f"""
 WITH toks AS ({_TOKS_SQL}),
-t AS (SELECT unnest(toks) AS token FROM toks),
-c AS (SELECT token, count(*) AS freq FROM t GROUP BY 1)
-SELECT token, freq,
-       row_number() OVER (ORDER BY freq DESC, token) AS rank
-FROM c ORDER BY freq DESC, token LIMIT 50
+t AS (SELECT source, unnest(toks) AS token FROM toks),
+gt AS (SELECT source AS g, token AS t, count(*) AS c FROM t GROUP BY 1, 2),
+c AS (SELECT t AS token, sum(c) AS freq FROM gt GROUP BY 1),
+dv AS (SELECT source AS g, n_chars AS v FROM documents
+       WHERE n_chars IS NOT NULL),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM dv),
+binned AS (SELECT g, ((v - lo) * 10) // (hi - lo + 1) AS b FROM dv, bounds),
+pgb AS (SELECT g, b, count(*) AS c FROM binned GROUP BY 1, 2),
+grid AS (SELECT gg.g, bb.b
+         FROM (SELECT DISTINCT g FROM pgb) gg,
+              (SELECT unnest(range(10)) AS b) bb),
+dense AS (SELECT grid.g, grid.b, coalesce(pgb.c, 0) AS c
+          FROM grid LEFT JOIN pgb ON pgb.g = grid.g AND pgb.b = grid.b),
+totb AS (SELECT b, sum(c) AS tc FROM dense GROUP BY 1),
+totg AS (SELECT g, sum(c) AS ng FROM dense GROUP BY 1),
+nall AS (SELECT sum(ng) AS n FROM totg),
+pcells AS (SELECT dense.g, dense.c, totg.ng, totb.tc - dense.c AS r,
+                  CASE WHEN nall.n > totg.ng THEN nall.n - totg.ng END AS nr
+           FROM dense
+           JOIN totb ON totb.b = dense.b
+           JOIN totg ON totg.g = dense.g, nall),
+psi AS (SELECT g, max(ng) AS n_docs,
+               sum(((c + 1e-6) / (ng + 10 * 1e-6)
+                    - (r + 1e-6) / (nr + 10 * 1e-6))
+                   * ln(((c + 1e-6) / (ng + 10 * 1e-6))
+                        / ((r + 1e-6) / (nr + 10 * 1e-6)))) AS psi
+        FROM pcells GROUP BY 1),
+jtott AS (SELECT t, sum(c) AS tc FROM gt GROUP BY 1),
+jtotg AS (SELECT g, sum(c) AS ng FROM gt GROUP BY 1),
+jnall AS (SELECT sum(ng) AS n FROM jtotg),
+jcells AS (SELECT gt.g, jtotg.ng,
+                  gt.c / jtotg.ng AS p,
+                  (jtott.tc - gt.c)
+                  / (CASE WHEN jnall.n > jtotg.ng
+                          THEN jnall.n - jtotg.ng END) AS q
+           FROM gt
+           JOIN jtott ON jtott.t = gt.t
+           JOIN jtotg ON jtotg.g = gt.g, jnall),
+jrows AS (SELECT g, ng, q,
+                 0.5 * p * ln(p / ((p + q) / 2))
+                 + 0.5 * coalesce(
+                     CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) END,
+                     0.0) AS j
+          FROM jcells),
+jsd AS (SELECT g, max(ng) AS n_tokens,
+               sum(j) + 0.5 * ln(2) * (1 - sum(q)) AS jsd
+        FROM jrows GROUP BY 1)
+SELECT method, key, cnt, stat FROM (
+  SELECT 'topk' AS method, token AS key, CAST(freq AS BIGINT) AS cnt,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS DOUBLE) AS stat
+  FROM c ORDER BY freq DESC, token LIMIT 50
+)
+UNION ALL
+SELECT 'psi' AS method, g AS key, CAST(n_docs AS BIGINT) AS cnt,
+       round(psi + 1e-9, 6) AS stat
+FROM psi
+UNION ALL
+SELECT 'jsd' AS method, g AS key, CAST(n_tokens AS BIGINT) AS cnt,
+       round(jsd + 1e-9, 6) AS stat
+FROM jsd
 """
 
 
