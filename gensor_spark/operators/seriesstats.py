@@ -175,6 +175,118 @@ def holt_smooth(
     return per_series_map(points, per_series, schema, keys=keys)
 
 
+def _hw_kernel(
+    x: np.ndarray, period: int, alpha: float, beta: float, gamma: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Holt-Winters additive (triple exponential) smoothing, per series:
+
+        l_t = alpha*(x_t − s_{t−m}) + (1−alpha)*(l_{t−1} + b_{t−1})
+        b_t = beta*(l_t − l_{t−1}) + (1−beta)*b_{t−1}
+        s_t = gamma*(x_t − l_{t−1} − b_{t−1}) + (1−gamma)*s_{t−m}
+        fit_t = l_{t−1} + b_{t−1} + s_{t−m}      (one-step-ahead fit)
+
+    Trend-adjusted initialization from the first two seasons of NON-NaN
+    observations (m = period):
+
+        b0 = (mean(x[m:2m]) − mean(x[0:m])) / m
+        l_{m−1} = mean(x[0:m]) + b0·(m−1)/2
+        s_i = x_i − (l_{m−1} − (m−1−i)·b0),  i ∈ [0, m)
+
+    — chosen so a pure series ``a + b·t + s_{t mod m}`` (zero-sum season)
+    is recovered EXACTLY: from t = m on, fit_t == x_t to float precision
+    (the invariant the tests pin). NaN observations skip the state update
+    (season ring unchanged) and emit NaN; seasonal position counts
+    non-NaN observations, i.e. the series is compacted before smoothing.
+    A series with fewer than 2m observations is all-NaN (mask-don't-crash).
+    Returns (level, trend, season, fit) aligned to x; the first m
+    observations carry their init season and NaN level/trend/fit.
+    """
+    n = len(x)
+    level = np.full(n, np.nan)
+    trend = np.full(n, np.nan)
+    season = np.full(n, np.nan)
+    fit = np.full(n, np.nan)
+    obs = np.flatnonzero(~np.isnan(x))
+    m = period
+    if len(obs) < 2 * m:
+        return level, trend, season, fit
+    xc = x[obs]
+    b0 = (xc[m:2 * m].mean() - xc[:m].mean()) / m
+    l = xc[:m].mean() + b0 * (m - 1) / 2.0
+    b = b0
+    s = xc[:m] - (l - (m - 1 - np.arange(m)) * b0)
+    season[obs[:m]] = s
+    for j in range(m, len(xc)):
+        i = obs[j]
+        sj = s[j % m]
+        fit[i] = l + b + sj
+        prev_l, prev_b = l, b
+        l = alpha * (xc[j] - sj) + (1 - alpha) * (l + b)
+        b = beta * (l - prev_l) + (1 - beta) * b
+        s[j % m] = gamma * (xc[j] - prev_l - prev_b) + (1 - gamma) * sj
+        level[i] = l
+        trend[i] = b
+        season[i] = s[j % m]
+    return level, trend, season, fit
+
+
+def hw_smooth(
+    points: DataFrame,
+    period: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt-Winters additive (triple exponential) smoothing per series —
+    completes the exponential family: ``ewma`` (level), ``holt_smooth``
+    (level+trend), ``hw_smooth`` (level+trend+season). Where
+    ``seasonal_decompose`` fits ONE static seasonal profile to the whole
+    series, Holt-Winters tracks a season that DRIFTS — the right tool when
+    the daily shape itself changes over the retention window. (Extends the
+    reference's smoothing surface,
+    ``/root/reference/gensor/processing/smoothing.py:10-66``.)
+
+    Output: input columns + ``level``, ``trend``, ``season``, ``hw_fit``
+    (the one-step-ahead fitted value l+b+s, NaN over the init window).
+    See ``_hw_kernel`` for init/NaN semantics.
+
+    Sequential recurrence → batched Arrow kernel (udfkernel.per_series_map,
+    the ewma/holt shape): one shuffle on the series key, one JVM↔Python
+    crossing per ~10k-row batch. Per-series cost is O(n); the season ring
+    is O(period) state.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    for p, name in ((alpha, "alpha"), (beta, "beta"), (gamma, "gamma")):
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1]")
+    for c in ("level", "trend", "season", "hw_fit"):
+        if c in points.columns:
+            raise ValueError(f"out col {c!r} already exists in the input")
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    schema = T.StructType(
+        points.schema.fields
+        + [T.StructField(c, T.DoubleType())
+           for c in ("level", "trend", "season", "hw_fit")]
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.reset_index(drop=True)
+        lv, tr, se, ft = _hw_kernel(
+            out[value_col].to_numpy(dtype=float), period, alpha, beta, gamma
+        )
+        out["level"] = lv
+        out["trend"] = tr
+        out["season"] = se
+        out["hw_fit"] = ft
+        return out
+
+    return per_series_map(points, per_series, schema, keys=keys)
+
+
 # ---------------------------------------------------------------------------
 # cross-series correlation matrix
 # ---------------------------------------------------------------------------

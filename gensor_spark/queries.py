@@ -859,6 +859,23 @@ def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hw_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive (triple exponential) smoothing per series,
+    24-hour season over the hourly point view — registry entry outside the
+    driver window (sequential recurrence, not SQL-expressible);
+    loop-reference parity at rtol 1e-12 + the exact trend+season recovery
+    invariant are pinned in tests/test_seriesstats.py."""
+    from gensor_spark.operators.seriesstats import hw_smooth
+
+    out = hw_smooth(_points(spark, sf_dir), period=24,
+                    alpha=0.5, beta=0.3, gamma=0.3)
+    return out.select(
+        "doc_id", "source", "seq",
+        _r6(F.col("level")).alias("lv"), _r6(F.col("trend")).alias("tr"),
+        _r6(F.col("season")).alias("se"), _r6(F.col("hw_fit")).alias("ft"),
+    )
+
+
 def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-value tier (1h, cascaded through 1m sketches) —
     registry entry outside the driver window; pytest pins the cascaded
@@ -1634,6 +1651,7 @@ QUERIES["outliers_isolation_forest"] = q_outliers_isolation_forest
 QUERIES["ewma_smooth"] = q_ewma_smooth
 QUERIES["lttb_downsample"] = q_lttb_downsample
 QUERIES["holt_smooth"] = q_holt_smooth
+QUERIES["hw_smooth"] = q_hw_smooth
 QUERIES["pacf_lags"] = q_pacf_lags
 QUERIES["rollup_distinct"] = q_rollup_distinct
 

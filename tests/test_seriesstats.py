@@ -1049,3 +1049,107 @@ def test_ks_split_plan_stays_jvm_side(spark, sensor_points):
     assert "ArrowEvalPython" not in plan
     above_cache = plan.split("InMemoryTableScan")[0]
     assert above_cache.count("Exchange hashpartitioning") <= 1
+
+
+# ------------------------------------------------------------ Holt-Winters
+
+def _hw_loop(x, m, alpha, beta, gamma):
+    """Independent loop reference for additive Holt-Winters (same init and
+    NaN-skip contract as the kernel docstring, written from the formulas)."""
+    n = len(x)
+    out = [[float("nan")] * n for _ in range(4)]  # level, trend, season, fit
+    obs = [i for i, v in enumerate(x) if v == v]
+    if len(obs) < 2 * m:
+        return out
+    xc = [x[i] for i in obs]
+    mean1 = sum(xc[:m]) / m
+    mean2 = sum(xc[m:2 * m]) / m
+    b = (mean2 - mean1) / m
+    l = mean1 + b * (m - 1) / 2.0
+    s = [xc[i] - (l - (m - 1 - i) * b) for i in range(m)]
+    for i in range(m):
+        out[2][obs[i]] = s[i]
+    for j in range(m, len(xc)):
+        i = obs[j]
+        sj = s[j % m]
+        out[3][i] = l + b + sj
+        pl, pb = l, b
+        l = alpha * (xc[j] - sj) + (1 - alpha) * (l + b)
+        b = beta * (l - pl) + (1 - beta) * b
+        s[j % m] = gamma * (xc[j] - pl - pb) + (1 - gamma) * sj
+        out[0][i], out[1][i], out[2][i] = l, b, s[j % m]
+    return out
+
+
+def test_hw_matches_loop_reference(spark):
+    from gensor_spark.operators.seriesstats import hw_smooth
+
+    rng = np.random.default_rng(23)
+    m = 6
+    rows, ref = [], {}
+    for d in range(5):
+        n = int(rng.integers(3, 80))
+        vals = rng.normal(0, 1, n).cumsum() + 3 * np.sin(np.arange(n))
+        vals[rng.random(n) < 0.1] = np.nan
+        ref[str(d)] = _hw_loop(vals.tolist(), m, 0.4, 0.2, 0.3)
+        rows += [(str(d), "s", i, None if v != v else float(v))
+                 for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, seq int, value double")
+    got = hw_smooth(df, period=m, alpha=0.4, beta=0.2, gamma=0.3).toPandas()
+    got = got.sort_values(["doc_id", "seq"])
+    for d, (lv, tr, se, ft) in ref.items():
+        g = got[got.doc_id == d]
+        for col, want in (("level", lv), ("trend", tr),
+                          ("season", se), ("hw_fit", ft)):
+            np.testing.assert_allclose(
+                g[col].to_numpy(), want, rtol=1e-12, atol=1e-12,
+                err_msg=f"doc {d} col {col}")
+
+
+def test_hw_recovers_trend_plus_season_exactly(spark):
+    """On x_t = a + b*t + s_{t mod m} (zero-sum season) the trend-adjusted
+    init lands on the TRUE state, so the one-step-ahead fit equals x
+    exactly from t=m on, for ANY smoothing constants — the invariant Holt
+    (no season ring) provably cannot meet."""
+    from gensor_spark.operators.seriesstats import holt_smooth, hw_smooth
+
+    m = 8
+    s = np.array([5, -3, 2, -1, 4, -2, -6, 1], dtype=float)
+    assert s.sum() == 0
+    t = np.arange(96)
+    x = 2.5 + 0.4 * t + s[t % m]
+    df = spark.createDataFrame(
+        [("r", "s", int(i), float(v)) for i, v in zip(t, x)],
+        "doc_id string, source string, seq int, value double")
+    g = hw_smooth(df, period=m, alpha=0.3, beta=0.6, gamma=0.4).toPandas()
+    g = g.sort_values("seq")
+    fitted = g["hw_fit"].to_numpy()[m:]
+    np.testing.assert_allclose(fitted, x[m:], rtol=1e-12)
+    np.testing.assert_allclose(g["trend"].to_numpy()[m:], 0.4, rtol=1e-12)
+    # Holt on the same series keeps a persistent seasonal residual
+    h = holt_smooth(df, alpha=0.3, beta=0.6).toPandas().sort_values("seq")
+    resid = np.abs(h["level"].to_numpy()[m:] - x[m:])
+    assert resid.max() > 1.0
+
+
+def test_hw_short_series_masks(spark):
+    from gensor_spark.operators.seriesstats import hw_smooth
+
+    df = spark.createDataFrame(
+        [("a", "s", i, float(i)) for i in range(7)],
+        "doc_id string, source string, seq int, value double")
+    g = hw_smooth(df, period=4).toPandas()  # 7 obs < 2*period
+    for c in ("level", "trend", "season", "hw_fit"):
+        assert g[c].isna().all()
+
+
+def test_hw_rejects_bad_params(spark):
+    from gensor_spark.operators.seriesstats import hw_smooth
+
+    df = spark.createDataFrame(
+        [("a", "s", 0, 1.0)], "doc_id string, source string, seq int, value double")
+    with pytest.raises(ValueError):
+        hw_smooth(df, period=1)
+    with pytest.raises(ValueError):
+        hw_smooth(df, period=4, gamma=0.0)
