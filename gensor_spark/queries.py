@@ -876,6 +876,36 @@ def q_hw_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-similar series pairs by banded DTW over PAA sketches
+    (operators/dtw.py) — the time-series analogue of the embedding
+    near-dup search, phase-tolerant where series_corr's Pearson is
+    clock-aligned. Registry entry outside the driver window (the DP
+    recurrence is not SQL-expressible); DP loop-reference parity,
+    LB_Keogh losslessness and phase-shift discrimination are pinned in
+    tests/test_dtw.py. Pair space bounded by the same top-coverage
+    pre-selection as series_corr (one agg + broadcast semi-join)."""
+    from gensor_spark.operators.dtw import dtw_pairs
+
+    pts = _points(spark, sf_dir)
+    sid = F.concat_ws("|", "doc_id", "source")
+    top = (
+        pts.groupBy(sid.alias("sid_k")).agg(F.count(F.lit(1)).alias("cov"))
+        .orderBy(F.desc("cov"), "sid_k").limit(100)
+    )
+    picked = pts.join(
+        F.broadcast(top.select("sid_k")), sid == F.col("sid_k"), "left_semi"
+    )
+    # events series are short (median ~13 points): a 16-bin sketch is the
+    # grain the data supports; eps=3.0 keeps the ~tightest quartile of the
+    # top-coverage pair space at every sf
+    out = dtw_pairs(picked, eps=3.0, length=16, band=3, max_series=150)
+    return out.select(
+        "sid_a", "sid_b", _r6(F.col("lb")).alias("lbd"),
+        _r6(F.col("dtw")).alias("d"),
+    )
+
+
 def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-value tier (1h, cascaded through 1m sketches) —
     registry entry outside the driver window; pytest pins the cascaded
@@ -1652,6 +1682,7 @@ QUERIES["ewma_smooth"] = q_ewma_smooth
 QUERIES["lttb_downsample"] = q_lttb_downsample
 QUERIES["holt_smooth"] = q_holt_smooth
 QUERIES["hw_smooth"] = q_hw_smooth
+QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["pacf_lags"] = q_pacf_lags
 QUERIES["rollup_distinct"] = q_rollup_distinct
 
