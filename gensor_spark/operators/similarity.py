@@ -353,3 +353,78 @@ def neardup_pairs_lsh(emb: DataFrame, threshold: float = 0.45,
                 (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.8,
+                   n_centroids: int = 16, iters: int = KMEANS_ITERS,
+                   dims: int = DEFAULT_DIMS, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   max_cell: int = 10_000) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster, then dedup WITHIN
+    clusters only (Abbas et al. 2023, "SemDeDup" — the published recipe for
+    embedding-level dedup at LAION/LLM-corpus scale, where the all-pairs
+    cosine matrix is unthinkable but within-cluster pairs are cheap).
+
+    Pipeline: deterministic Lloyd k-means (``kmeans_centroids`` — integer
+    centroids, engine-exact) → every vector assigned to its max-cosine
+    cell (ties to the lower cent_id) → exact cosine on same-cell pairs
+    only → a vector is DROPPED iff some smaller-id vector in its cell is
+    ``>= threshold`` similar. The keep rule is declarative (anti-join
+    semantics, one shot), not the sequential greedy sweep — documented
+    difference: in a similarity chain a-b-c where only adjacent pairs
+    clear the threshold, the sequential sweep would re-keep c, this rule
+    drops both b and c. At dedup thresholds (near-identical vectors) the
+    two rules coincide in practice and the declarative form needs no
+    iteration.
+
+    ``max_cell``: a degenerate cell (near-constant embedding mass) would
+    square in the pair join; cells larger than the cap are EXEMPT from
+    dedup — their members are all kept (conservative: never drop without
+    verification) — the same bounded-candidates stance as
+    ``lsh_candidates``/``neardup_pairs_lsh``, with keep-don't-drop as the
+    failure mode instead of recall loss.
+
+    Plan shape: one kmeans fit (broadcast joins over the corpus ×
+    ``iters``), ONE full-corpus assignment pass (broadcast argmax — no
+    shuffle), then a self-join keyed on ``cell`` whose fan-out is bounded
+    by cell sizes, and a broadcast-able drop-set anti-join. At 10^9
+    vectors raise ``n_centroids`` so cells stay small — the pair work is
+    Σ|cell|², which the centroid count controls directly.
+
+    Returns one row per vector: (vec_id, cell, kept).
+    """
+    from pyspark.sql import Window as W
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    cents = kmeans_centroids(emb, n_centroids, iters, dims, id_col, vec_col)
+    v = _quantized_with_norm(emb, id_col, vec_col, "vid", "qv", "qn")
+    assign_w = W.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assigned = pooled_cache(
+        v.crossJoin(F.broadcast(cents))
+        .select("vid", "qv", "qn", "cent_id",
+                (dot("qv", "ev") / (F.col("qn") * F.col("en"))).alias("csim"))
+        .withColumn("_r", F.row_number().over(assign_w))
+        .filter(F.col("_r") == 1)
+        .select("vid", "qv", "qn", F.col("cent_id").alias("cell"))
+        .withColumn("_cn", F.count("*").over(W.partitionBy("cell")))
+    )
+    small = assigned.filter(F.col("_cn") <= max_cell)
+    a = small.select("cell", F.col("vid").alias("id_a"),
+                     F.col("qv").alias("va"), F.col("qn").alias("na"))
+    b = small.select("cell", F.col("vid").alias("id_b"),
+                     F.col("qv").alias("vb"), F.col("qn").alias("nb"))
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((dot("va", "vb") / (F.col("na") * F.col("nb"))) >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(drops.withColumn("_dropped", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"), "cell",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )

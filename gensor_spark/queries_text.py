@@ -335,16 +335,37 @@ SELECT 'lsh' AS method, * FROM ({_sql_emb_neardup_lsh()}) l
 
 
 def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic duplicate clusters: connected components over the embedding
-    near-dup graph — the same propagation operator as the text-side
-    ``dup_clusters``, composed over a different pair source (the
-    verify-after-LSH pipeline feeds the graph directly)."""
+    """Embedding-level dedup decisions, method-tagged union (r4 merged form):
+
+    - ``method='cc'`` — connected components over the LSH-verified near-dup
+      graph (the same propagation operator as the text-side
+      ``dup_clusters``); ``grp`` is the min-label cluster id and ``kept``
+      marks the min-id representative.
+    - ``method='semdedup'`` — SemDeDup-style cluster-then-dedup
+      (``similarity.semantic_dedup``): deterministic k-means cells, exact
+      cosine on same-cell pairs only, a vector dropped iff a smaller-id
+      cell-mate is ≥ 0.45 similar; ``grp`` is the k-means cell. Where the
+      cc rows answer "which docs form one duplicate family?", the
+      semdedup rows answer the production question "which docs do I keep?"
+      at a cost bounded by Σ|cell|² instead of LSH recall tuning.
+    """
     pairs = S.neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.45)
-    return D.dup_clusters(pairs.select(
+    cc = D.dup_clusters(pairs.select(
         F.col("id_a"), F.col("id_b"))).withColumnRenamed("doc_id", "vec_id")
+    cc = cc.select(
+        F.lit("cc").alias("method"), "vec_id",
+        F.col("cluster_id").alias("grp"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("kept"),
+    )
+    sd = S.semantic_dedup(_emb(spark, sf_dir), threshold=0.45).select(
+        F.lit("semdedup").alias("method"), "vec_id",
+        F.col("cell").alias("grp"), "kept",
+    )
+    return cc.unionByName(sd)
 
 
 def _sql_emb_dup_clusters() -> str:
+    cos_ab = _cos_sql("a.qv", "b.qv")
     return f"""
 WITH RECURSIVE sp AS (SELECT id_a, id_b FROM ({_sql_emb_neardup_lsh()}) z),
 edges AS (SELECT id_a AS u, id_b AS v FROM sp
@@ -353,8 +374,31 @@ reach(id, r) AS (
   SELECT u, u FROM edges
   UNION
   SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
-)
-SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1
+),
+v AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+{_sql_kmeans_ctes()},
+sdassigned AS (
+  SELECT vec_id, qv, cell FROM (
+    SELECT v.vec_id, v.qv, c.cent_id AS cell,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_cos_sql('v.qv', 'c.ev')} DESC, c.cent_id) AS r
+    FROM v CROSS JOIN cents c) x
+  WHERE r = 1),
+sdsized AS (SELECT *, count(*) OVER (PARTITION BY cell) AS cn
+            FROM sdassigned),
+sddrops AS (SELECT DISTINCT b.vec_id
+            FROM sdsized a JOIN sdsized b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+             AND a.cn <= 10000
+            WHERE {cos_ab} >= 0.45)
+SELECT 'cc' AS method, id AS vec_id, min(r) AS grp,
+       (id = min(r)) AS kept
+FROM reach GROUP BY id
+UNION ALL
+SELECT 'semdedup' AS method, s.vec_id, s.cell AS grp,
+       (d.vec_id IS NULL) AS kept
+FROM sdassigned s LEFT JOIN sddrops d ON d.vec_id = s.vec_id
 """
 
 

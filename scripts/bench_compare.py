@@ -51,8 +51,11 @@ MERGES = {
 ADDED_WORK = {
     "series_corr": "+ per-series ACF (5 lags) + lagged CCF (2 signed lags)",
     "perplexity": "+ interpolated bigram-LM scoring",
-    "cusum_changepoint": "+ Mann-Kendall + Sen's slope (Arrow kernel)",
+    "cusum_changepoint": "+ Mann-Kendall + Sen's slope (Arrow kernel)"
+                         " + KS split-drift test (window algebra)",
     "seasonal_anomaly": "+ classic additive decomposition (3 component rows/pt)",
+    "vocab_topk": "+ per-source PSI drift + vocabulary JSD vs rest-of-corpus",
+    "emb_dup_clusters": "+ SemDeDup cells (k-means fit + within-cell dedup)",
 }
 
 

@@ -517,3 +517,91 @@ def test_cache_pool_releases_operator_caches(spark):
     n = release_caches()
     assert n == len(cached) and not _POOL
     assert all(not df.storageLevel.useMemory for df in cached)
+
+
+# ------------------------------------------------------------ semantic_dedup
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    """Full-pipeline parity on real fixture embeddings: quantized Lloyd
+    k-means assignment + the declarative drop rule, brute-forced in numpy."""
+    import numpy as np
+
+    from gensor_spark.operators.similarity import (
+        KMEANS_ITERS, SCALE, semantic_dedup)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = semantic_dedup(emb, threshold=0.45, n_centroids=8).toPandas()
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    qv = np.array([
+        np.floor(np.asarray(v, dtype=float) * SCALE + 0.5) for v in pdf.embedding
+    ])
+    ids = pdf.vec_id.to_numpy()
+
+    def cos(a, b):
+        return (a @ b.T) / (
+            np.linalg.norm(a, axis=-1, keepdims=True)
+            * np.linalg.norm(b, axis=-1, keepdims=True).T)
+
+    cents = qv[ids < 8].copy()
+    cent_ids = ids[ids < 8]
+    for _ in range(KMEANS_ITERS):
+        sim = cos(qv, cents)
+        # argmax with tie-break to the LOWER cent_id: argmax picks first max
+        cell = cent_ids[np.argmax(sim, axis=1)]
+        new = []
+        for c in cent_ids:
+            members = qv[cell == c]
+            new.append(np.floor(members.mean(axis=0) + 0.5)
+                       if len(members) else cents[list(cent_ids).index(c)])
+        cents = np.array(new)
+    sim = cos(qv, cents)
+    cell = cent_ids[np.argmax(sim, axis=1)]
+    want_cell = dict(zip(ids.tolist(), cell.tolist()))
+    got_cell = dict(zip(got.vec_id, got.cell))
+    assert got_cell == want_cell
+    # drop rule: kept iff no smaller-id cell-mate >= threshold
+    s = cos(qv, qv)
+    want_kept = {}
+    for i, vid in enumerate(ids):
+        mates = [j for j, vj in enumerate(ids)
+                 if cell[j] == cell[i] and vj < vid and s[i, j] >= 0.45]
+        want_kept[vid] = not mates
+    assert dict(zip(got.vec_id, got.kept)) == want_kept
+    assert not all(want_kept.values())  # the fixture actually drops some
+
+
+def test_semantic_dedup_planted_twins(spark):
+    """Near-identical vectors land in one cell; only the smallest id stays."""
+    import numpy as np
+
+    from gensor_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(2)
+    base = rng.normal(0, 1, (6, 64)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+    # twins of vector 1 (ids 100, 101): tiny jitter, cosine ~ 1
+    for j, vid in enumerate((100, 101)):
+        tw = base[1] + rng.normal(0, 1e-3, 64).astype("float32")
+        rows.append((vid, [float(x) for x in tw], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in
+           semantic_dedup(emb, threshold=0.95, n_centroids=4).collect()}
+    assert out[1].kept and not out[100].kept and not out[101].kept
+    assert out[1].cell == out[100].cell == out[101].cell
+    assert all(out[i].kept for i in range(6) if i != 1 or True)
+
+
+def test_semantic_dedup_max_cell_exempts(spark):
+    """Cells over the cap keep ALL members — conservative failure mode."""
+    import numpy as np
+
+    from gensor_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.45, n_centroids=8, max_cell=2)
+    assert out.filter("NOT kept").count() == 0
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(emb, threshold=0.0)
