@@ -371,6 +371,35 @@ class Dataset:
 
         return cusum_changepoint(self.df, keys=self.keys)
 
+    def holt_winters(self, period: int, alpha: float = 0.5,
+                     beta: float = 0.3, gamma: float = 0.3) -> "Dataset":
+        """Holt-Winters additive smoothing: adds ``level``/``trend``/
+        ``season``/``hw_fit`` columns — the season-tracking member of the
+        exponential family (``ewma`` → ``holt`` → this)."""
+        from gensor_spark.operators.seriesstats import hw_smooth
+
+        return self._wrap(hw_smooth(self.df, period=period, alpha=alpha,
+                                    beta=beta, gamma=gamma, keys=self.keys))
+
+    def ks_drift(self, split_fraction: float = 0.5) -> DataFrame:
+        """Two-sample KS test between each series' early and late parts —
+        did the value DISTRIBUTION drift (the change ``changepoint()`` and
+        ``mann_kendall()`` are blind to when the mean holds)?"""
+        from gensor_spark.operators.seriesstats import ks_split
+
+        return ks_split(self.df, keys=self.keys,
+                        split_fraction=split_fraction)
+
+    def similar_series(self, eps: float, length: int = 16,
+                       band: int = 3, max_series: int = 2000) -> DataFrame:
+        """Shape-similar series pairs by banded DTW over PAA sketches —
+        phase-tolerant similarity where Pearson correlation needs a shared
+        clock. Returns (sid_a, sid_b, lb, dtw) with dtw <= eps."""
+        from gensor_spark.operators.dtw import dtw_pairs
+
+        return dtw_pairs(self.df, eps=eps, length=length, band=band,
+                         keys=self.keys, max_series=max_series)
+
     def to_store(self, pipeline, wave: int) -> dict:
         """gensor ``to_sql(db)`` analogue (core/base.py:269-283): persist
         this Dataset's points into the incremental tier store, as a

@@ -21,12 +21,16 @@ from gensor_spark.operators.seriesstats import (
     cusum_changepoint,
     ewma,
     holt_smooth,
+    hw_smooth,
+    ks_split,
     mann_kendall,
     pacf,
     seasonal_anomaly,
     seasonal_decompose,
     series_corr,
 )
+from gensor_spark.operators.drift import psi_numeric, vocab_jsd
+from gensor_spark.operators.dtw import dtw_pairs, paa_sketch
 from gensor_spark.operators.histquantiles import (
     cascade_hist,
     merge_hist,
@@ -59,6 +63,12 @@ __all__ = [
     "ccf",
     "ewma",
     "holt_smooth",
+    "hw_smooth",
+    "ks_split",
+    "psi_numeric",
+    "vocab_jsd",
+    "dtw_pairs",
+    "paa_sketch",
     "pacf",
     "series_corr",
     "cusum_changepoint",

@@ -178,6 +178,16 @@ def test_analysis_verbs(spark, ds):
     de = ds.decompose(period=5)
     assert {"trend", "seasonal", "resid", "phase"} <= set(de.df.columns)
     assert de.df.filter("trend IS NOT NULL").count() > 0
+    hw = ds.holt_winters(period=4)
+    assert {"level", "trend", "season", "hw_fit"} <= set(hw.df.columns)
+    assert hw.df.count() == ds.df.count()
+    ks = ds.ks_drift()
+    assert set(ks.columns) == {
+        "doc_id", "source", "n", "n1", "n2", "ks_d", "ks_stat", "p_asymp"}
+    assert ks.count() == n_series
+    sim = ds.similar_series(eps=1e9, length=8, band=2)
+    assert set(sim.columns) == {"sid_a", "sid_b", "lb", "dtw"}
+    assert sim.count() > 0
 
 
 def test_plot_data_methods(spark, ds):
