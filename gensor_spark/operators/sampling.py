@@ -74,3 +74,30 @@ def stratified_sample_hash_rates(df: DataFrame, strata_col: str = "source",
     fully closed-form, so the oracle needs no rate table."""
     thresh = sample_rates_from_hash(F.col(strata_col), rate_salt)
     return df.filter(keep_hash(F.col(id_col), salt) < thresh)
+
+
+def quality_weighted_sample(df: DataFrame, weight_col: str,
+                            id_col: str = "doc_id", salt: str = "qw1",
+                            scale: float = 1.0) -> DataFrame:
+    """Keep each row with probability ``min(1, scale·weight)`` — the
+    quality-proportional subsampling step of corpus-mixing recipes ("keep
+    high-quality documents at full rate, down-sample the tail"), with the
+    same determinism contract as ``stratified_sample``: row-local, seed-
+    stable, engine-portable (the keep decision is the salted md5 hash
+    against a per-row integer threshold).
+
+    ``weight_col`` is any per-row double in [0, 1] — a model score, a
+    heuristic quality feature, a length proxy. NULL weights keep nothing
+    (mask-don't-crash). ``scale`` rescales in place (e.g. target a fixed
+    token budget by setting scale = budget / Σ weight).
+    """
+    # least() SKIPS null args — guard explicitly so a NULL weight yields a
+    # NULL threshold (row filtered out), not least(DENOM, NULL) = keep-all
+    thresh = F.when(
+        F.col(weight_col).isNotNull(),
+        F.least(
+            F.lit(DENOM).cast("long"),
+            F.round(F.col(weight_col) * F.lit(float(scale)) * DENOM).cast("long"),
+        ),
+    )
+    return df.filter(keep_hash(F.col(id_col), salt) < thresh)

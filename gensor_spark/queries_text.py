@@ -716,18 +716,44 @@ FROM pc GROUP BY 1
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from gensor_spark.operators.sampling import stratified_sample_hash_rates
+    """Corpus mixing decisions, method-tagged union (r4 merged form):
+    ``method='mix'`` — per-source stratified rates (hash-derived);
+    ``method='quality'`` — quality-proportional keep
+    (``sampling.quality_weighted_sample``) over the demo length proxy
+    ``min(1, n_chars/500)`` (the operator takes any per-row [0,1] score —
+    a model score in production; the proxy keeps the oracle closed-form).
+    Both decisions are row-local salted-hash Bernoulli draws: seed-stable,
+    no shuffle, engine-portable."""
+    from gensor_spark.operators.sampling import (
+        quality_weighted_sample,
+        stratified_sample_hash_rates,
+    )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "source")
-    return stratified_sample_hash_rates(docs)
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    mix = stratified_sample_hash_rates(docs).select(
+        F.lit("mix").alias("method"), "doc_id", "source")
+    qw = quality_weighted_sample(
+        docs.withColumn(
+            "w", F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))),
+        "w",
+    ).select(F.lit("quality").alias("method"), "doc_id", "source")
+    return mix.unionByName(qw)
 
 
 # mirrors sampling.stratified_sample_hash_rates: keep-hash over 'mix1:<id>',
-# per-source rate 0.1 + (hash('rate1:<source>') mod 0.8), both in DENOM units
+# per-source rate 0.1 + (hash('rate1:<source>') mod 0.8), both in DENOM
+# units; quality rows mirror sampling.quality_weighted_sample over the
+# min(1, n_chars/500) proxy weight
 SQL_STRATIFIED_SAMPLE = f"""
-SELECT doc_id, source FROM documents
+SELECT 'mix' AS method, doc_id, source FROM documents
 WHERE ({_md5int_sql("'mix1:' || doc_id::VARCHAR")} % 1000000)
     < (100000 + ({_md5int_sql("'rate1:' || source")} % 800000))
+UNION ALL
+SELECT 'quality' AS method, doc_id, source FROM documents
+WHERE n_chars IS NOT NULL  -- least() skips NULLs in both engines: guard
+  AND ({_md5int_sql("'qw1:' || doc_id::VARCHAR")} % 1000000)
+    < least(1000000::BIGINT,
+            round(least(1.0, n_chars / 500.0) * 1.0 * 1000000)::BIGINT)
 """
 
 

@@ -184,6 +184,33 @@ def test_stratified_sample_deterministic_and_rate(spark):
     assert {r.doc_id for r in kept} <= {r.doc_id for r in bigger}
 
 
+def test_quality_weighted_sample(spark):
+    """Keep rate tracks the weight; weight 0 keeps nothing, 1 everything;
+    deterministic across runs; NULL weight masks out."""
+    from gensor_spark.operators.sampling import quality_weighted_sample
+
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2000, 0.0)
+        .when(F.col("id") < 4000, 0.5)
+        .otherwise(1.0).alias("w"),
+    )
+    kept = quality_weighted_sample(df, "w").toPandas()
+    lo = kept[kept.doc_id < 2000]
+    mid = kept[(kept.doc_id >= 2000) & (kept.doc_id < 4000)]
+    hi = kept[kept.doc_id >= 4000]
+    assert len(lo) == 0 and len(hi) == 2000
+    assert 800 <= len(mid) <= 1200  # ~50% within a loose band
+    again = quality_weighted_sample(df, "w").toPandas()
+    assert sorted(kept.doc_id) == sorted(again.doc_id)
+    # scale doubles the mid-band keep probability (clamped at 1)
+    scaled = quality_weighted_sample(df, "w", scale=2.0).toPandas()
+    assert len(scaled[(scaled.doc_id >= 2000) & (scaled.doc_id < 4000)]) == 2000
+    # NULL weight keeps nothing
+    nulls = df.withColumn("w", F.when(F.col("doc_id") >= 0, None).cast("double"))
+    assert quality_weighted_sample(nulls, "w").count() == 0
+
+
 # --------------------------------------------------------------------------
 # repetition quality
 # --------------------------------------------------------------------------
