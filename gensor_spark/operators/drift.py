@@ -180,3 +180,81 @@ def vocab_jsd_from_counts(
             (F.sum("_j") + 0.5 * LN2 * (1.0 - F.sum("_q"))).alias("jsd"),
         )
     )
+
+
+def psi_vs_reference(
+    df: DataFrame,
+    reference: DataFrame,
+    group_col: str,
+    value_col: str,
+    nbins: int = 10,
+    eps: float = 1e-6,
+    bounds: tuple[int, int] | None = None,
+) -> DataFrame:
+    """PSI of each group's ``value_col`` distribution against an EXPLICIT
+    reference sample — the monitoring form of ``psi_numeric`` (which
+    compares vs rest-of-corpus): score today's ingest per source against
+    last month's accepted corpus, epoch after epoch, without the baseline
+    shifting underneath.
+
+    ``bounds`` fixes the binning domain (lo, hi); default is the
+    REFERENCE's min/max — stable across calls with the same reference,
+    which is what makes per-epoch readings comparable. Values outside the
+    bounds clamp into the edge bins (the standard monitoring convention:
+    out-of-range mass is drift evidence, not an error). Same integer-exact
+    binning and eps-smoothed PSI as ``psi_numeric``.
+
+    Scale shape: the reference collapses to ``nbins`` counts (one agg,
+    broadcast); the scored corpus aggregates once at (group, bin) grain.
+    Returns (group, n_docs, psi).
+    """
+    if nbins < 2:
+        raise ValueError(f"nbins must be >= 2, got {nbins}")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("long").alias("_v")
+    )
+    ref = reference.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).cast("long").alias("_v")
+    )
+    if bounds is None:
+        b = ref.agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+    else:
+        lo, hi = int(bounds[0]), int(bounds[1])
+        if hi < lo:
+            raise ValueError(f"bounds hi < lo: {bounds}")
+        b = ref.sparkSession.range(1).select(
+            F.lit(lo).alias("_lo"), F.lit(hi).alias("_hi"))
+
+    def _bin(frame: DataFrame) -> DataFrame:
+        # clamp into the domain, then the integer-exact bin
+        return frame.join(F.broadcast(b)).selectExpr(
+            *[c for c in frame.columns if c != "_v"],
+            f"((least(greatest(_v, _lo), _hi) - _lo) * {int(nbins)})"
+            f" DIV (_hi - _lo + 1) AS _b",
+        )
+
+    bins = vals.sparkSession.range(nbins).select(F.col("id").alias("_b"))
+    ref_counts = (
+        _bin(ref).groupBy("_b").agg(F.count(F.lit(1)).alias("_rc"))
+        .join(bins, "_b", "right").na.fill({"_rc": 0})
+    )
+    per_gb = _bin(vals).groupBy("_g", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    dense = (
+        per_gb.select("_g").distinct()
+        .crossJoin(F.broadcast(bins))
+        .join(per_gb, ["_g", "_b"], "left")
+        .na.fill({"_c": 0})
+        .join(F.broadcast(ref_counts), "_b")
+    )
+    tot_g = dense.groupBy("_g").agg(F.sum("_c").alias("_ng"))
+    n_ref = ref_counts.agg(F.sum("_rc").alias("_nr"))
+    smooth = float(nbins) * eps
+    p = (F.col("_c") + F.lit(eps)) / (F.col("_ng") + F.lit(smooth))
+    q = (F.col("_rc") + F.lit(eps)) / (F.col("_nr") + F.lit(smooth))
+    return (
+        dense.join(F.broadcast(tot_g), "_g")
+        .join(F.broadcast(n_ref))
+        .withColumn("_t", (p - q) * F.log(p / q))
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(F.max("_ng").alias("n_docs"), F.sum("_t").alias("psi"))
+    )
