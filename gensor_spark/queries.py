@@ -1684,6 +1684,8 @@ QUERIES["holt_smooth"] = q_holt_smooth
 QUERIES["hw_smooth"] = q_hw_smooth
 QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["pacf_lags"] = q_pacf_lags
+from gensor_spark.queries_text import q_bpe_vocab  # noqa: E402 - tail entry
+QUERIES["bpe_vocab"] = q_bpe_vocab
 QUERIES["rollup_distinct"] = q_rollup_distinct
 
 ORACLES: dict[str, str] = {

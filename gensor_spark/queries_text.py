@@ -1217,6 +1217,24 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a BPE merge table from the corpus and report it with the
+    corpus-wide token count under that segmentation (operators/bpe.py).
+    Registered in the rows-only tail (queries.py): the merge loop is
+    inherently iterative, not SQL-expressible; exact parity with an
+    independent pure-Python Sennrich reference is pinned in
+    tests/test_bpe.py (identical merges AND identical segmentation)."""
+    from gensor_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=12)
+    n_tok = bpe_encode(docs, merges).select(
+        F.sum(F.size("bpe_tokens")).alias("n")).first()[0]
+    rows = [(i, a, b, int(n_tok)) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, corpus_tokens long")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------

@@ -56,6 +56,7 @@ ADDED_WORK = {
     "seasonal_anomaly": "+ classic additive decomposition (3 component rows/pt)",
     "vocab_topk": "+ per-source PSI drift + vocabulary JSD vs rest-of-corpus",
     "emb_dup_clusters": "+ SemDeDup cells (k-means fit + within-cell dedup)",
+    "stratified_sample": "+ quality-weighted keep decisions (second hash pass)",
 }
 
 
