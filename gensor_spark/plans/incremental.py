@@ -695,12 +695,45 @@ class TierPipeline:
         os.replace(tmp, final)  # step 3: promote
         shutil.rmtree(old)  # step 4: cleanup
 
-    def compact(self, tier: str) -> None:
-        """Fold all contributions into one (Iceberg: rewrite_data_files)."""
+    def compact(self, tier: str, zorder: bool = False,
+                zorder_files: int = 32) -> None:
+        """Fold all contributions into one (Iceberg: rewrite_data_files).
+
+        ``zorder=True`` (parquet backend) rewrites the tier clustered on
+        the Morton interleave of (series, bin_ts) — ``plans/zorder.py`` —
+        so subsequent scans prune files/row-groups on EITHER the series or
+        the time predicate (the two read patterns a tier table serves; the
+        pruning is measured in tests/test_zorder.py). The rewrite shuffles
+        once more than the plain fold (the rank-scale sort **is** the
+        layout); correctness is untouched — ``read_tier`` merges partials
+        associatively regardless of row order. On Iceberg the equivalent
+        is ``rewrite_data_files`` with a zorder sort order; out of scope
+        while the runtime jar is availability-gated.
+        """
         if self.backend == "iceberg":
+            if zorder:
+                raise ValueError(
+                    "zorder compaction requires the parquet backend "
+                    "(Iceberg: use rewrite_data_files with a zorder sort "
+                    "order via the catalog)")
             self.iceberg.compact(tier)  # rewrite_data_files, atomic snapshot
             return
-        self._rewrite_tier(tier, self._read_merged_storage(tier))
+        merged = self._read_merged_storage(tier)
+        if zorder:
+            from gensor_spark.plans.zorder import rank_scale, zvalue
+
+            sid = F.xxhash64(*[F.col(k) for k in self.keys])
+            z = merged.withColumn("__sid", sid).withColumn(
+                "__ts", F.col("bin_ts").cast("long"))
+            z = rank_scale(z, "__sid", 16, "__zs0")
+            z = rank_scale(z, "__ts", 16, "__zs1")
+            merged = (
+                z.withColumn("__z", zvalue(["__zs0", "__zs1"], 16))
+                .repartitionByRange(zorder_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__sid", "__ts", "__zs0", "__zs1", "__z")
+            )
+        self._rewrite_tier(tier, merged)
 
     def apply_retention(self, policy: dict[str, str], now) -> dict[str, str]:
         """Enforce per-tier retention windows: the 'retention' in retention

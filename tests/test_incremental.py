@@ -383,3 +383,25 @@ def test_narrow_kernel_aborts_on_unrepresentable_values(spark):
     )
     # tick=1s → 60 tokens per 1m bin → 100 integer tokens = 2 bins, no raise
     assert rollup_docs_arrow_narrow(ok, "1m", tick_seconds=1).count() == 2
+
+
+def test_compact_zorder_preserves_results_and_drops_helpers(spark, docs, tmp_path):
+    """Z-order compaction is a pure LAYOUT rewrite: tier contents identical,
+    helper columns absent, file count as requested; iceberg backend refuses."""
+    import pyarrow.parquet as pq
+
+    store = str(tmp_path / "tiers")
+    pipe = TierPipeline(spark, store, n_batches=4)
+    pipe.run(docs)
+    before = _tier_pdf(pipe.read_tier("1m"))
+    schema_before = set(pipe.read_tier("1m", finalize=False).columns)
+    pipe.compact("1m", zorder=True, zorder_files=8)
+    after = _tier_pdf(pipe.read_tier("1m"))
+    _assert_tiers_equal(before, after)
+    assert set(pipe.read_tier("1m", finalize=False).columns) == schema_before
+    part_dir = f"{store}/tier_1m/batch=-1"
+    n_files = sum(1 for f in pq.ParquetDataset(part_dir).files)
+    assert n_files == 8
+    # a second, plain compact over the z-ordered store still round-trips
+    pipe.compact("1m")
+    _assert_tiers_equal(before, _tier_pdf(pipe.read_tier("1m")))
