@@ -381,6 +381,16 @@ class Dataset:
         return self._wrap(hw_smooth(self.df, period=period, alpha=alpha,
                                     beta=beta, gamma=gamma, keys=self.keys))
 
+    def forecast(self, period: int, horizon: int, alpha: float = 0.5,
+                 beta: float = 0.3, gamma: float = 0.3) -> DataFrame:
+        """h-step Holt-Winters forecast per series: (keys, step, yhat,
+        last_ts) — exact on pure trend+season series (tested)."""
+        from gensor_spark.operators.seriesstats import hw_forecast
+
+        return hw_forecast(self.df, period=period, horizon=horizon,
+                           alpha=alpha, beta=beta, gamma=gamma,
+                           keys=self.keys)
+
     def ks_drift(self, split_fraction: float = 0.5) -> DataFrame:
         """Two-sample KS test between each series' early and late parts —
         did the value DISTRIBUTION drift (the change ``changepoint()`` and

@@ -21,6 +21,7 @@ from gensor_spark.operators.seriesstats import (
     cusum_changepoint,
     ewma,
     holt_smooth,
+    hw_forecast,
     hw_smooth,
     ks_split,
     mann_kendall,
@@ -64,6 +65,7 @@ __all__ = [
     "ewma",
     "holt_smooth",
     "hw_smooth",
+    "hw_forecast",
     "ks_split",
     "psi_numeric",
     "vocab_jsd",

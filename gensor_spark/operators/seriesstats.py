@@ -198,8 +198,10 @@ def _hw_kernel(
     (season ring unchanged) and emit NaN; seasonal position counts
     non-NaN observations, i.e. the series is compacted before smoothing.
     A series with fewer than 2m observations is all-NaN (mask-don't-crash).
-    Returns (level, trend, season, fit) aligned to x; the first m
+    Returns (level, trend, season, fit, state) aligned to x; the first m
     observations carry their init season and NaN level/trend/fit.
+    ``state`` is (l, b, s_ring, next_j) after the last observation — the
+    forecasting seed (None for a too-short series).
     """
     n = len(x)
     level = np.full(n, np.nan)
@@ -209,7 +211,7 @@ def _hw_kernel(
     obs = np.flatnonzero(~np.isnan(x))
     m = period
     if len(obs) < 2 * m:
-        return level, trend, season, fit
+        return level, trend, season, fit, None
     xc = x[obs]
     b0 = (xc[m:2 * m].mean() - xc[:m].mean()) / m
     l = xc[:m].mean() + b0 * (m - 1) / 2.0
@@ -227,7 +229,7 @@ def _hw_kernel(
         level[i] = l
         trend[i] = b
         season[i] = s[j % m]
-    return level, trend, season, fit
+    return level, trend, season, fit, (l, b, s, len(xc))
 
 
 def hw_smooth(
@@ -275,7 +277,7 @@ def hw_smooth(
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.reset_index(drop=True)
-        lv, tr, se, ft = _hw_kernel(
+        lv, tr, se, ft, _state = _hw_kernel(
             out[value_col].to_numpy(dtype=float), period, alpha, beta, gamma
         )
         out["level"] = lv
@@ -283,6 +285,73 @@ def hw_smooth(
         out["season"] = se
         out["hw_fit"] = ft
         return out
+
+    return per_series_map(points, per_series, schema, keys=keys)
+
+
+def hw_forecast(
+    points: DataFrame,
+    period: int,
+    horizon: int,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """h-step-ahead Holt-Winters forecast per series:
+    ``yhat_k = l + k·b + s[(j+k−1) mod m]`` from the state after the last
+    observation — the standard additive-HW forecast function. The
+    exact-recovery invariant extends to forecasting: on a pure
+    ``a + b·t + season`` series the forecast equals the true continuation
+    to float precision for EVERY step (pinned in tests).
+
+    Emits ``horizon`` rows per qualifying series: (keys, step, yhat,
+    last_ts) with step ∈ [1, horizon]; ``last_ts`` is the last observed
+    timestamp so callers can place the forecast on their own clock (the
+    engine does not guess the sampling interval). Series too short to
+    initialize (< 2·period observations) emit nothing (mask-don't-crash).
+
+    Same single-shuffle Arrow-kernel shape as ``hw_smooth``; output size is
+    series_count × horizon, independent of input length.
+    """
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    for p, name in ((alpha, "alpha"), (beta, "beta"), (gamma, "gamma")):
+        if not 0.0 < p <= 1.0:
+            raise ValueError(f"{name} must be in (0, 1]")
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    schema = T.StructType(
+        [f for f in points.schema.fields if f.name in keys]
+        + [T.StructField("step", T.IntegerType()),
+           T.StructField("yhat", T.DoubleType()),
+           T.StructField("last_ts", points.schema[ts_col].dataType)]
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].to_numpy(dtype=float)
+        *_arrs, state = _hw_kernel(x, period, alpha, beta, gamma)
+        # too-short series: emit zero rows, with the same (Arrow-safe)
+        # dtypes the populated path produces
+        h = 0 if state is None else horizon
+        out = pd.DataFrame({
+            "step": np.arange(1, h + 1, dtype=np.int32),
+            "yhat": np.empty(h, dtype=float),
+        })
+        if h:
+            l, b, s, j = state
+            out["yhat"] = [l + k * b + s[(j + k - 1) % period]
+                           for k in range(1, h + 1)]
+        for k in keys:
+            out[k] = pdf[k].iloc[:1].repeat(h).reset_index(drop=True)
+        obs_ts = pdf.loc[~pd.isna(pdf[value_col]), ts_col]
+        out["last_ts"] = (obs_ts.iloc[-1:].repeat(h).reset_index(drop=True)
+                          if h else obs_ts.iloc[:0])
+        return out[[f.name for f in schema.fields]]
 
     return per_series_map(points, per_series, schema, keys=keys)
 

@@ -876,6 +876,19 @@ def q_hw_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-step Holt-Winters forecast per series (24h season) — registry
+    entry outside the driver window (recurrence); the forecast function is
+    pinned in tests/test_seriesstats.py, including the exact-continuation
+    invariant on pure trend+season series."""
+    from gensor_spark.operators.seriesstats import hw_forecast
+
+    out = hw_forecast(_points(spark, sf_dir), period=24, horizon=12,
+                      alpha=0.5, beta=0.3, gamma=0.3)
+    return out.select(
+        "doc_id", "source", "step", _r6(F.col("yhat")).alias("yh"))
+
+
 def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-similar series pairs by banded DTW over PAA sketches
     (operators/dtw.py) — the time-series analogue of the embedding
@@ -1682,6 +1695,7 @@ QUERIES["ewma_smooth"] = q_ewma_smooth
 QUERIES["lttb_downsample"] = q_lttb_downsample
 QUERIES["holt_smooth"] = q_holt_smooth
 QUERIES["hw_smooth"] = q_hw_smooth
+QUERIES["hw_forecast"] = q_hw_forecast
 QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["pacf_lags"] = q_pacf_lags
 from gensor_spark.queries_text import q_bpe_vocab  # noqa: E402 - tail entry

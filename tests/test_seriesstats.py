@@ -1153,3 +1153,74 @@ def test_hw_rejects_bad_params(spark):
         hw_smooth(df, period=1)
     with pytest.raises(ValueError):
         hw_smooth(df, period=4, gamma=0.0)
+
+
+def test_hw_forecast_exact_on_pure_series(spark):
+    """The exact-recovery invariant extends to forecasting: on
+    a + b*t + season the h-step forecast IS the true continuation."""
+    from gensor_spark.operators.seriesstats import hw_forecast
+
+    m, h = 6, 15
+    s = np.array([3, -1, 2, -4, 1, -1], dtype=float)
+    assert s.sum() == 0
+    t = np.arange(60)
+    x = 1.5 + 0.25 * t + s[t % m]
+    pdf = pd.DataFrame({
+        "doc_id": "d", "source": "s", "seq": t,
+        "ts": pd.date_range("2024-01-01", periods=60, freq="h", tz="UTC"),
+        "value": x,
+    })
+    out = (hw_forecast(spark.createDataFrame(pdf), period=m, horizon=h,
+                       alpha=0.4, beta=0.2, gamma=0.6)
+           .orderBy("step").toPandas())
+    assert len(out) == h
+    future = np.arange(60, 60 + h)
+    want = 1.5 + 0.25 * future + s[future % m]
+    np.testing.assert_allclose(out["yhat"].to_numpy(), want, rtol=1e-12)
+    # toPandas under the pinned UTC session yields tz-naive UTC stamps
+    assert out["last_ts"].iloc[0] == pdf["ts"].iloc[-1].tz_localize(None)
+
+
+def test_hw_forecast_matches_state_continuation(spark):
+    """On noisy data: forecast equals the loop reference's state rolled
+    forward (independent recomputation of l, b, season ring)."""
+    from gensor_spark.operators.seriesstats import hw_forecast
+
+    rng = np.random.default_rng(41)
+    m, h = 5, 7
+    n = 47
+    x = rng.normal(0, 1, n).cumsum() + 2 * np.sin(np.arange(n))
+    x[rng.random(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({
+        "doc_id": "d", "source": "s", "seq": np.arange(n),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="h", tz="UTC"),
+        "value": x,
+    })
+    got = (hw_forecast(spark.createDataFrame(pdf), period=m, horizon=h,
+                       alpha=0.4, beta=0.2, gamma=0.3)
+           .orderBy("step").toPandas())
+    # roll the loop reference's final state forward by hand
+    lv, tr, se, ft = _hw_loop(x.tolist(), m, 0.4, 0.2, 0.3)
+    obs = [i for i in range(n) if x[i] == x[i]]
+    l, b = lv[obs[-1]], tr[obs[-1]]
+    ring = [None] * m
+    for j, i in enumerate(obs):
+        if se[i] == se[i]:
+            ring[j % m] = se[i]
+    jn = len(obs)
+    want = [l + k * b + ring[(jn + k - 1) % m] for k in range(1, h + 1)]
+    np.testing.assert_allclose(got["yhat"].to_numpy(), want, rtol=1e-12)
+
+
+def test_hw_forecast_short_series_emits_nothing(spark):
+    from gensor_spark.operators.seriesstats import hw_forecast
+
+    pdf = pd.DataFrame({
+        "doc_id": "d", "source": "s", "seq": np.arange(5),
+        "ts": pd.date_range("2024-01-01", periods=5, freq="h", tz="UTC"),
+        "value": np.arange(5, dtype=float),
+    })
+    out = hw_forecast(spark.createDataFrame(pdf), period=4, horizon=3)
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="horizon"):
+        hw_forecast(spark.createDataFrame(pdf), period=4, horizon=0)
