@@ -13,7 +13,10 @@ from gensor_spark.operators.distinctrollup import (
     finalize_distinct,
     rollup_distinct,
 )
-from gensor_spark.operators.intervaljoin import interval_join
+from gensor_spark.operators.intervaljoin import (
+    interval_join,
+    interval_union_length,
+)
 from gensor_spark.operators.seriesstats import (
     acf,
     ccf,
@@ -60,6 +63,7 @@ __all__ = [
     "asof_join",
     "contamination_stats",
     "interval_join",
+    "interval_union_length",
     "acf",
     "ccf",
     "ewma",

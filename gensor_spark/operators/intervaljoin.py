@@ -111,3 +111,63 @@ def interval_join(
         F.col(f"v.{end_col}").alias(end_col),
         *[F.col(f"v.{c}").alias(c) for c in iv_cols],
     )
+
+
+def interval_union_length(
+    intervals: DataFrame,
+    keys: tuple[str, ...] = ("doc_id",),
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Total covered time per key with OVERLAPS MERGED — the uptime/SLA
+    aggregate: given possibly-overlapping [start, end) intervals (sensor
+    deployments, session spans from several sources, maintenance windows),
+    how much wall-clock is covered at least once?
+
+    The classic island algebra, pure window form: order intervals by
+    (start, end); an interval opens a NEW island iff its start exceeds the
+    running max of all previous ends; islands are the running count of
+    openers; each island's covered length is ``max(end) − min(start)``
+    (within an island the chain overlaps by construction). ONE Exchange on
+    the key serves the ordering window and both aggregations — whole-stage
+    codegen, no join, no Python; at web scale each key's intervals stream
+    through a single sort.
+
+    NULL-bounded and empty (end ≤ start) intervals are dropped first
+    (mask-don't-crash — the ``interval_join`` convention above).
+
+    Returns one row per key: (keys..., n_intervals, n_islands,
+    covered_us) with microsecond integer arithmetic (exact cross-engine).
+    """
+    from pyspark.sql import Window as W
+
+    def us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    iv = (
+        intervals
+        .filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
+        .select(*keys, us(start_col).alias("_s"), us(end_col).alias("_e"))
+        .filter(F.col("_e") > F.col("_s"))
+    )
+    ordered = W.partitionBy(*keys).orderBy("_s", "_e")
+    prev_max_end = F.max("_e").over(
+        ordered.rowsBetween(W.unboundedPreceding, -1))
+    opener = F.when(
+        prev_max_end.isNull() | (F.col("_s") > prev_max_end), 1
+    ).otherwise(0)
+    islanded = iv.select(
+        *keys, "_s", "_e",
+        F.sum(opener).over(
+            ordered.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("_island"),
+    )
+    per_island = islanded.groupBy(*keys, "_island").agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.max("_e") - F.min("_s")).alias("_len"),
+    )
+    return per_island.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum("_n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("_len").alias("covered_us"),
+    )

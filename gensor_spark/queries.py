@@ -889,6 +889,19 @@ def q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "step", _r6(F.col("yhat")).alias("yh"))
 
 
+def q_doc_active_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-merged active time per doc across its sources' spans
+    (operators/intervaljoin.interval_union_length) — the uptime/SLA
+    aggregate. Registry entry outside the driver window; the island
+    algebra is engine-vs-engine pinned against a DuckDB window-SQL oracle
+    plus a brute-force sweep reference in tests/test_intervaljoin.py."""
+    from gensor_spark.operators.intervaljoin import interval_union_length
+
+    spans = _points(spark, sf_dir).groupBy("doc_id", "source").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    return interval_union_length(spans, keys=("doc_id",))
+
+
 def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-similar series pairs by banded DTW over PAA sketches
     (operators/dtw.py) — the time-series analogue of the embedding
@@ -1697,6 +1710,7 @@ QUERIES["holt_smooth"] = q_holt_smooth
 QUERIES["hw_smooth"] = q_hw_smooth
 QUERIES["hw_forecast"] = q_hw_forecast
 QUERIES["dtw_pairs"] = q_dtw_pairs
+QUERIES["doc_active_span"] = q_doc_active_span
 QUERIES["pacf_lags"] = q_pacf_lags
 from gensor_spark.queries_text import q_bpe_vocab  # noqa: E402 - tail entry
 QUERIES["bpe_vocab"] = q_bpe_vocab

@@ -128,3 +128,108 @@ def test_interval_join_null_bounded_intervals_dropped(spark):
     got = interval_join(pts, ivs, keys=("doc_id",),
                         bucket_seconds=3600).collect()
     assert [(r.v, r.label) for r in got] == [(1.0, "ok")]
+
+
+# ------------------------------------------------------- interval_union_length
+
+def _union_ref(spans):
+    """Brute-force sweep reference: merge sorted [s, e) spans."""
+    spans = sorted(spans)
+    total = islands = 0
+    cur_s = cur_e = None
+    for s, e in spans:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                total += cur_e - cur_s
+            cur_s, cur_e = s, e
+            islands += 1
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        total += cur_e - cur_s
+    return total, islands
+
+
+def test_interval_union_matches_bruteforce(spark):
+    import numpy as np
+
+    from gensor_spark.operators.intervaljoin import interval_union_length
+
+    rng = np.random.default_rng(13)
+    rows, ref = [], {}
+    base = 1_700_000_000_000_000  # us epoch
+    for d in range(8):
+        spans = []
+        for _ in range(int(rng.integers(1, 40))):
+            s = base + int(rng.integers(0, 10_000)) * 1_000_000
+            e = s + int(rng.integers(1, 2_000)) * 1_000_000
+            spans.append((s, e))
+        ref[str(d)] = _union_ref(spans)
+        rows += [(str(d),
+                  pd.Timestamp(s, unit="us", tz="UTC").to_pydatetime(),
+                  pd.Timestamp(e, unit="us", tz="UTC").to_pydatetime())
+                 for s, e in spans]
+    df = spark.createDataFrame(rows, "doc_id string, start_ts timestamp, end_ts timestamp")
+    got = {r.doc_id: (r.covered_us, r.n_islands)
+           for r in interval_union_length(df).collect()}
+    for d, (total, islands) in ref.items():
+        assert got[d] == (total, islands), d
+
+
+def test_interval_union_matches_duckdb(spark):
+    """Engine-vs-engine on the derived per-(doc, source) span table: spans
+    of one doc's sources genuinely overlap."""
+    import duckdb
+
+    from gensor_spark.operators.intervaljoin import interval_union_length
+    from gensor_spark.operators.points import events_to_points
+
+    pts = events_to_points(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    spans = pts.groupBy("doc_id", "source").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    got = interval_union_length(spans, keys=("doc_id",)).toPandas()
+    con = duckdb.connect()
+    con.register("sp", spans.toPandas())
+    want = con.execute("""
+        WITH iv AS (SELECT doc_id, epoch_us(start_ts) s, epoch_us(end_ts) e
+                    FROM sp WHERE end_ts > start_ts),
+        o AS (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pme
+              FROM iv),
+        isl AS (SELECT doc_id, s, e,
+                       sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+                FROM o),
+        agg AS (SELECT doc_id, island, count(*) n, max(e) - min(s) len
+                FROM isl GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) n_intervals,
+               count(*) n_islands, CAST(sum(len) AS BIGINT) covered_us
+        FROM agg GROUP BY 1
+    """).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    for c in ("doc_id", "n_intervals", "n_islands", "covered_us"):
+        assert (g[c] == w[c]).all(), c
+
+
+def test_interval_union_masks_and_plan(spark):
+    from gensor_spark.operators.intervaljoin import interval_union_length
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+         ("a", None, "2024-01-01 02:00:00"),          # null start: dropped
+         ("a", "2024-01-01 03:00:00", "2024-01-01 03:00:00"),  # empty
+         ("a", "2024-01-01 00:30:00", "2024-01-01 00:40:00")],  # contained
+        "doc_id string, start_ts string, end_ts string")
+    row = interval_union_length(df).collect()[0]
+    assert row.n_intervals == 2 and row.n_islands == 1
+    assert row.covered_us == 3_600_000_000
+    plan = interval_union_length(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
