@@ -889,6 +889,20 @@ def q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "step", _r6(F.col("yhat")).alias("yh"))
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel over the events table: max view→click→signup→purchase
+    depth per user within a 6h window (operators/funnel.py). Registry entry
+    outside the driver window (sequential DP); optimality is pinned vs an
+    exponential brute-force reference in tests/test_funnel.py."""
+    from gensor_spark.operators.funnel import window_funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("doc_id"), "ts",
+        F.col("event_type").alias("source"))
+    return window_funnel(
+        ev, ["view", "click", "signup", "purchase"], 6 * 3600)
+
+
 def q_doc_active_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap-merged active time per doc across its sources' spans
     (operators/intervaljoin.interval_union_length) — the uptime/SLA
@@ -1711,6 +1725,7 @@ QUERIES["hw_smooth"] = q_hw_smooth
 QUERIES["hw_forecast"] = q_hw_forecast
 QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["doc_active_span"] = q_doc_active_span
+QUERIES["event_funnel"] = q_event_funnel
 QUERIES["pacf_lags"] = q_pacf_lags
 from gensor_spark.queries_text import q_bpe_vocab  # noqa: E402 - tail entry
 QUERIES["bpe_vocab"] = q_bpe_vocab
