@@ -33,8 +33,14 @@ from gensor_spark.operators.seriesstats import (
     seasonal_decompose,
     series_corr,
 )
-from gensor_spark.operators.drift import psi_numeric, vocab_jsd
+from gensor_spark.operators.drift import (
+    psi_numeric,
+    psi_vs_reference,
+    vocab_jsd,
+)
 from gensor_spark.operators.dtw import dtw_pairs, paa_sketch
+from gensor_spark.operators.funnel import window_funnel
+from gensor_spark.operators.bpe import bpe_encode, bpe_train
 from gensor_spark.operators.histquantiles import (
     cascade_hist,
     merge_hist,
@@ -72,7 +78,11 @@ __all__ = [
     "hw_forecast",
     "ks_split",
     "psi_numeric",
+    "psi_vs_reference",
     "vocab_jsd",
+    "window_funnel",
+    "bpe_train",
+    "bpe_encode",
     "dtw_pairs",
     "paa_sketch",
     "pacf",
