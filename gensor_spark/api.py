@@ -400,6 +400,18 @@ class Dataset:
         return ks_split(self.df, keys=self.keys,
                         split_fraction=split_fraction)
 
+    def backtest(self, period: int, eval_fraction: float = 0.2,
+                 alpha: float = 0.5, beta: float = 0.3,
+                 gamma: float = 0.3) -> DataFrame:
+        """Which smoother fits each series? One-step-ahead rolling-origin
+        MAE of the whole exponential family (ewma/holt/hw) in one pass;
+        the ``best`` column names the winner per series."""
+        from gensor_spark.operators.seriesstats import smoother_backtest
+
+        return smoother_backtest(self.df, period=period,
+                                 eval_fraction=eval_fraction, alpha=alpha,
+                                 beta=beta, gamma=gamma, keys=self.keys)
+
     def similar_series(self, eps: float, length: int = 16,
                        band: int = 3, max_series: int = 2000) -> DataFrame:
         """Shape-similar series pairs by banded DTW over PAA sketches —

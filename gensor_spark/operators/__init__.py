@@ -32,6 +32,7 @@ from gensor_spark.operators.seriesstats import (
     seasonal_anomaly,
     seasonal_decompose,
     series_corr,
+    smoother_backtest,
 )
 from gensor_spark.operators.drift import (
     psi_numeric,
@@ -95,6 +96,7 @@ __all__ = [
     "counter_rate",
     "seasonal_anomaly",
     "seasonal_decompose",
+    "smoother_backtest",
     "rollup_hist",
     "rollup_hist_docs_arrow",
     "merge_hist",

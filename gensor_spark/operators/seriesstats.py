@@ -1099,3 +1099,87 @@ def seasonal_anomaly(
             F.when(z.isNotNull(), F.abs(z) > n_sigma).otherwise(F.lit(False)),
         )
     )
+
+
+def smoother_backtest(
+    points: DataFrame,
+    period: int,
+    eval_fraction: float = 0.2,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+) -> DataFrame:
+    """Which smoother fits each series? One-step-ahead backtest of the
+    exponential family (EWMA / Holt / Holt-Winters) on the tail of every
+    series — the model-selection verb that turns the family from three
+    separate calls into an answer.
+
+    For each method the one-step-ahead prediction at t uses state through
+    t−1 (EWMA: ŷ_t = ewma_{t−1}; Holt: l_{t−1}+b_{t−1}; HW: the kernel's
+    ``fit`` output); the score is the MAE over the last ``eval_fraction``
+    of non-NaN observations (rolling-origin evaluation — every eval point
+    was predicted before it was consumed, no lookahead). Methods whose
+    state cannot initialize on a series (HW needs 2·period observations)
+    report NULL mae and never win.
+
+    All three recurrences run in ONE Arrow-kernel pass per series (one
+    shuffle total — not three operator calls). Output: one row per
+    (series, method): (keys..., method, n_eval, mae, best) with ``best``
+    marking the minimal-MAE method (ties break ewma < holt < hw, i.e.
+    toward the simpler model).
+    """
+    if not 0.0 < eval_fraction < 1.0:
+        raise ValueError(f"eval_fraction must be in (0,1), got {eval_fraction}")
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    schema = T.StructType(
+        [f for f in points.schema.fields if f.name in keys]
+        + [T.StructField("method", T.StringType()),
+           T.StructField("n_eval", T.IntegerType()),
+           T.StructField("mae", T.DoubleType()),
+           T.StructField("best", T.BooleanType())]
+    )
+    order = ["ewma", "holt", "hw"]
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].to_numpy(dtype=float)
+        obs = np.flatnonzero(~np.isnan(x))
+        n = len(obs)
+        n_eval = int(np.floor(n * eval_fraction))
+        out_rows = []
+        if n_eval >= 1:
+            eval_idx = obs[n - n_eval:]
+            actual = x[eval_idx]
+            ew = _ewma_kernel(x, alpha, True, True)
+            lv, tr = _holt_kernel(x, alpha, beta)
+            _l, _t, _s, hw_fit, _st = _hw_kernel(x, period, alpha, beta, gamma)
+            # one-step-ahead: the PREVIOUS observation's state predicts this
+            # one; prev_obs[i] maps eval positions to their predecessor
+            pos = {int(i): k for k, i in enumerate(obs)}
+            preds = {
+                "ewma": np.array([ew[obs[pos[int(i)] - 1]] for i in eval_idx]),
+                "holt": np.array([lv[obs[pos[int(i)] - 1]]
+                                  + tr[obs[pos[int(i)] - 1]] for i in eval_idx]),
+                "hw": hw_fit[eval_idx],
+            }
+            for m in order:
+                err = np.abs(preds[m] - actual)
+                ok = ~np.isnan(err)
+                mae = float(err[ok].mean()) if ok.any() else None
+                out_rows.append((m, int(ok.sum()), mae))
+        best_m = None
+        cands = [(mae, order.index(m)) for m, ne, mae in out_rows
+                 if mae is not None]
+        if cands:
+            best_m = order[min(cands)[1]]
+        out = pd.DataFrame(out_rows, columns=["method", "n_eval", "mae"])
+        out["best"] = out["method"] == best_m if best_m else False
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        return out[[f.name for f in schema.fields]]
+
+    return per_series_map(points, per_series, schema, keys=keys)
