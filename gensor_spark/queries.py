@@ -889,6 +889,21 @@ def q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "step", _r6(F.col("yhat")).alias("yh"))
 
 
+def q_smoother_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin one-step-ahead backtest of the exponential family
+    (ewma/holt/hw, 24h season) — the model-selection verb: one (series,
+    method) row with MAE and a ``best`` flag. Registry entry outside the
+    driver window (sequential recurrences, not SQL-expressible);
+    hand-rolled-MAE parity at rtol 1e-12 and planted-regime selection are
+    pinned in tests/test_seriesstats.py."""
+    from gensor_spark.operators.seriesstats import smoother_backtest
+
+    out = smoother_backtest(_points(spark, sf_dir), period=24,
+                            eval_fraction=0.2)
+    return out.select("doc_id", "source", "method", "n_eval",
+                      _r6(F.col("mae")).alias("mae"), "best")
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """windowFunnel over the events table: max view→click→signup→purchase
     depth per user within a 6h window (operators/funnel.py). Registry entry
@@ -1723,6 +1738,7 @@ QUERIES["lttb_downsample"] = q_lttb_downsample
 QUERIES["holt_smooth"] = q_holt_smooth
 QUERIES["hw_smooth"] = q_hw_smooth
 QUERIES["hw_forecast"] = q_hw_forecast
+QUERIES["smoother_backtest"] = q_smoother_backtest
 QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["doc_active_span"] = q_doc_active_span
 QUERIES["event_funnel"] = q_event_funnel
