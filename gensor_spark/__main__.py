@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="also maintain exact-percentile histogram partials")
     ap.add_argument("--distinct-tiers", action="store_true",
                     help="also maintain HLL distinct-count sketch partials")
+    ap.add_argument("--topk-tiers", action="store_true",
+                    help="also maintain Misra-Gries top-k summary partials")
+    ap.add_argument("--topk-k", type=int, default=32,
+                    help="counters per Misra-Gries summary (with --topk-tiers)")
     args = ap.parse_args(argv)
 
     from gensor_spark.plans.incremental import TIERS, TierPipeline
@@ -55,7 +59,8 @@ def main(argv: list[str] | None = None) -> None:
 
     pipe = TierPipeline(spark, args.store, n_batches=args.batches,
                         tick_seconds=args.tick, hist_tiers=args.hist_tiers,
-                        distinct_tiers=args.distinct_tiers)
+                        distinct_tiers=args.distinct_tiers,
+                        topk_tiers=args.topk_tiers, topk_k=args.topk_k)
     stats = pipe.run(docs)
     result = {
         "stats": stats,
@@ -66,6 +71,8 @@ def main(argv: list[str] | None = None) -> None:
         result["hist_1h_bins"] = pipe.read_hist_quantiles("1h").count()
     if args.distinct_tiers:
         result["distinct_1h_bins"] = pipe.read_distinct("1h").count()
+    if args.topk_tiers:
+        result["topk_1h_rows"] = pipe.read_topk("1h").count()
     json.dump(result, sys.stdout)
     print()
 

@@ -13,6 +13,12 @@ from gensor_spark.operators.distinctrollup import (
     finalize_distinct,
     rollup_distinct,
 )
+from gensor_spark.operators.topkrollup import (
+    cascade_topk,
+    finalize_topk,
+    merge_topk,
+    rollup_topk,
+)
 from gensor_spark.operators.intervaljoin import (
     interval_join,
     interval_union_length,
@@ -93,6 +99,10 @@ __all__ = [
     "rollup_distinct",
     "cascade_distinct",
     "finalize_distinct",
+    "rollup_topk",
+    "cascade_topk",
+    "merge_topk",
+    "finalize_topk",
     "counter_rate",
     "seasonal_anomaly",
     "seasonal_decompose",

@@ -87,6 +87,9 @@ class TierPipeline:
         distinct_tiers: bool = False,
         distinct_of: str = "value",
         distinct_lgk: int = 12,
+        topk_tiers: bool = False,
+        topk_of: str = "value",
+        topk_k: int = 32,
     ) -> None:
         self.spark = spark
         self.store = Path(store_dir)
@@ -106,6 +109,8 @@ class TierPipeline:
             raise ValueError("hist_tiers requires the parquet backend")
         if distinct_tiers and backend != "parquet":
             raise ValueError("distinct_tiers requires the parquet backend")
+        if topk_tiers and backend != "parquet":
+            raise ValueError("topk_tiers requires the parquet backend")
         if backend == "iceberg":
             from gensor_spark.plans.iceberg_store import IcebergTierStore
 
@@ -143,6 +148,14 @@ class TierPipeline:
         self.distinct_tiers = distinct_tiers
         self.distinct_of = distinct_of
         self.distinct_lgk = distinct_lgk
+        #: also maintain 1m Misra-Gries top-k heavy-hitter summaries per
+        #: batch (operators/topkrollup.py) — the mergeable "which items
+        #: dominate each bin" state over unbounded item domains. Coarser
+        #: tiers cascade at read via the MG merge (``read_topk``), the
+        #: hist/distinct contract. Parquet backend only.
+        self.topk_tiers = topk_tiers
+        self.topk_of = topk_of
+        self.topk_k = topk_k
         #: batches in flight at once. Spark schedules concurrent jobs from
         #: driver threads task-by-task, so a second batch's heavy stages fill
         #: the slots the first batch leaves idle during its commit/small-stage
@@ -302,6 +315,9 @@ class TierPipeline:
         if self.distinct_tiers:
             counts["distinct_1m"] = self._store_distinct_batch(
                 docs_to_points(batch_docs, tick_seconds=self.tick_seconds), b)
+        if self.topk_tiers:
+            counts["topk_1m"] = self._store_topk_batch(
+                docs_to_points(batch_docs, tick_seconds=self.tick_seconds), b)
         self._lineage_row(
             {
                 "batch": b,
@@ -422,6 +438,8 @@ class TierPipeline:
             counts["hist_1m"] = self._store_hist_batch(pts, sid)
         if self.distinct_tiers:
             counts["distinct_1m"] = self._store_distinct_batch(pts, sid)
+        if self.topk_tiers:
+            counts["topk_1m"] = self._store_topk_batch(pts, sid)
         self._lineage_row(
             {
                 "batch": sid,
@@ -606,6 +624,49 @@ class TierPipeline:
             self._read_sketch_merged(
                 "distinct_1m", self._merge_distinct_fn, "distinct_tiers=True"),
             manifest=self._sketch_fold_manifest("distinct_1m"),
+        )
+
+    # ------------------------------------------- top-k (Misra-Gries) tiers
+
+    def _merge_topk_fn(self, raw: DataFrame) -> DataFrame:
+        from gensor_spark.operators.topkrollup import merge_topk
+
+        return merge_topk(raw, [*self.keys, "bin_ts"], k=self.topk_k)
+
+    def _store_topk_batch(self, points: DataFrame, sid: int) -> int:
+        """Write one contribution's 1m Misra-Gries top-k summaries."""
+        from gensor_spark.operators.topkrollup import rollup_topk
+
+        sk = rollup_topk(points, "1m", of=self.topk_of,
+                         keys=self.keys, k=self.topk_k)
+        return self._write_counted(
+            sk, str(self.store / "tier_topk_1m" / f"batch={sid}")
+        )
+
+    def read_topk(self, tier: str = "1h", top: int | None = None) -> DataFrame:
+        """Per-bin ranked heavy hitters at ``tier`` from the stored 1m
+        summaries — coarser tiers cascade at read via the MG merge
+        (certificate bounds preserved; operators/topkrollup.py), the same
+        bin-grain-only contract as ``read_distinct``."""
+        from gensor_spark.operators.topkrollup import (
+            cascade_topk,
+            finalize_topk,
+        )
+
+        merged = self._read_sketch_merged(
+            "topk_1m", self._merge_topk_fn, "topk_tiers=True")
+        if tier != "1m":
+            merged = cascade_topk(merged, tier, keys=self.keys, k=self.topk_k)
+        return finalize_topk(merged, top=top)
+
+    def compact_topk(self) -> None:
+        """Fold all top-k summary contributions into one (the hist
+        crash-safe rewrite protocol, fold manifest included)."""
+        self._rewrite_tier(
+            "topk_1m",
+            self._read_sketch_merged(
+                "topk_1m", self._merge_topk_fn, "topk_tiers=True"),
+            manifest=self._sketch_fold_manifest("topk_1m"),
         )
 
     # ------------------------------------------------------------------- read

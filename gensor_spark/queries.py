@@ -980,6 +980,28 @@ def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "bin_ts", F.col("n_distinct").alias("nd"))
 
 
+def q_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries top-k heavy-hitter tier (1h, cascaded through 1m
+    summaries, items = floor-quantized values) — registry entry outside
+    the driver window; pytest pins exact-regime equality vs DuckDB counts
+    plus the MG certificate bounds in the truncated regime
+    (tests/test_topkrollup.py)."""
+    from gensor_spark.operators.topkrollup import (
+        cascade_topk,
+        finalize_topk,
+        rollup_topk,
+    )
+
+    pts = _points(spark, sf_dir).withColumn(
+        "value", F.floor("value").cast("long"))
+    out = finalize_topk(
+        cascade_topk(rollup_topk(pts, "1m", k=16), "1h", k=16), top=3
+    ).filter(F.col("item").isNotNull())
+    return _fmt_bin(out).select(
+        "doc_id", "source", "bin_ts", "rank", "item", "cnt",
+        F.col("cnt_hi").alias("hi"))
+
+
 def q_pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PACF at lags 1..5 per series — registry entry outside the driver
     window (Durbin-Levinson recursion, not SQL-expressible); Yule-Walker
@@ -1746,6 +1768,7 @@ QUERIES["pacf_lags"] = q_pacf_lags
 from gensor_spark.queries_text import q_bpe_vocab  # noqa: E402 - tail entry
 QUERIES["bpe_vocab"] = q_bpe_vocab
 QUERIES["rollup_distinct"] = q_rollup_distinct
+QUERIES["rollup_topk"] = q_rollup_topk
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,
