@@ -565,23 +565,41 @@ class TierPipeline:
         self._rewrite_tier("hist_1m", self._read_hist_merged(),
                            manifest=manifest)
 
-    def apply_hist_retention(self, age: str, now) -> str:
-        """Drop 1m histogram bins older than ``now - age`` (compacting
-        rewrite, same crash protocol). Coarser percentile tiers are derived
-        at read, so the 1m horizon IS the percentile retention horizon.
-        Returns the ISO cutoff applied."""
+    def _apply_sketch_retention(self, name: str, merge_fn, hint: str,
+                                age: str, now) -> str:
+        """Shared sketch-tier retention: drop 1m bins older than
+        ``now - age`` (compacting rewrite, same crash protocol). Coarser
+        tiers of every sketch family are derived at read, so the 1m
+        horizon IS that family's retention horizon. Returns the ISO
+        cutoff applied."""
         import pandas as pd
 
         cutoff = (pd.Timestamp(now) - pd.Timedelta(age)).isoformat(sep=" ")
-        manifest = self._sketch_fold_manifest("hist_1m")
-        kept = self._read_hist_merged().filter(
+        manifest = self._sketch_fold_manifest(name)
+        kept = self._read_sketch_merged(name, merge_fn, hint).filter(
             F.col("bin_ts") >= F.lit(cutoff).cast("timestamp")
         )
         # retention is also a fold: every stream contribution dir is
         # absorbed (or expired) by the rewrite, so record them all
-        self._rewrite_tier("hist_1m", kept, manifest=manifest)
-        self._lineage_row({"retention": {"hist_1m": cutoff}})
+        self._rewrite_tier(name, kept, manifest=manifest)
+        self._lineage_row({"retention": {name: cutoff}})
         return cutoff
+
+    def apply_hist_retention(self, age: str, now) -> str:
+        """Drop 1m histogram bins older than ``now - age``."""
+        return self._apply_sketch_retention(
+            "hist_1m", self._merge_hist_fn, "hist_tiers=True", age, now)
+
+    def apply_distinct_retention(self, age: str, now) -> str:
+        """Drop 1m HLL distinct-sketch bins older than ``now - age``."""
+        return self._apply_sketch_retention(
+            "distinct_1m", self._merge_distinct_fn, "distinct_tiers=True",
+            age, now)
+
+    def apply_topk_retention(self, age: str, now) -> str:
+        """Drop 1m Misra-Gries summary bins older than ``now - age``."""
+        return self._apply_sketch_retention(
+            "topk_1m", self._merge_topk_fn, "topk_tiers=True", age, now)
 
     # ------------------------------------------------- distinct (HLL) tiers
 

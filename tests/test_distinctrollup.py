@@ -117,6 +117,46 @@ def test_pipeline_distinct_tiers(spark, tmp_path):
     assert _collect(pipe.read_distinct("1h")) == first
 
 
+def test_distinct_retention(spark, tmp_path):
+    """apply_distinct_retention: 1m bins older than the cutoff drop,
+    surviving estimates are bit-identical, and the retention fold absorbs
+    stream epochs so a replayed epoch afterwards is skipped (never
+    double-counted)."""
+    import pandas as pd
+
+    from gensor_spark.operators.points import docs_to_points
+    from gensor_spark.plans.incremental import TierPipeline
+    from gensor_spark.sources.synth import synth_docs
+    from gensor_spark.streaming.distinct_stream import make_distinct_sink
+
+    docs = synth_docs(spark, n_docs=60, seed=5, num_partitions=4)
+    store = str(tmp_path / "store")
+    pipe = TierPipeline(spark, store, n_batches=2, tick_seconds=60,
+                        distinct_tiers=True)
+    pipe.run(docs)
+    # one stream contribution too, so retention's fold has an epoch to absorb
+    sink = make_distinct_sink(store)
+    extra = docs_to_points(docs.limit(5), tick_seconds=60)
+    sink(extra, 9)
+
+    before = _collect(pipe.read_distinct("1h"))
+    bins = sorted({b for (_, _, b) in before})
+    mid = bins[len(bins) // 2]
+    now = bins[-1] + pd.Timedelta("1h")
+    cutoff = pipe.apply_distinct_retention(str(now - mid), now=now)
+    after = _collect(pipe.read_distinct("1h"))
+    cut = pd.Timestamp(cutoff)
+    assert all(b >= cut for (_, _, b) in after)
+    survivors = {k: v for k, v in before.items() if k[2] >= cut}
+    assert 0 < len(after) == len(survivors) < len(before)
+    assert after == survivors
+
+    # replay of the absorbed stream epoch: skipped, state unchanged
+    sink(extra, 9)
+    assert _collect(pipe.read_distinct("1h")) == after
+    assert not (tmp_path / "store" / "tier_distinct_1m" / "batch=s9").exists()
+
+
 def test_registry_rollup_distinct_runs(spark):
     from gensor_spark.queries import QUERIES
 

@@ -248,6 +248,47 @@ def test_pipeline_topk_tiers(spark, tmp_path):
     assert _by_bin(pipe.read_topk("1h")) == first
 
 
+def test_topk_retention(spark, tmp_path):
+    """apply_topk_retention: bins older than the cutoff drop, survivors
+    are bit-identical, and the retention fold absorbs stream epochs so a
+    replayed epoch after retention is skipped (never double-counted)."""
+    import pandas as pd
+
+    from gensor_spark.operators.points import docs_to_points
+    from gensor_spark.plans.incremental import TierPipeline
+    from gensor_spark.sources.synth import synth_docs
+    from gensor_spark.streaming.topk_stream import make_topk_sink
+
+    k = 64
+    docs = synth_docs(spark, n_docs=60, seed=5, vocab=32, num_partitions=4)
+    store = str(tmp_path / "store")
+    pipe = TierPipeline(spark, store, n_batches=2, tick_seconds=60,
+                        topk_tiers=True, topk_k=k)
+    pipe.run(docs)
+    # one stream contribution too, so retention's fold has an epoch to absorb
+    sink = make_topk_sink(store, k=k)
+    extra = docs_to_points(docs.limit(5), tick_seconds=60)
+    sink(extra, 9)
+
+    before = _by_bin(pipe.read_topk("1h"))
+    bins = sorted({b for (_, _, b) in before[0]})
+    mid = bins[len(bins) // 2]
+    now = bins[-1] + pd.Timedelta("1h")
+    cutoff = pipe.apply_topk_retention(str(now - mid), now=now)
+    after = _by_bin(pipe.read_topk("1h"))
+    cut = pd.Timestamp(cutoff)
+    assert all(b >= cut for (_, _, b) in after[0])
+    survivors = {key: v for key, v in before[0].items() if key[2] >= cut}
+    assert 0 < len(after[0]) == len(survivors) < len(before[0])
+    assert after[0] == survivors
+    assert {key: e for key, e in before[1].items() if key[2] >= cut} == after[1]
+
+    # replay of the absorbed stream epoch: skipped, state unchanged
+    sink(extra, 9)
+    assert _by_bin(pipe.read_topk("1h")) == after
+    assert not (tmp_path / "store" / "tier_topk_1m" / "batch=s9").exists()
+
+
 def test_registry_rollup_topk_runs(spark):
     from gensor_spark.queries import QUERIES
 
