@@ -48,6 +48,7 @@ from gensor_spark.operators.drift import (
 from gensor_spark.operators.dtw import dtw_pairs, paa_sketch
 from gensor_spark.operators.funnel import window_funnel
 from gensor_spark.operators.bpe import bpe_encode, bpe_train
+from gensor_spark.operators.retrieval import bm25_topk
 from gensor_spark.operators.histquantiles import (
     cascade_hist,
     merge_hist,
@@ -75,6 +76,7 @@ __all__ = [
     "finalize_tier",
     "asof_join",
     "contamination_stats",
+    "bm25_topk",
     "interval_join",
     "interval_union_length",
     "acf",

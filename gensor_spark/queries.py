@@ -1765,10 +1765,14 @@ QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["doc_active_span"] = q_doc_active_span
 QUERIES["event_funnel"] = q_event_funnel
 QUERIES["pacf_lags"] = q_pacf_lags
-from gensor_spark.queries_text import q_bpe_vocab  # noqa: E402 - tail entry
+from gensor_spark.queries_text import (  # noqa: E402 - tail entries
+    q_bm25_topk,
+    q_bpe_vocab,
+)
 QUERIES["bpe_vocab"] = q_bpe_vocab
 QUERIES["rollup_distinct"] = q_rollup_distinct
 QUERIES["rollup_topk"] = q_rollup_topk
+QUERIES["bm25_topk"] = q_bm25_topk
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

@@ -1235,6 +1235,29 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "rank int, left string, right string, corpus_tokens long")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-10 documents for a fixed deterministic
+    query set over the corpus (operators/retrieval.py — broadcast query-term
+    semi-join, salted two-phase per-query top-k, pure Catalyst).
+    Registered in the rows-only tail: the 50-slot oracle window is full; the
+    FULL BM25 formula (Lucene idf, length normalization, qtf weighting,
+    tie-break) is oracle-checked against DuckDB SQL in
+    tests/test_retrieval.py instead."""
+    from gensor_spark.operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    queries = spark.createDataFrame(
+        [("q0", "window hash join"),
+         ("q1", "merge merge batch"),
+         ("q2", "the spark data scan"),
+         ("q3", "customer line filter group")],
+        "query_id string, query_text string",
+    )
+    out = bm25_topk(docs, queries, k=10)
+    return out.select("query_id", "rank", "doc_id",
+                      _r6(F.col("score")).alias("score"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
