@@ -49,6 +49,7 @@ from gensor_spark.operators.dtw import dtw_pairs, paa_sketch
 from gensor_spark.operators.funnel import window_funnel
 from gensor_spark.operators.bpe import bpe_encode, bpe_train
 from gensor_spark.operators.retrieval import bm25_topk
+from gensor_spark.operators.pii import scrub_pii
 from gensor_spark.operators.histquantiles import (
     cascade_hist,
     merge_hist,
@@ -77,6 +78,7 @@ __all__ = [
     "asof_join",
     "contamination_stats",
     "bm25_topk",
+    "scrub_pii",
     "interval_join",
     "interval_union_length",
     "acf",

@@ -1258,6 +1258,35 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r6(F.col("score")).alias("score"))
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus with deterministically planted PII
+    (the synthetic corpus contains none): every 3rd doc gains an email,
+    every 5th an IPv4, every 7th a phone number, all derived from doc_id.
+    Registered in the rows-only tail (oracle window full); the DuckDB
+    exact-redacted-text oracle is pinned in tests/test_pii.py."""
+    from gensor_spark.operators.pii import scrub_pii
+
+    d = F.col("doc_id").cast("long")
+    planted = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(d % 3 == 0, F.concat(
+                F.lit(" reach user"), d, F.lit("@example.com"))
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.concat(
+                F.lit(" from 10.1."), (d % 200).cast("string"), F.lit(".7"))
+            ).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.concat(
+                F.lit(" dial +1 415 555-0"), (100 + d % 900).cast("string"))
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = scrub_pii(planted)
+    return out.select("doc_id", F.substring("text", -40, 40).alias("tail40"),
+                      "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
