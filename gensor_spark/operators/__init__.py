@@ -50,6 +50,7 @@ from gensor_spark.operators.funnel import window_funnel
 from gensor_spark.operators.bpe import bpe_encode, bpe_train
 from gensor_spark.operators.retrieval import bm25_topk
 from gensor_spark.operators.pii import scrub_pii
+from gensor_spark.operators.dsir import dsir_logweights, dsir_select
 from gensor_spark.operators.histquantiles import (
     cascade_hist,
     merge_hist,
@@ -79,6 +80,8 @@ __all__ = [
     "contamination_stats",
     "bm25_topk",
     "scrub_pii",
+    "dsir_logweights",
+    "dsir_select",
     "interval_join",
     "interval_union_length",
     "acf",

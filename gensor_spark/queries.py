@@ -1768,6 +1768,7 @@ QUERIES["pacf_lags"] = q_pacf_lags
 from gensor_spark.queries_text import (  # noqa: E402 - tail entries
     q_bm25_topk,
     q_bpe_vocab,
+    q_dsir_select,
     q_scrub_pii,
 )
 QUERIES["bpe_vocab"] = q_bpe_vocab
@@ -1775,6 +1776,7 @@ QUERIES["rollup_distinct"] = q_rollup_distinct
 QUERIES["rollup_topk"] = q_rollup_topk
 QUERIES["bm25_topk"] = q_bm25_topk
 QUERIES["scrub_pii"] = q_scrub_pii
+QUERIES["dsir_select"] = q_dsir_select
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

@@ -1287,6 +1287,22 @@ def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii")
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: treat the English slice as the target
+    distribution and select the 50 non-English-labelled raw docs that look
+    most target-like, Gumbel-sampled ∝ importance weight at a fixed seed
+    (operators/dsir.py). Registered in the rows-only tail (oracle window
+    full); the DuckDB full-pipeline oracle is pinned in tests/test_dsir.py."""
+    from gensor_spark.operators.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    raw = docs.where(F.col("lang") != "en")
+    out = dsir_select(raw, target, k=50, n_buckets=4096, seed=13)
+    return out.select("rank", "doc_id", _r6(F.col("logw")).alias("logw"),
+                      _r6(F.col("gumbel_key")).alias("gumbel_key"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
