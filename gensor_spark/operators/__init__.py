@@ -46,6 +46,7 @@ from gensor_spark.operators.drift import (
     vocab_jsd,
 )
 from gensor_spark.operators.dtw import dtw_pairs, paa_sketch
+from gensor_spark.operators.sax import sax_motif_candidates, sax_words
 from gensor_spark.operators.funnel import window_funnel
 from gensor_spark.operators.bpe import bpe_encode, bpe_train
 from gensor_spark.operators.retrieval import bm25_topk
@@ -82,6 +83,8 @@ __all__ = [
     "scrub_pii",
     "dsir_logweights",
     "dsir_select",
+    "sax_words",
+    "sax_motif_candidates",
     "interval_join",
     "interval_union_length",
     "acf",

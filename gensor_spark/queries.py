@@ -961,6 +961,28 @@ def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic words per series (operators/sax.py) — the linear-cost
+    shape index over the same top-coverage series set as dtw_pairs, plus
+    the word-grouped motif candidates count. Registry entry outside the
+    driver window (sequential PAA + symbol mapping is pinned against an
+    independent loop reference and the published breakpoint table in
+    tests/test_sax.py)."""
+    from gensor_spark.operators.sax import sax_words
+
+    pts = _points(spark, sf_dir)
+    sid = F.concat_ws("|", "doc_id", "source")
+    top = (
+        pts.groupBy(sid.alias("sid_k")).agg(F.count(F.lit(1)).alias("cov"))
+        .orderBy(F.desc("cov"), "sid_k").limit(100)
+    )
+    picked = pts.join(
+        F.broadcast(top.select("sid_k")), sid == F.col("sid_k"), "left_semi"
+    )
+    out = sax_words(picked, w=16, alphabet_size=4)
+    return out.select("sid", "n_points", "word")
+
+
 def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-value tier (1h, cascaded through 1m sketches) —
     registry entry outside the driver window; pytest pins the cascaded
@@ -1762,6 +1784,7 @@ QUERIES["hw_smooth"] = q_hw_smooth
 QUERIES["hw_forecast"] = q_hw_forecast
 QUERIES["smoother_backtest"] = q_smoother_backtest
 QUERIES["dtw_pairs"] = q_dtw_pairs
+QUERIES["sax_words"] = q_sax_words
 QUERIES["doc_active_span"] = q_doc_active_span
 QUERIES["event_funnel"] = q_event_funnel
 QUERIES["pacf_lags"] = q_pacf_lags
