@@ -101,3 +101,38 @@ def quality_weighted_sample(df: DataFrame, weight_col: str,
         ),
     )
     return df.filter(keep_hash(F.col(id_col), salt) < thresh)
+
+
+def stratified_exact_k(df: DataFrame, k: int, strata_col: str = "source",
+                       id_col: str = "doc_id", salt: str = "ek1",
+                       salts: int = 16) -> DataFrame:
+    """EXACTLY ``min(k, |stratum|)`` rows per stratum, uniform without
+    replacement, deterministic and seed-stable — the eval-set / held-out
+    construction primitive where a Bernoulli rate (``stratified_sample``)
+    cannot promise exact counts.
+
+    Selection ranks each stratum by the salted id hash (a pseudo-random
+    permutation of the stratum) and keeps the ``k`` smallest, so adding
+    unrelated strata or re-running never changes a stratum's picks, and
+    the DuckDB oracle reproduces the selection exactly.
+
+    Scale shape: the per-stratum rank is the salted TWO-PHASE top-k (the
+    bm25/retrieval pattern) — a partial cut per (stratum, hash-bucket)
+    bounds the final per-stratum sort to ``salts * k`` rows, so one hot
+    stratum with billions of rows cannot pin a single window task.
+    """
+    from pyspark.sql import Window
+
+    h = keep_hash(F.col(id_col), salt)
+    order = [h.asc(), F.col(id_col).asc()]
+    part = Window.partitionBy(
+        strata_col, F.pmod(md5int(F.col(id_col).cast("string")),
+                           F.lit(salts))).orderBy(*order)
+    final = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        df.withColumn("_pr", F.row_number().over(part))
+        .where(F.col("_pr") <= k)
+        .withColumn("_r", F.row_number().over(final))
+        .where(F.col("_r") <= k)
+        .drop("_pr", "_r")
+    )

@@ -723,9 +723,13 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min(1, n_chars/500)`` (the operator takes any per-row [0,1] score —
     a model score in production; the proxy keeps the oracle closed-form).
     Both decisions are row-local salted-hash Bernoulli draws: seed-stable,
-    no shuffle, engine-portable."""
+    no shuffle, engine-portable. ``method='exactk'`` (r4) —
+    ``sampling.stratified_exact_k``: EXACTLY 10 docs per source, uniform
+    without replacement via the salted-hash permutation rank (the eval-set
+    construction primitive a Bernoulli rate can't provide)."""
     from gensor_spark.operators.sampling import (
         quality_weighted_sample,
+        stratified_exact_k,
         stratified_sample_hash_rates,
     )
 
@@ -737,7 +741,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w", F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))),
         "w",
     ).select(F.lit("quality").alias("method"), "doc_id", "source")
-    return mix.unionByName(qw)
+    ek = stratified_exact_k(docs, k=10).select(
+        F.lit("exactk").alias("method"), "doc_id", "source")
+    return mix.unionByName(qw).unionByName(ek)
 
 
 # mirrors sampling.stratified_sample_hash_rates: keep-hash over 'mix1:<id>',
@@ -754,6 +760,14 @@ WHERE n_chars IS NOT NULL  -- least() skips NULLs in both engines: guard
   AND ({_md5int_sql("'qw1:' || doc_id::VARCHAR")} % 1000000)
     < least(1000000::BIGINT,
             round(least(1.0, n_chars / 500.0) * 1.0 * 1000000)::BIGINT)
+UNION ALL
+SELECT 'exactk' AS method, doc_id, source FROM (
+  SELECT doc_id, source, row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_md5int_sql("'ek1:' || doc_id::VARCHAR")} % 1000000,
+                    doc_id) AS r
+  FROM documents)
+WHERE r <= 10
 """
 
 

@@ -632,3 +632,56 @@ def test_semantic_dedup_max_cell_exempts(spark):
     assert out.filter("NOT kept").count() == 0
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(emb, threshold=0.0)
+
+
+def test_stratified_exact_k_counts_and_determinism(spark):
+    from gensor_spark.operators.sampling import stratified_exact_k
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+         .when(F.col("id") % 3 == 1, "b").otherwise("c").alias("source"),
+    )
+    out = stratified_exact_k(df, k=25).toPandas()
+    assert out.groupby("source").size().to_dict() == {"a": 25, "b": 25, "c": 25}
+    again = stratified_exact_k(df, k=25).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    # short stratum: takes everything it has, exactly once
+    tiny = df.where((F.col("source") != "c") | (F.col("doc_id") < 9))
+    t = stratified_exact_k(tiny, k=25).toPandas()
+    assert t[t.source == "c"].shape[0] == 3  # doc_ids 2,5,8
+    # monotone: a stratum's k=10 picks are a subset of its k=25 picks
+    small = set(stratified_exact_k(df, k=10).toPandas()["doc_id"])
+    assert small < set(out["doc_id"])
+
+
+def test_stratified_exact_k_matches_duckdb(spark):
+    import duckdb
+    from gensor_spark.operators.sampling import DENOM, stratified_exact_k
+
+    df = spark.range(0, 1200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("source"),
+    )
+    got = stratified_exact_k(df, k=40, salt="ek1").toPandas()
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    exp = con.execute(f"""
+        SELECT doc_id, source FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY source
+            ORDER BY ('0x' || substr(md5('ek1:' || doc_id), 1, 8))::BIGINT
+                     % {DENOM}, doc_id) AS r
+          FROM t) WHERE r <= 40
+    """).df()
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+
+
+def test_stratified_exact_k_salted_cut_is_invisible(spark):
+    from gensor_spark.operators.sampling import stratified_exact_k
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("only").alias("source"))
+    a = stratified_exact_k(df, k=20, salts=1).toPandas()
+    b = stratified_exact_k(df, k=20, salts=64).toPandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
