@@ -983,6 +983,24 @@ def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("sid", "n_points", "word")
 
 
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged time-series CV folds with a 15-minute embargo over the point
+    view (operators/cvsplit.py), reported as per-(fold, role) counts + time
+    bounds. Registry entry in the rows-only tail (oracle window full); the
+    DuckDB role-for-role oracle and the leakage invariants are pinned in
+    tests/test_cvsplit.py."""
+    from gensor_spark.operators.cvsplit import purged_time_folds
+
+    out = purged_time_folds(
+        _points(spark, sf_dir), n_folds=4, embargo_seconds=900.0,
+        keep_purged=True)
+    return out.groupBy("fold", "role").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
 def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-value tier (1h, cascaded through 1m sketches) —
     registry entry outside the driver window; pytest pins the cascaded
@@ -1785,6 +1803,7 @@ QUERIES["hw_forecast"] = q_hw_forecast
 QUERIES["smoother_backtest"] = q_smoother_backtest
 QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["sax_words"] = q_sax_words
+QUERIES["cv_folds"] = q_cv_folds
 QUERIES["doc_active_span"] = q_doc_active_span
 QUERIES["event_funnel"] = q_event_funnel
 QUERIES["pacf_lags"] = q_pacf_lags
