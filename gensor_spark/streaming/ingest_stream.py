@@ -1,4 +1,4 @@
-"""Composed streaming corpus ingestion: quality gate → mix → dedup → land.
+"""Composed streaming corpus ingestion: gate → [PII scrub] → mix → dedup → land.
 
 The batch corpus operators are pure Catalyst expressions, so they lift onto
 a streaming DataFrame unchanged — this module is the composition proof, the
@@ -50,9 +50,19 @@ def ingest_pipeline(docs: DataFrame, rates: dict[str, float],
                     watermark: str = "10 minutes",
                     min_chars: int = 20, min_alnum_ratio: float = 0.5,
                     min_stopword_ratio: float = 0.0,
-                    default_rate: float = 1.0) -> DataFrame:
-    """Gate → mix → dedup over a docs frame with columns
+                    default_rate: float = 1.0,
+                    scrub: bool = False,
+                    max_pii: int | None = None) -> DataFrame:
+    """Gate → [scrub] → mix → dedup over a docs frame with columns
     ``(doc_id, ts, text, source)``. Returns the surviving rows.
+
+    With ``scrub`` the PII redaction pass (operators/pii.scrub_pii) runs
+    between the gate and the mix — row-local and stateless, so it lifts
+    onto the streaming frame unchanged, and dedup sees REDACTED text (two
+    docs differing only in their PII become the duplicate they are). With
+    ``max_pii`` docs whose total redaction count exceeds the cap are
+    dropped (PII-density filter); the count columns are removed before
+    landing either way.
 
     Works on a streaming frame (watermark-bounded dedup state) AND on a
     plain batch frame — Spark rejects ``dropDuplicatesWithinWatermark`` in
@@ -63,6 +73,14 @@ def ingest_pipeline(docs: DataFrame, rates: dict[str, float],
         min_chars=min_chars, min_alnum_ratio=min_alnum_ratio,
         min_stopword_ratio=min_stopword_ratio,
     ))
+    if scrub or max_pii is not None:
+        from gensor_spark.operators.pii import PII_PATTERNS, scrub_pii
+
+        scrubbed = scrub_pii(gated)
+        if max_pii is not None:
+            scrubbed = scrubbed.filter(F.col("n_pii") <= max_pii)
+        gated = scrubbed.drop("n_pii",
+                              *[f"n_{k}" for k in PII_PATTERNS])
     mixed = stratified_sample(gated, rates, default_rate=default_rate)
     if not mixed.isStreaming:
         return (

@@ -84,3 +84,49 @@ def test_ingest_pipeline_batch_and_stream_agree_on_stateless_stages(spark):
         if r.source == "a" and r.h < int(0.4 * DENOM)
     }
     assert ids == expected and ids
+
+
+def test_ingest_pipeline_scrub_stage_batch(spark):
+    """scrub=True redacts between gate and mix, so dedup sees redacted
+    text: two docs differing only in their PII collapse to one survivor;
+    max_pii drops PII-dense docs before landing."""
+    base = "a perfectly reasonable document with plenty of clean words here"
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", base + " mail alice@example.com", "s"),
+         (1, "2024-01-01 00:00:10", base + " mail bob@example.org", "s"),
+         (2, "2024-01-01 00:00:20",
+          base + " a@x.io b@x.io c@x.io 1.2.3.4 5.6.7.8", "s"),
+         (3, "2024-01-01 00:00:30", base + " nothing private", "s")],
+        "doc_id long, ts_s string, text string, source string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "text", "source")
+    out = ingest_pipeline(df, rates={"s": 1.0}, scrub=True, max_pii=2)
+    rows = {r.doc_id: r.text for r in out.collect()}
+    # docs 0 and 1 redact to the identical text -> one survivor;
+    # doc 2 (5 redactions) dies at the max_pii cap; doc 3 unaffected
+    assert set(rows) == {0, 3} or set(rows) == {1, 3}
+    surviving = rows[0] if 0 in rows else rows[1]
+    assert surviving == base + " mail <PII:email>"
+    assert "n_pii" not in out.columns and "n_email" not in out.columns
+
+
+def test_ingest_pipeline_scrub_stage_streaming(spark, dirs):
+    """The scrub stage lifts onto the streaming frame unchanged and lands
+    redacted text."""
+    src, out = dirs
+    base = "a perfectly reasonable document with plenty of clean words here"
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", base + " ping 10.0.0.1 now", "s"),
+         (1, "2024-01-01 00:00:10", base + " all clear", "s")],
+        "doc_id long, ts_s string, text string, source string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "text", "source")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    survivors = ingest_pipeline(stream, rates={"s": 1.0}, scrub=True)
+    q = start_ingest_sink(survivors, out, trigger_once=True)
+    q.awaitTermination(120)
+    landed = {r.doc_id: r.text
+              for r in spark.read.parquet(f"{out}/data").collect()}
+    assert landed[0] == base + " ping <PII:ipv4> now"
+    assert landed[1] == base + " all clear"
