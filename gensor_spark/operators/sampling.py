@@ -105,16 +105,19 @@ def quality_weighted_sample(df: DataFrame, weight_col: str,
 
 def stratified_exact_k(df: DataFrame, k: int, strata_col: str = "source",
                        id_col: str = "doc_id", salt: str = "ek1",
-                       salts: int = 16) -> DataFrame:
-    """EXACTLY ``min(k, |stratum|)`` rows per stratum, uniform without
-    replacement, deterministic and seed-stable — the eval-set / held-out
-    construction primitive where a Bernoulli rate (``stratified_sample``)
-    cannot promise exact counts.
+                       salts: int = 16,
+                       order_col: str | None = None) -> DataFrame:
+    """EXACTLY ``min(k, |stratum|)`` rows per stratum, deterministic and
+    seed-stable — the eval-set / held-out construction primitive where a
+    Bernoulli rate (``stratified_sample``) cannot promise exact counts.
 
-    Selection ranks each stratum by the salted id hash (a pseudo-random
-    permutation of the stratum) and keeps the ``k`` smallest, so adding
+    Default selection ranks each stratum by the salted id hash (a
+    pseudo-random permutation → uniform without replacement), so adding
     unrelated strata or re-running never changes a stratum's picks, and
-    the DuckDB oracle reproduces the selection exactly.
+    the DuckDB oracle reproduces the selection exactly. With ``order_col``
+    the rank is by that column DESCENDING instead (hash as tie-break):
+    per-stratum quota with priority — "keep the N best-quality docs per
+    source".
 
     Scale shape: the per-stratum rank is the salted TWO-PHASE top-k (the
     bm25/retrieval pattern) — a partial cut per (stratum, hash-bucket)
@@ -124,7 +127,11 @@ def stratified_exact_k(df: DataFrame, k: int, strata_col: str = "source",
     from pyspark.sql import Window
 
     h = keep_hash(F.col(id_col), salt)
-    order = [h.asc(), F.col(id_col).asc()]
+    if order_col is None:
+        order = [h.asc(), F.col(id_col).asc()]
+    else:
+        order = [F.col(order_col).desc_nulls_last(), h.asc(),
+                 F.col(id_col).asc()]
     part = Window.partitionBy(
         strata_col, F.pmod(md5int(F.col(id_col).cast("string")),
                            F.lit(salts))).orderBy(*order)

@@ -685,3 +685,26 @@ def test_stratified_exact_k_salted_cut_is_invisible(spark):
     a = stratified_exact_k(df, k=20, salts=1).toPandas()
     b = stratified_exact_k(df, k=20, salts=64).toPandas()
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+
+
+def test_stratified_exact_k_priority_order(spark):
+    from gensor_spark.operators.sampling import stratified_exact_k
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+        (F.col("id") % 50).cast("double").alias("quality"),
+    )
+    # NULL quality must never be picked while non-null rows remain
+    df = df.withColumn("quality", F.when(
+        F.col("doc_id") < 4, F.lit(None)).otherwise(F.col("quality")))
+    out = stratified_exact_k(df, k=5, order_col="quality").toPandas()
+    assert out.groupby("source").size().to_dict() == {"a": 5, "b": 5}
+    # the 5 picks per stratum are exactly the max-quality rows (49,49,48,48,47
+    # per stratum by construction), none null
+    assert out["quality"].notna().all()
+    full = df.toPandas()
+    for src, grp in out.groupby("source"):
+        want = sorted(full[full.source == src]["quality"].dropna(),
+                      reverse=True)[:5]
+        assert sorted(grp["quality"], reverse=True) == want
