@@ -48,6 +48,7 @@ from gensor_spark.operators.drift import (
 from gensor_spark.operators.dtw import dtw_pairs, paa_sketch
 from gensor_spark.operators.sax import sax_motif_candidates, sax_words
 from gensor_spark.operators.cvsplit import purged_time_folds
+from gensor_spark.operators.pelt import pelt_changepoints
 from gensor_spark.operators.funnel import window_funnel
 from gensor_spark.operators.bpe import bpe_encode, bpe_train
 from gensor_spark.operators.retrieval import bm25_topk
@@ -87,6 +88,7 @@ __all__ = [
     "sax_words",
     "sax_motif_candidates",
     "purged_time_folds",
+    "pelt_changepoints",
     "interval_join",
     "interval_union_length",
     "acf",

@@ -1001,6 +1001,19 @@ def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pelt_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PELT optimal multi-changepoint segmentation per series
+    (operators/pelt.py) over the point view. Registry entry in the
+    rows-only tail (the pruned DP is not SQL-expressible); pruning
+    losslessness is pinned against an unpruned exhaustive DP in
+    tests/test_pelt.py (equality over 30 randomized trials)."""
+    from gensor_spark.operators.pelt import pelt_changepoints
+
+    out = pelt_changepoints(_points(spark, sf_dir), penalty=25.0)
+    return out.select("doc_id", "source", "cp_index", "cp_seq",
+                      "n_segments", _r6(F.col("total_cost")).alias("cost"))
+
+
 def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-value tier (1h, cascaded through 1m sketches) —
     registry entry outside the driver window; pytest pins the cascaded
@@ -1804,6 +1817,7 @@ QUERIES["smoother_backtest"] = q_smoother_backtest
 QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["sax_words"] = q_sax_words
 QUERIES["cv_folds"] = q_cv_folds
+QUERIES["pelt_changepoints"] = q_pelt_changepoints
 QUERIES["doc_active_span"] = q_doc_active_span
 QUERIES["event_funnel"] = q_event_funnel
 QUERIES["pacf_lags"] = q_pacf_lags
