@@ -176,7 +176,8 @@ def holt_smooth(
 
 
 def _hw_kernel(
-    x: np.ndarray, period: int, alpha: float, beta: float, gamma: float
+    x: np.ndarray, period: int, alpha: float, beta: float, gamma: float,
+    mode: str = "add",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Holt-Winters additive (triple exponential) smoothing, per series:
 
@@ -202,6 +203,15 @@ def _hw_kernel(
     observations carry their init season and NaN level/trend/fit.
     ``state`` is (l, b, s_ring, next_j) after the last observation — the
     forecasting seed (None for a too-short series).
+
+    ``mode='mul'`` runs the multiplicative form (Hyndman & Athanasopoulos
+    §8.3): seasonal RATIOS instead of offsets —
+    ``l_t = alpha·(x_t/s_{t−m}) + …``, ``s_t = gamma·(x_t/(l+b)) + …``,
+    ``fit_t = (l_{t−1}+b_{t−1})·s_{t−m}`` — with ratio initialization
+    ``s_i = x_i / trendline_i``. The exactness invariant becomes: a pure
+    trend-free ``a·s_{t mod m}`` series (mean-1 season) is recovered
+    exactly from t = m on. Multiplicative HW is undefined on non-positive
+    values: a series with any x ≤ 0 returns all-NaN (mask-don't-crash).
     """
     n = len(x)
     level = np.full(n, np.nan)
@@ -213,19 +223,32 @@ def _hw_kernel(
     if len(obs) < 2 * m:
         return level, trend, season, fit, None
     xc = x[obs]
+    if mode == "mul" and (xc <= 0).any():
+        # multiplicative HW is undefined on non-positive observations
+        # (statsmodels raises); the engine convention is mask-don't-crash
+        return level, trend, season, fit, None
     b0 = (xc[m:2 * m].mean() - xc[:m].mean()) / m
     l = xc[:m].mean() + b0 * (m - 1) / 2.0
     b = b0
-    s = xc[:m] - (l - (m - 1 - np.arange(m)) * b0)
+    if mode == "mul":
+        s = xc[:m] / (l - (m - 1 - np.arange(m)) * b0)
+    else:
+        s = xc[:m] - (l - (m - 1 - np.arange(m)) * b0)
     season[obs[:m]] = s
     for j in range(m, len(xc)):
         i = obs[j]
         sj = s[j % m]
-        fit[i] = l + b + sj
         prev_l, prev_b = l, b
-        l = alpha * (xc[j] - sj) + (1 - alpha) * (l + b)
-        b = beta * (l - prev_l) + (1 - beta) * b
-        s[j % m] = gamma * (xc[j] - prev_l - prev_b) + (1 - gamma) * sj
+        if mode == "mul":
+            fit[i] = (l + b) * sj
+            l = alpha * (xc[j] / sj) + (1 - alpha) * (l + b)
+            b = beta * (l - prev_l) + (1 - beta) * b
+            s[j % m] = gamma * (xc[j] / (prev_l + prev_b)) + (1 - gamma) * sj
+        else:
+            fit[i] = l + b + sj
+            l = alpha * (xc[j] - sj) + (1 - alpha) * (l + b)
+            b = beta * (l - prev_l) + (1 - beta) * b
+            s[j % m] = gamma * (xc[j] - prev_l - prev_b) + (1 - gamma) * sj
         level[i] = l
         trend[i] = b
         season[i] = s[j % m]
@@ -240,6 +263,7 @@ def hw_smooth(
     gamma: float = 0.3,
     keys: tuple[str, ...] = KEYS,
     value_col: str = "value",
+    mode: str = "add",
 ) -> DataFrame:
     """Holt-Winters additive (triple exponential) smoothing per series —
     completes the exponential family: ``ewma`` (level), ``holt_smooth``
@@ -261,6 +285,8 @@ def hw_smooth(
     """
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
+    if mode not in ("add", "mul"):
+        raise ValueError(f"mode must be 'add' or 'mul', got {mode!r}")
     for p, name in ((alpha, "alpha"), (beta, "beta"), (gamma, "gamma")):
         if not 0.0 < p <= 1.0:
             raise ValueError(f"{name} must be in (0, 1]")
@@ -278,7 +304,8 @@ def hw_smooth(
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         out = pdf.reset_index(drop=True)
         lv, tr, se, ft, _state = _hw_kernel(
-            out[value_col].to_numpy(dtype=float), period, alpha, beta, gamma
+            out[value_col].to_numpy(dtype=float), period, alpha, beta, gamma,
+            mode=mode,
         )
         out["level"] = lv
         out["trend"] = tr
@@ -299,6 +326,7 @@ def hw_forecast(
     keys: tuple[str, ...] = KEYS,
     value_col: str = "value",
     ts_col: str = "ts",
+    mode: str = "add",
 ) -> DataFrame:
     """h-step-ahead Holt-Winters forecast per series:
     ``yhat_k = l + k·b + s[(j+k−1) mod m]`` from the state after the last
@@ -320,6 +348,8 @@ def hw_forecast(
         raise ValueError(f"horizon must be >= 1, got {horizon}")
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
+    if mode not in ("add", "mul"):
+        raise ValueError(f"mode must be 'add' or 'mul', got {mode!r}")
     for p, name in ((alpha, "alpha"), (beta, "beta"), (gamma, "gamma")):
         if not 0.0 < p <= 1.0:
             raise ValueError(f"{name} must be in (0, 1]")
@@ -334,7 +364,7 @@ def hw_forecast(
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].to_numpy(dtype=float)
-        *_arrs, state = _hw_kernel(x, period, alpha, beta, gamma)
+        *_arrs, state = _hw_kernel(x, period, alpha, beta, gamma, mode=mode)
         # too-short series: emit zero rows, with the same (Arrow-safe)
         # dtypes the populated path produces
         h = 0 if state is None else horizon
@@ -344,8 +374,12 @@ def hw_forecast(
         })
         if h:
             l, b, s, j = state
-            out["yhat"] = [l + k * b + s[(j + k - 1) % period]
-                           for k in range(1, h + 1)]
+            if mode == "mul":
+                out["yhat"] = [(l + k * b) * s[(j + k - 1) % period]
+                               for k in range(1, h + 1)]
+            else:
+                out["yhat"] = [l + k * b + s[(j + k - 1) % period]
+                               for k in range(1, h + 1)]
         for k in keys:
             out[k] = pdf[k].iloc[:1].repeat(h).reset_index(drop=True)
         obs_ts = pdf.loc[~pd.isna(pdf[value_col]), ts_col]

@@ -1307,3 +1307,85 @@ def test_backtest_short_series_hw_masks(spark):
     assert got.loc["holt", "mae"] == pytest.approx(0.0, abs=1e-12)  # exact ramp
     with pytest.raises(ValueError, match="eval_fraction"):
         smoother_backtest(df, period=4, eval_fraction=1.5)
+
+
+def test_hw_multiplicative_exact_on_pure_seasonal(spark):
+    """Trend-free a·s_t (mean-1 season) is recovered exactly from t=m on;
+    the forecast continues it exactly for every step."""
+    import numpy as np
+    import pandas as pd
+    from gensor_spark.operators.seriesstats import hw_forecast, hw_smooth
+
+    m, a = 4, 50.0
+    s_prof = np.array([1.3, 0.7, 1.1, 0.9])  # mean exactly 1
+    n = 40
+    vals = a * s_prof[np.arange(n) % m]
+    pdf = pd.DataFrame({
+        "doc_id": "d0", "source": "s", "seq": np.arange(n),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="h", tz="UTC"),
+        "value": vals,
+    })
+    df = spark.createDataFrame(pdf)
+    out = hw_smooth(df, period=m, mode="mul").orderBy("seq").toPandas()
+    fit = out["hw_fit"].to_numpy()
+    assert np.isnan(fit[:m]).all()
+    assert np.allclose(fit[m:], vals[m:], rtol=0, atol=1e-9)
+    fc = hw_forecast(df, period=m, horizon=8, mode="mul") \
+        .orderBy("step").toPandas()
+    want = a * s_prof[(np.arange(n, n + 8)) % m]
+    assert np.allclose(fc["yhat"], want, atol=1e-9)
+
+
+def test_hw_multiplicative_matches_loop_reference(spark):
+    """Independent loop reference on a noisy trended multiplicative series."""
+    import numpy as np
+    import pandas as pd
+    from gensor_spark.operators.seriesstats import hw_smooth
+
+    rng = np.random.default_rng(21)
+    m, n = 6, 60
+    al, be, ga = 0.4, 0.2, 0.3
+    vals = (20 + 0.5 * np.arange(n)) * (1 + 0.2 * np.sin(
+        2 * np.pi * np.arange(n) / m)) + rng.uniform(0.1, 0.5, n)
+    # reference
+    b0 = (vals[m:2 * m].mean() - vals[:m].mean()) / m
+    l = vals[:m].mean() + b0 * (m - 1) / 2
+    b = b0
+    sring = list(vals[:m] / (l - (m - 1 - np.arange(m)) * b0))
+    ref_fit = [np.nan] * m
+    for j in range(m, n):
+        sj = sring[j % m]
+        ref_fit.append((l + b) * sj)
+        pl, pb = l, b
+        l = al * (vals[j] / sj) + (1 - al) * (l + b)
+        b = be * (l - pl) + (1 - be) * b
+        sring[j % m] = ga * (vals[j] / (pl + pb)) + (1 - ga) * sj
+    pdf = pd.DataFrame({
+        "doc_id": "d0", "source": "s", "seq": np.arange(n),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="h", tz="UTC"),
+        "value": vals,
+    })
+    out = hw_smooth(spark.createDataFrame(pdf), period=m,
+                    alpha=al, beta=be, gamma=ga, mode="mul") \
+        .orderBy("seq").toPandas()
+    got = out["hw_fit"].to_numpy()
+    assert np.allclose(got[m:], ref_fit[m:], rtol=1e-12)
+
+
+def test_hw_multiplicative_nonpositive_masks(spark):
+    import numpy as np
+    import pandas as pd
+    from gensor_spark.operators.seriesstats import hw_smooth
+
+    n = 30
+    pdf = pd.DataFrame({
+        "doc_id": "d0", "source": "s", "seq": np.arange(n),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="h", tz="UTC"),
+        "value": np.r_[np.full(10, 5.0), [0.0], np.full(n - 11, 5.0)],
+    })
+    out = hw_smooth(spark.createDataFrame(pdf), period=4, mode="mul") \
+        .toPandas()
+    assert out["hw_fit"].isna().all() and out["level"].isna().all()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hw_smooth(spark.createDataFrame(pdf), period=4, mode="bogus")
