@@ -1826,6 +1826,7 @@ from gensor_spark.queries_text import (  # noqa: E402 - tail entries
     q_bpe_vocab,
     q_dsir_select,
     q_scrub_pii,
+    q_span_dedup,
 )
 QUERIES["bpe_vocab"] = q_bpe_vocab
 QUERIES["rollup_distinct"] = q_rollup_distinct
@@ -1833,6 +1834,7 @@ QUERIES["rollup_topk"] = q_rollup_topk
 QUERIES["bm25_topk"] = q_bm25_topk
 QUERIES["scrub_pii"] = q_scrub_pii
 QUERIES["dsir_select"] = q_dsir_select
+QUERIES["span_dedup"] = q_span_dedup
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

@@ -1317,6 +1317,35 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r6(F.col("gumbel_key")).alias("gumbel_key"))
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022 ExactSubstr, k-gram
+    formulation) ON the north-star token shape ``(doc_id, tokens
+    array<int>)``: text tokenized to synthetic int ids (the
+    token_repetition adapter), then every token covered by a
+    corpus-duplicated 8-gram is trimmed from ALL copies
+    (operators/spandedup.py). Registered in the rows-only tail (oracle
+    window full); the DuckDB full-pipeline oracle incl. maximal-run
+    exactness is pinned in tests/test_spandedup.py."""
+    from gensor_spark.operators.spandedup import trim_duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    ids = F.transform(
+        T.tokens(F.col("text")),
+        lambda t: (T.md5int(t) % _TOKREP_VOCAB).cast("int"),
+    )
+    tok_tbl = docs.select("doc_id", ids.alias("tokens"))
+    out = trim_duplicate_spans(tok_tbl, k=8)
+    # compact grain for the driver: per-doc trim accounting + a positional
+    # checksum of the surviving ids (full arrays stay pytest-pinned)
+    chk = F.when(F.size("tokens") > 0, F.aggregate(
+        F.zip_with(F.col("tokens"),
+                   F.sequence(F.lit(1), F.size("tokens")),
+                   lambda t, i: t.cast("long") * i),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )).otherwise(F.lit(0).cast("long"))  # sequence(1, 0) DESCENDS: guard
+    return out.select("doc_id", "n_tok", "n_removed", chk.alias("checksum"))
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
