@@ -152,6 +152,24 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def token_entropy(toks: Column) -> Column:
+    """Shannon entropy (nats) of the doc's unigram token distribution —
+    a standard quality-classifier feature (low entropy = repetitive /
+    keyword-stuffed text). Row-local: O(n·distinct) per doc via a fold
+    over the distinct-token array; empty docs yield 0.0. Bounded work for
+    quality-sized documents; for million-token sequences use the exploded
+    aggregation in operators/quality.py instead.
+    """
+    n = F.size(toks).cast("double")
+    return F.when(F.size(toks) > 0, -F.aggregate(
+        F.array_distinct(toks), F.lit(0.0),
+        lambda acc, u: acc + (
+            F.size(F.filter(toks, lambda x: x == u)).cast("double") / n
+        ) * F.log(
+            F.size(F.filter(toks, lambda x: x == u)).cast("double") / n),
+    )).otherwise(F.lit(0.0))
+
+
 def doc_fingerprint(text: Column, k: int = 5) -> Column:
     """Rolling-hash document fingerprint: min 32-bit hash over k-shingles.
 

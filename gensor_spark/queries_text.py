@@ -572,6 +572,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(feats["digit_ratio"]).alias("digit_ratio"),
         _r6(feats["stopword_ratio"]).alias("stopword_ratio"),
         _r6(feats["mean_token_len"]).alias("mean_token_len"),
+        _r6(T.token_entropy(T.tokens(F.col("text")))).alias("entropy"),
     )
 
 
@@ -598,7 +599,12 @@ SELECT doc_id, lang,
        round(len(list_filter(toks, x -> list_contains([{en_stop}], x)))::DOUBLE
              / greatest(len(toks), 1) + 1e-9, 6) AS stopword_ratio,
        round(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
-             / greatest(len(toks), 1) + 1e-9, 6) AS mean_token_len
+             / greatest(len(toks), 1) + 1e-9, 6) AS mean_token_len,
+       round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         -list_sum(list_transform(list_distinct(toks),
+            u -> (len(list_filter(toks, x -> x = u))::DOUBLE / len(toks))
+                 * ln(len(list_filter(toks, x -> x = u))::DOUBLE / len(toks))))
+       END + 1e-9, 6) AS entropy
 FROM sc
 """
 

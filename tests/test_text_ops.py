@@ -255,3 +255,23 @@ def test_doc_fingerprint_per_doc_matches_duckdb(spark):
     want = dict(con.execute(SQL_DOC_FINGERPRINT).fetchall())
     assert len(got) == len(want) > 0
     assert got == want
+
+
+def test_token_entropy_matches_closed_form(spark):
+    import math
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("uniform", ["a", "b", "c", "d"]),
+         ("repeat", ["a", "a", "a", "a"]),
+         ("mixed", ["a", "a", "b", "c"]),
+         ("single", ["z"]),
+         ("empty", [])],
+        "doc_id string, toks array<string>")
+    got = {r.doc_id: r.h for r in df.select(
+        "doc_id", T.token_entropy(F.col("toks")).alias("h")).collect()}
+    assert abs(got["uniform"] - math.log(4)) < 1e-12
+    assert got["repeat"] == 0.0 and got["single"] == 0.0
+    want = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert abs(got["mixed"] - want) < 1e-12
+    assert got["empty"] == 0.0
