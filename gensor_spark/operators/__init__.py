@@ -37,6 +37,7 @@ from gensor_spark.operators.seriesstats import (
     pacf,
     seasonal_anomaly,
     seasonal_decompose,
+    rolling_corr,
     series_corr,
     smoother_backtest,
 )

@@ -1217,3 +1217,74 @@ def smoother_backtest(
         return out[[f.name for f in schema.fields]]
 
     return per_series_map(points, per_series, schema, keys=keys)
+
+
+def rolling_corr(
+    points: DataFrame,
+    pairs: list[tuple[str, str]],
+    window: int = 24,
+    bin: str = "hour",
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    min_periods: int = 3,
+) -> DataFrame:
+    """Rolling Pearson correlation between NAMED series pairs over trailing
+    ``window`` bins — the time-RESOLVED companion of ``series_corr`` (one
+    number per pair): when did two series couple or decouple?
+
+    ``pairs`` is an explicit sid-pair list ('|'-joined key values, the
+    series_corr convention): rolling output is per (pair, bin) — a rolling
+    all-pairs sweep would be rows × pairs and belongs upstream (run
+    ``series_corr`` first, feed its interesting pairs here).
+
+    Plan: bin means (ONE corpus shuffle, map-side partial) → inner join of
+    the two legs on the bin (pairs list is a broadcast literal filter, so
+    only named series survive the scan) → the five rolling sums (Σx, Σy,
+    Σxy, Σx², Σy², n) over ONE trailing ROWS frame per pair — a single
+    window Exchange on the pair key — and the textbook corr formula in-row.
+    Bins where either leg is missing are absent (inner join): the frame is
+    "last ``window`` co-observed bins", matching pandas
+    ``s1.rolling(w).corr(s2)`` on the inner-aligned frame. Zero-variance
+    windows yield NULL (mask-don't-crash).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    sid = F.concat_ws("|", *[F.col(k) for k in keys])
+    wanted = {s for p in pairs for s in p}
+    binned = (
+        points.withColumn("sid", sid)
+        .where(F.col("sid").isin(*wanted))
+        .withColumn("bin_ts", F.date_trunc(bin, F.col(ts_col)))
+        .groupBy("sid", "bin_ts")
+        .agg(F.avg(value_col).alias("v"))
+    )
+    pair_lit = F.array(*[
+        F.struct(F.lit(a).alias("sid_a"), F.lit(b).alias("sid_b"))
+        for a, b in pairs
+    ])
+    pair_df = (points.sparkSession.range(1)
+               .select(F.explode(pair_lit).alias("p"))
+               .select("p.sid_a", "p.sid_b"))
+    a = binned.select(F.col("sid").alias("sid_a"), "bin_ts",
+                      F.col("v").alias("x"))
+    b = binned.select(F.col("sid").alias("sid_b"), "bin_ts",
+                      F.col("v").alias("y"))
+    j = (F.broadcast(pair_df).join(a, "sid_a").join(b, ["sid_b", "bin_ts"]))
+    frame = (W.partitionBy("sid_a", "sid_b").orderBy("bin_ts")
+             .rowsBetween(-(window - 1), 0))
+    n = F.count(F.lit(1)).over(frame).cast("double")
+    sx = F.sum("x").over(frame)
+    sy = F.sum("y").over(frame)
+    sxy = F.sum(F.col("x") * F.col("y")).over(frame)
+    sxx = F.sum(F.col("x") * F.col("x")).over(frame)
+    syy = F.sum(F.col("y") * F.col("y")).over(frame)
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    r = F.when((n >= min_periods) & (vx > 0) & (vy > 0),
+               cov / F.sqrt(vx * vy))
+    return j.select("sid_a", "sid_b", "bin_ts",
+                    n.cast("int").alias("n_window"), r.alias("r"))

@@ -1389,3 +1389,85 @@ def test_hw_multiplicative_nonpositive_masks(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         hw_smooth(spark.createDataFrame(pdf), period=4, mode="bogus")
+
+
+def test_rolling_corr_matches_pandas_and_duckdb(spark):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from gensor_spark.operators.seriesstats import rolling_corr
+
+    rng = np.random.default_rng(12)
+    n = 120
+    ts = pd.date_range("2024-01-01", periods=n, freq="h", tz="UTC")
+    base = rng.normal(0, 1, n)
+    rows = []
+    for doc, vals in (("x", base + rng.normal(0, 0.2, n)),
+                      ("y", base + rng.normal(0, 0.2, n)),
+                      ("z", rng.normal(0, 1, n))):
+        for t, v in zip(ts, vals):
+            rows.append((doc, "s", t, float(v)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "ts", "value"])
+    # y drops some hours: tests the co-observed-bins frame
+    pdf = pdf[~((pdf.doc_id == "y") & (pdf.ts.dt.hour % 7 == 3))]
+    df = spark.createDataFrame(pdf)
+    W = 12
+    got = (rolling_corr(df, pairs=[("x|s", "y|s"), ("x|s", "z|s")],
+                        window=W, bin="hour")
+           .orderBy("sid_a", "sid_b", "bin_ts").toPandas())
+    # pandas reference on the inner-aligned frame
+    wide = pdf.pivot_table(index="ts", columns="doc_id", values="value")
+    for pa, pb in (("x", "y"), ("x", "z")):
+        al = wide[[pa, pb]].dropna()
+        ref = al[pa].rolling(W, min_periods=3).corr(al[pb])
+        mine = got[(got.sid_a == f"{pa}|s") & (got.sid_b == f"{pb}|s")]
+        assert len(mine) == len(al)
+        m = mine["r"].to_numpy(dtype=float)
+        rr = ref.to_numpy(dtype=float)
+        mask = ~np.isnan(rr)
+        assert np.allclose(m[mask], rr[mask], atol=1e-9)
+        assert np.isnan(m[~mask]).all()
+    # DuckDB oracle for one pair
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.execute(f"""
+        WITH b AS (SELECT doc_id || '|' || source AS sid,
+                          date_trunc('hour', ts) AS bin_ts,
+                          avg(value) AS v
+                   FROM t GROUP BY 1, 2),
+        j AS (SELECT a.bin_ts, a.v AS x, c.v AS y
+              FROM b a JOIN b c USING (bin_ts)
+              WHERE a.sid = 'x|s' AND c.sid = 'y|s'),
+        w AS (SELECT bin_ts,
+               count(*) OVER win AS n, sum(x) OVER win AS sx,
+               sum(y) OVER win AS sy, sum(x*y) OVER win AS sxy,
+               sum(x*x) OVER win AS sxx, sum(y*y) OVER win AS syy
+              FROM j WINDOW win AS (ORDER BY bin_ts
+                     ROWS BETWEEN {W - 1} PRECEDING AND CURRENT ROW))
+        SELECT bin_ts,
+               CASE WHEN n >= 3 AND (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+                    THEN (sxy - sx*sy/n)
+                         / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) END AS r
+        FROM w ORDER BY bin_ts
+    """).df()
+    mine = got[(got.sid_a == "x|s") & (got.sid_b == "y|s")]
+    m, e = mine["r"].to_numpy(float), exp["r"].to_numpy(float)
+    mask = ~np.isnan(e)
+    assert np.allclose(m[mask], e[mask], atol=1e-12)
+    assert np.isnan(m[~mask]).all()
+    # the correlated pair reads high, the independent pair low, post-warmup
+    hi = got[(got.sid_b == "y|s")]["r"].dropna().tail(50).mean()
+    lo = got[(got.sid_b == "z|s")]["r"].dropna().tail(50).abs().mean()
+    assert hi > 0.8 and lo < 0.5
+
+
+def test_rolling_corr_validation(spark):
+    import pytest as _pt
+    from gensor_spark.operators.seriesstats import rolling_corr
+
+    df = spark.createDataFrame([], "doc_id string, source string, ts timestamp, value double")
+    with _pt.raises(ValueError):
+        rolling_corr(df, pairs=[("a", "b")], window=1)
+    with _pt.raises(ValueError):
+        rolling_corr(df, pairs=[])
