@@ -1014,6 +1014,23 @@ def q_pelt_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_segments", _r6(F.col("total_cost")).alias("cost"))
 
 
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling pairwise correlation over trailing 24 co-observed hourly
+    bins, between the two highest-coverage series (deterministic pick) —
+    the time-resolved companion of series_corr. Rows-only tail (window
+    full); pandas + DuckDB window-SQL oracles in tests/test_seriesstats.py."""
+    from gensor_spark.operators.seriesstats import rolling_corr
+
+    pts = _points(spark, sf_dir)
+    sid = F.concat_ws("|", "doc_id", "source")
+    top = [r.sid_k for r in (
+        pts.groupBy(sid.alias("sid_k")).agg(F.count(F.lit(1)).alias("cov"))
+        .orderBy(F.desc("cov"), "sid_k").limit(2).collect())]
+    out = rolling_corr(pts, pairs=[(top[0], top[1])], window=24, bin="hour")
+    return out.select("sid_a", "sid_b", "bin_ts", "n_window",
+                      _r6(F.col("r")).alias("r"))
+
+
 def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-value tier (1h, cascaded through 1m sketches) —
     registry entry outside the driver window; pytest pins the cascaded
@@ -1835,6 +1852,7 @@ QUERIES["bm25_topk"] = q_bm25_topk
 QUERIES["scrub_pii"] = q_scrub_pii
 QUERIES["dsir_select"] = q_dsir_select
 QUERIES["span_dedup"] = q_span_dedup
+QUERIES["rolling_corr"] = q_rolling_corr
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,
