@@ -310,6 +310,14 @@ class Dataset:
                              F.col("seq").cast("double")).alias("intercept"),
         )
 
+    def time_weighted(self, freq: str = "1h") -> DataFrame:
+        """Time-weighted per-bin averages (TimescaleDB ``time_weight``
+        semantics, LOCF + trapezoidal) — the irregular-sampling-correct
+        sibling of ``resample(freq, 'mean')``."""
+        from gensor_spark.operators.twa import time_weighted_avg
+
+        return time_weighted_avg(self.df, freq, keys=self.keys)
+
     def ewma(self, alpha: float = 0.3, adjust: bool = True,
              ignore_na: bool = False) -> "Dataset":
         """Exponentially-weighted smoothing (pandas ``.ewm().mean()`` exact);

@@ -52,6 +52,7 @@ from gensor_spark.operators.cvsplit import purged_time_folds
 from gensor_spark.operators.pelt import pelt_changepoints
 from gensor_spark.operators.spandedup import trim_duplicate_spans
 from gensor_spark.operators.funnel import window_funnel
+from gensor_spark.operators.twa import time_weighted_avg
 from gensor_spark.operators.bpe import bpe_encode, bpe_train
 from gensor_spark.operators.retrieval import bm25_topk
 from gensor_spark.operators.pii import scrub_pii
@@ -105,6 +106,7 @@ __all__ = [
     "psi_vs_reference",
     "vocab_jsd",
     "window_funnel",
+    "time_weighted_avg",
     "bpe_train",
     "bpe_encode",
     "dtw_pairs",

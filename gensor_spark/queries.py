@@ -1031,6 +1031,24 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _r6(F.col("r")).alias("r"))
 
 
+def q_twa_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted hourly averages over the irregular events table
+    (operators/twa.py): LOCF + trapezoidal integrals clipped to bins, the
+    `time_weight` semantics plain mean gets wrong on bursty sampling.
+    Rows-only tail (window full); full-strength DuckDB window-SQL oracle +
+    an independent loop-wise integral reference in tests/test_twa.py."""
+    from gensor_spark.operators.twa import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = time_weighted_avg(ev, "1h", keys=("user_id",))
+    return out.select(
+        "user_id", "bin_ts",
+        _r6(F.col("covered_s")).alias("covered_s"),
+        _r6(F.col("twa_locf")).alias("twa_locf"),
+        _r6(F.col("twa_linear")).alias("twa_linear"),
+    )
+
+
 def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-value tier (1h, cascaded through 1m sketches) —
     registry entry outside the driver window; pytest pins the cascaded
@@ -1853,6 +1871,7 @@ QUERIES["scrub_pii"] = q_scrub_pii
 QUERIES["dsir_select"] = q_dsir_select
 QUERIES["span_dedup"] = q_span_dedup
 QUERIES["rolling_corr"] = q_rolling_corr
+QUERIES["twa_rollup"] = q_twa_rollup
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,
