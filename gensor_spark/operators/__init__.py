@@ -8,6 +8,10 @@ from gensor_spark.operators.resample import resample, FREQ_SECONDS
 from gensor_spark.operators.rollup import rollup_tier, cascade_tier, finalize_tier
 from gensor_spark.operators.asof import asof_join
 from gensor_spark.operators.decontaminate import contamination_stats
+from gensor_spark.operators.qualityfilter import (
+    c4_line_filter,
+    gopher_quality_flags,
+)
 from gensor_spark.operators.distinctrollup import (
     cascade_distinct,
     finalize_distinct,
@@ -84,6 +88,8 @@ __all__ = [
     "finalize_tier",
     "asof_join",
     "contamination_stats",
+    "c4_line_filter",
+    "gopher_quality_flags",
     "bm25_topk",
     "scrub_pii",
     "dsir_logweights",

@@ -1859,6 +1859,7 @@ QUERIES["pacf_lags"] = q_pacf_lags
 from gensor_spark.queries_text import (  # noqa: E402 - tail entries
     q_bm25_topk,
     q_bpe_vocab,
+    q_c4_filter,
     q_dsir_select,
     q_scrub_pii,
     q_span_dedup,
@@ -1872,6 +1873,7 @@ QUERIES["dsir_select"] = q_dsir_select
 QUERIES["span_dedup"] = q_span_dedup
 QUERIES["rolling_corr"] = q_rolling_corr
 QUERIES["twa_rollup"] = q_twa_rollup
+QUERIES["c4_filter"] = q_c4_filter
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from gensor_spark.functions import text as T
 from gensor_spark.operators import dedup as D
 from gensor_spark.operators import similarity as S
+from gensor_spark.operators.qualityfilter import (
+    GOPHER_RULE_ORDER,
+    GOPHER_STOPWORDS,
+    gopher_quality_flags,
+)
 from gensor_spark.sources.tables import load_table
 
 
@@ -558,8 +563,13 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2-r3); merged here per the r3 verdict's slot economy — both column
     sets share the per-document grain and one scan, and every value the two
     rows verified is still verified, in one row.
+
+    Round 4 adds the Gopher rule preset (operators/qualityfilter.py): the
+    seven rule booleans plus the keep conjunction and first-failing-rule
+    reason, same grain, same scan — driver-verified against a full DuckDB
+    re-derivation of every rule.
     """
-    docs = _docs(spark, sf_dir)
+    docs = gopher_quality_flags(_docs(spark, sf_dir))
     feats = T.quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -573,19 +583,60 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(feats["stopword_ratio"]).alias("stopword_ratio"),
         _r6(feats["mean_token_len"]).alias("mean_token_len"),
         _r6(T.token_entropy(T.tokens(F.col("text")))).alias("entropy"),
+        *[F.col(n) for n in GOPHER_RULE_ORDER],
+        F.col("keep").alias("gopher_keep"),
+        F.coalesce(F.col("reason"), F.lit("")).alias("gopher_reason"),
     )
 
 
 def _sql_doc_quality() -> str:
     en_stop = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+    g_stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     score_cols, lang_pred = _sql_lang_pred_expr()
+    # Gopher rules re-derived independently over whitespace words / lines
+    reason_sql = "CASE "
+    for name in GOPHER_RULE_ORDER:
+        reason_sql += f"WHEN NOT {name} THEN '{name}' "
+    reason_sql += "ELSE '' END"
+    keep_sql = " AND ".join(GOPHER_RULE_ORDER)
     return f"""
 WITH toks AS ({_TOKS_SQL}),
 sc AS (SELECT *,
               length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
               greatest(length(text), 1) AS n_chars_g,
               {score_cols}
-       FROM toks)
+       FROM toks),
+gw AS (SELECT *,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS gws,
+         regexp_split_to_array(text, '\\n') AS glines
+       FROM sc),
+gm AS (SELECT *,
+         len(gws) AS g_n_words,
+         coalesce(list_sum(list_transform(gws, w -> CAST(len(w) AS DOUBLE))), 0)
+           / greatest(len(gws), 1) AS g_mean_wl,
+         (len(text) - len(replace(text, '#', ''))
+          + len(regexp_split_to_array(text, '\\.\\.\\.|…')) - 1)
+           / CAST(greatest(len(gws), 1) AS DOUBLE) AS g_sym,
+         len(list_filter(glines, l -> regexp_matches(l, '^\\s*[•\\-\\*]')))
+           / CAST(greatest(len(glines), 1) AS DOUBLE) AS g_bullet,
+         len(list_filter(glines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+           / CAST(greatest(len(glines), 1) AS DOUBLE) AS g_ell,
+         len(list_filter(gws, w -> regexp_matches(w, '[a-zA-Z]')))
+           / CAST(greatest(len(gws), 1) AS DOUBLE) AS g_alpha,
+         len(list_intersect(
+           list_transform(gws, w -> regexp_replace(regexp_replace(lower(w),
+             '^[^a-z0-9]+', ''), '[^a-z0-9]+$', '')),
+           [{g_stop}])) AS g_stop
+       FROM gw),
+gf AS (SELECT *,
+         g_n_words BETWEEN 50 AND 100000 AS words_in_range,
+         g_mean_wl >= 3.0 AND g_mean_wl <= 10.0 AS mean_word_len_in_range,
+         g_sym <= 0.1 AS symbol_ratio_ok,
+         g_bullet <= 0.9 AS bullet_lines_ok,
+         g_ell <= 0.3 AS ellipsis_lines_ok,
+         g_alpha >= 0.8 AS alpha_word_frac_ok,
+         g_stop >= 2 AS has_stopwords
+       FROM gm)
 SELECT doc_id, lang,
        {lang_pred} AS lang_pred,
        length(text) AS n_chars,
@@ -604,8 +655,11 @@ SELECT doc_id, lang,
          -list_sum(list_transform(list_distinct(toks),
             u -> (len(list_filter(toks, x -> x = u))::DOUBLE / len(toks))
                  * ln(len(list_filter(toks, x -> x = u))::DOUBLE / len(toks))))
-       END + 1e-9, 6) AS entropy
-FROM sc
+       END + 1e-9, 6) AS entropy,
+       {", ".join(GOPHER_RULE_ORDER)},
+       {keep_sql} AS gopher_keep,
+       {reason_sql} AS gopher_reason
+FROM gf
 """
 
 
@@ -1350,6 +1404,27 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"), lambda a, x: a + x,
     )).otherwise(F.lit(0).cast("long"))  # sequence(1, 0) DESCENDS: guard
     return out.select("doc_id", "n_tok", "n_removed", chk.alias("checksum"))
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level clean + doc keep decision (operators/qualityfilter.py
+    ``c4_line_filter``) over the documents table. Registered in the
+    rows-only tail (oracle window full); the full DuckDB oracle — kept-line
+    counts, keep booleans, AND the exact rewritten ``clean_text`` — is
+    pinned in tests/test_qualityfilter.py. The driver row carries a compact
+    grain: per-doc kept-line count, keep flag, and an md5 of the rewrite.
+    """
+    from gensor_spark.operators.qualityfilter import c4_line_filter
+
+    docs = _docs(spark, sf_dir)
+    out = c4_line_filter(docs)
+    return out.select(
+        "doc_id",
+        "n_kept_lines",
+        "c4_keep",
+        F.length("clean_text").alias("clean_len"),
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
 
 
 # --------------------------------------------------------------------------
