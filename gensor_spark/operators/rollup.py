@@ -21,6 +21,8 @@ Partial-state schema per (doc_id, source, bin_ts)::
     vsum  double
     last  double   -- last non-null value in the bin ...
     last_ts timestamp -- ... and when it occurred (cascade orders by this)
+    vsumsq double  -- OPTIONAL (with_sumsq=True): Σx², the mergeable
+                   -- variance/stddev state (TimescaleDB stats_agg analogue)
 
 ``finalize_tier`` turns partials into the user-facing
 ``count/min/max/mean/last`` frame.
@@ -51,8 +53,17 @@ def rollup_tier(
     tier: str = "1m",
     keys: tuple[str, ...] = ("doc_id", "source"),
     salt: int = 0,
+    with_sumsq: bool = False,
 ) -> DataFrame:
-    """Aggregate the point view into partial states at ``tier`` granularity."""
+    """Aggregate the point view into partial states at ``tier`` granularity.
+
+    ``with_sumsq=True`` adds a ``vsumsq`` (sum of squares) partial — the
+    mergeable state behind per-bin variance/stddev (TimescaleDB
+    ``stats_agg`` analogue). It is associative like every other partial, so
+    the cascade and the salted two-phase merge carry it unchanged; for
+    integer-valued points (token ids) it is EXACT in doubles at any merge
+    order (< 2^53), so cascaded stddev equals direct stddev bit-for-bit.
+    """
     step = TIER_SECONDS.get(tier) or freq_to_seconds(tier)
     v = F.col("value")
     binned = points.withColumn("bin_ts", bin_ts(F.col("ts"), step))
@@ -65,6 +76,8 @@ def rollup_tier(
         F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("last"),
         F.max(F.when(v.isNotNull(), F.col("ts"))).alias("last_ts"),
     ]
+    if with_sumsq:
+        partials.append(F.sum(v * v).alias("vsumsq"))
 
     if salt > 1:
         # two-phase: partial-agg on a salted key, then merge the sub-partials
@@ -82,6 +95,7 @@ def rollup_docs_arrays(
     tick_seconds: int = 60,
     epoch0: str = "2024-01-01 00:00:00",
     keys: tuple[str, ...] = ("doc_id", "source"),
+    with_sumsq: bool = False,
 ) -> DataFrame:
     """Tier partials straight from the token table — no point-view explode.
 
@@ -130,11 +144,17 @@ def rollup_docs_arrays(
         F.timestamp_seconds(
             epoch_expr + (i.cast("long") * k + F.size(ch) - 1) * tick_seconds
         ).alias("last_ts"),
+        F.aggregate(  # cast BEFORE the square: int32·int32 overflows
+            ch, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        ).alias("vsumsq"),
     )
+    out_cols = ["_b.bin_ts", "_b.cnt", "_b.vmin", "_b.vmax",
+                "_b.vsum", "_b.last", "_b.last_ts"]
+    if with_sumsq:
+        out_cols.append("_b.vsumsq")
     return (
         staged.select(*keys, F.explode(F.transform("_chunks", bin_struct)).alias("_b"))
-        .select(*keys, "_b.bin_ts", "_b.cnt", "_b.vmin", "_b.vmax",
-                "_b.vsum", "_b.last", "_b.last_ts")
+        .select(*keys, *out_cols)
     )
 
 
@@ -178,6 +198,7 @@ def rollup_docs_arrow(
     tick_seconds: int = 60,
     epoch0_us: int = 1_704_067_200_000_000,
     keys: tuple[str, ...] = ("doc_id", "source"),
+    with_sumsq: bool = False,
 ) -> DataFrame:
     """Affine-ts tier partials via a batched numpy kernel (the fast path).
 
@@ -209,6 +230,8 @@ def rollup_docs_arrow(
         "doc_id string, source string, bin_ts timestamp, cnt long, "
         "vmin double, vmax double, vsum double, last double, last_ts timestamp"
     )
+    if with_sumsq:
+        schema += ", vsumsq double"
 
     def kernel(batches):
         for pdf in batches:
@@ -230,7 +253,7 @@ def rollup_docs_arrow(
                 epoch0_us + (bin_local * k + cnt - 1) * (tick_seconds * 1_000_000),
                 unit="us",
             )
-            yield pd.DataFrame({
+            out = {
                 "doc_id": np.repeat(pdf["doc_id"].to_numpy()[keep], nbins),
                 "source": np.repeat(pdf["source"].to_numpy()[keep], nbins),
                 "bin_ts": bin_ts,
@@ -240,21 +263,32 @@ def rollup_docs_arrow(
                 "vsum": vsum,
                 "last": last,
                 "last_ts": last_ts,
-            })
+            }
+            if with_sumsq:
+                out["vsumsq"] = np.add.reduceat(flat * flat, starts)
+            yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, schema=schema)
 
 
 def _merge_partials(partials: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Combine partial states — associative, so safe at any nesting level."""
-    return partials.groupBy(*group_cols).agg(
+    """Combine partial states — associative, so safe at any nesting level.
+
+    Sumsq-aware: a ``vsumsq`` column, when present, merges as a plain sum —
+    so the cascade, the salted two-phase path, the incremental pipeline, and
+    the streaming rollup all propagate the variance state without changes.
+    """
+    aggs = [
         F.sum("cnt").alias("cnt"),
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
         F.sum("vsum").alias("vsum"),
         F.max_by("last", F.when(F.col("cnt") > 0, F.col("last_ts"))).alias("last"),
         F.max(F.when(F.col("cnt") > 0, F.col("last_ts"))).alias("last_ts"),
-    )
+    ]
+    if "vsumsq" in partials.columns:
+        aggs.append(F.sum("vsumsq").alias("vsumsq"))
+    return partials.groupBy(*group_cols).agg(*aggs)
 
 
 # ---------------------------------------------------------------------------
@@ -422,18 +456,36 @@ def cascade_tier(
     return _merge_partials(rebinned, [*keys, "bin_ts"])
 
 
-def finalize_tier(partials: DataFrame) -> DataFrame:
+def finalize_tier(partials: DataFrame, ddof: int = 1) -> DataFrame:
     """Partial states → user-facing count/min/max/mean/last columns.
 
     All-null bins (cnt=0) finalize to null aggregates, matching pandas
     ``resample`` NaN semantics for empty/all-NaN bins.
+
+    When the partials carry ``vsumsq`` (``rollup_tier(with_sumsq=True)``),
+    also emits ``var``/``std`` at ``ddof`` (default 1, pandas
+    ``resample(...).std()`` semantics; ``ddof=0`` for population). Bins with
+    ``cnt <= ddof`` finalize to NULL, matching pandas. The textbook
+    ``(Σx² − (Σx)²/n) / (n − ddof)`` can go a hair negative in floating
+    point on near-constant bins — clamped to 0, never NaN.
     """
     nz = F.col("cnt") > 0
-    return partials.select(
-        *[c for c in partials.columns if c not in PARTIAL_COLS],
+    cols = [
+        *[c for c in partials.columns if c not in PARTIAL_COLS and c != "vsumsq"],
         F.col("cnt").alias("count"),
         F.when(nz, F.col("vmin")).alias("min"),
         F.when(nz, F.col("vmax")).alias("max"),
         F.when(nz, F.col("vsum") / F.col("cnt")).alias("mean"),
         F.when(nz, F.col("last")).alias("last"),
-    )
+    ]
+    if "vsumsq" in partials.columns:
+        n = F.col("cnt")
+        var = F.greatest(
+            (F.col("vsumsq") - F.col("vsum") * F.col("vsum") / n)
+            / (n - F.lit(ddof)),
+            F.lit(0.0),
+        )
+        var = F.when(n > ddof, var)
+        cols.append(var.alias("var"))
+        cols.append(F.sqrt(var).alias("std"))
+    return partials.select(*cols)

@@ -66,7 +66,9 @@ def _fmt_bin(df: DataFrame) -> DataFrame:
 
 def _q_rollup(tier: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = finalize_tier(rollup_tier(_points(spark, sf_dir), tier))
+        out = finalize_tier(
+            rollup_tier(_points(spark, sf_dir), tier, with_sumsq=True)
+        )
         return _fmt_bin(out).select(
             "doc_id",
             "source",
@@ -76,6 +78,7 @@ def _q_rollup(tier: str):
             _r6(F.col("max")).alias("vmax"),
             _r6(F.col("mean")).alias("vmean"),
             _r6(F.col("last")).alias("vlast"),
+            _r6(F.col("std")).alias("vstd"),
         )
 
     return q
@@ -90,7 +93,8 @@ def _sql_rollup(unit: str) -> str:
            ROUND(MIN(value) + 1e-9, 6) AS vmin,
            ROUND(MAX(value) + 1e-9, 6) AS vmax,
            ROUND(AVG(value) + 1e-9, 6) AS vmean,
-           ROUND(arg_max(value, ts) FILTER (WHERE value IS NOT NULL) + 1e-9, 6) AS vlast
+           ROUND(arg_max(value, ts) FILTER (WHERE value IS NOT NULL) + 1e-9, 6) AS vlast,
+           ROUND(STDDEV_SAMP(value) + 1e-9, 6) AS vstd
     FROM pts GROUP BY 1, 2, 3
     """
 
