@@ -50,32 +50,35 @@ def streaming_rollup(
     tier: str = "1m",
     watermark: str = "2 minutes",
     keys: tuple[str, ...] = ("doc_id", "source"),
+    with_sumsq: bool = False,
 ) -> DataFrame:
     """Watermarked tumbling-window partial aggregation (append mode).
 
     Output schema matches the batch partial states with ``bin_ts`` as the
     window start — a closed window's row is bit-compatible with
     ``rollup_tier`` output for the same points, so cascades/finalize are
-    reusable downstream.
+    reusable downstream. ``with_sumsq=True`` carries the Σx² variance
+    partial like the batch producers; the read-side ``_merge_partials`` is
+    sumsq-aware, so streamed var/std finalize identically to batch.
     """
     step = TIER_SECONDS[tier]
     v = F.col("value")
     win = F.window("ts", f"{step} seconds")
-    agged = (
-        points.withWatermark("ts", watermark)
-        .groupBy(*keys, win)
-        .agg(
-            F.count(v).alias("cnt"),
-            F.min(v).alias("vmin"),
-            F.max(v).alias("vmax"),
-            F.sum(v).alias("vsum"),
-            F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("last"),
-            F.max(F.when(v.isNotNull(), F.col("ts"))).alias("last_ts"),
-        )
-    )
+    aggs = [
+        F.count(v).alias("cnt"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(v).alias("vsum"),
+        F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("last"),
+        F.max(F.when(v.isNotNull(), F.col("ts"))).alias("last_ts"),
+    ]
+    out = ["cnt", "vmin", "vmax", "vsum", "last", "last_ts"]
+    if with_sumsq:
+        aggs.append(F.sum(v * v).alias("vsumsq"))
+        out.append("vsumsq")
+    agged = points.withWatermark("ts", watermark).groupBy(*keys, win).agg(*aggs)
     return agged.select(
-        *keys, F.col("window.start").alias("bin_ts"),
-        "cnt", "vmin", "vmax", "vsum", "last", "last_ts",
+        *keys, F.col("window.start").alias("bin_ts"), *out,
     )
 
 

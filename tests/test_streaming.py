@@ -119,3 +119,30 @@ def test_tier_sink_epoch_replay_is_idempotent(spark, tmp_path):
     g, w = got.select(*cols), want.select(*cols)
     assert len(cols) >= 7  # keys + bin_ts + the finalized aggregates
     assert g.exceptAll(w).count() == 0 and w.exceptAll(g).count() == 0
+
+
+def test_streaming_rollup_sumsq_matches_batch_std(spark, events_dir, tmp_path):
+    """with_sumsq=True streams the Σx² partial; the read-side merge +
+    finalize must produce the identical std the batch path computes."""
+    events_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = spark.readStream.schema(events_schema).parquet(events_dir)
+    pts = stream_points_from_events(stream)
+    rolled = streaming_rollup(pts, tier="1m", watermark="1 minute",
+                              with_sumsq=True)
+    store = str(tmp_path / "var_store")
+    q = start_tier_sink(rolled, store, tier="1m", trigger_once=True)
+    q.awaitTermination(120)
+
+    got = read_stream_tier(spark, store, "1m", finalize=True)
+    assert "std" in got.columns and "var" in got.columns
+
+    batch_pts = events_to_points(spark.read.parquet(f"{SF}/events.parquet"))
+    want = finalize_tier(
+        rollup_tier(batch_pts.select("doc_id", "source", "ts", "value"),
+                    "1m", with_sumsq=True)
+    )
+    cols = ["doc_id", "source", "bin_ts", "count", "mean", "var", "std"]
+    g = got.select(*cols[:4], *[F.round(c, 9).alias(c) for c in cols[4:]])
+    w = want.select(*cols[:4], *[F.round(c, 9).alias(c) for c in cols[4:]])
+    assert g.exceptAll(w).count() == 0
+    assert g.count() >= w.count() * 0.95 and g.count() > 0
