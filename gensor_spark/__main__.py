@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="also maintain Misra-Gries top-k summary partials")
     ap.add_argument("--topk-k", type=int, default=32,
                     help="counters per Misra-Gries summary (with --topk-tiers)")
+    ap.add_argument("--var-tiers", action="store_true",
+                    help="also carry the sum-of-squares variance partial "
+                         "(read_tier then emits var/std per bin)")
     args = ap.parse_args(argv)
 
     from gensor_spark.plans.incremental import TIERS, TierPipeline
@@ -60,7 +63,8 @@ def main(argv: list[str] | None = None) -> None:
     pipe = TierPipeline(spark, args.store, n_batches=args.batches,
                         tick_seconds=args.tick, hist_tiers=args.hist_tiers,
                         distinct_tiers=args.distinct_tiers,
-                        topk_tiers=args.topk_tiers, topk_k=args.topk_k)
+                        topk_tiers=args.topk_tiers, topk_k=args.topk_k,
+                        var_tiers=args.var_tiers)
     stats = pipe.run(docs)
     result = {
         "stats": stats,

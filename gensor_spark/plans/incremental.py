@@ -90,6 +90,7 @@ class TierPipeline:
         topk_tiers: bool = False,
         topk_of: str = "value",
         topk_k: int = 32,
+        var_tiers: bool = False,
     ) -> None:
         self.spark = spark
         self.store = Path(store_dir)
@@ -111,6 +112,13 @@ class TierPipeline:
             raise ValueError("distinct_tiers requires the parquet backend")
         if topk_tiers and backend != "parquet":
             raise ValueError("topk_tiers requires the parquet backend")
+        if var_tiers and backend != "parquet":
+            raise ValueError("var_tiers requires the parquet backend")
+        if var_tiers and narrow_partials:
+            raise ValueError(
+                "var_tiers needs the wide partial schema (vsumsq is float64; "
+                "the narrow experiment does not carry it)"
+            )
         if backend == "iceberg":
             from gensor_spark.plans.iceberg_store import IcebergTierStore
 
@@ -156,6 +164,13 @@ class TierPipeline:
         self.topk_tiers = topk_tiers
         self.topk_of = topk_of
         self.topk_k = topk_k
+        #: also carry the Σx² variance partial in every stored tier row
+        #: (operators/rollup.py with_sumsq) — `read_tier(finalize=True)` then
+        #: emits var/std alongside count/min/max/mean/last; the sumsq-aware
+        #: merge makes cascades/compaction/retention propagate it unchanged.
+        #: Keep the flag constant for a store's lifetime (mixed batches
+        #: would disagree on the parquet schema). Parquet backend only.
+        self.var_tiers = var_tiers
         #: batches in flight at once. Spark schedules concurrent jobs from
         #: driver threads task-by-task, so a second batch's heavy stages fill
         #: the slots the first batch leaves idle during its commit/small-stage
@@ -283,7 +298,7 @@ class TierPipeline:
         else:
             m1 = rollup_docs_arrow(
                 batch_docs, "1m", tick_seconds=self.tick_seconds,
-                keys=self.keys,
+                keys=self.keys, with_sumsq=self.var_tiers,
             ).persist()
         h1: DataFrame | None = None
         try:
@@ -421,7 +436,9 @@ class TierPipeline:
         t0 = time.monotonic()
         pts = bucketed.filter(F.col("_batch") == b).drop("_batch")
         counts: dict[str, int] = {}
-        m1 = rollup_tier(pts, "1m", keys=self.keys).persist()
+        m1 = rollup_tier(
+            pts, "1m", keys=self.keys, with_sumsq=self.var_tiers
+        ).persist()
         h1: DataFrame | None = None
         try:
             counts["1m"] = self._store_tier(m1, "1m", sid)

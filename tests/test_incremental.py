@@ -405,3 +405,29 @@ def test_compact_zorder_preserves_results_and_drops_helpers(spark, docs, tmp_pat
     # a second, plain compact over the z-ordered store still round-trips
     pipe.compact("1m")
     _assert_tiers_equal(before, _tier_pdf(pipe.read_tier("1m")))
+
+
+def test_var_tiers_store_matches_direct_and_validates(spark, docs, tmp_path):
+    """var_tiers=True stores the Σx² partial in every tier row; the merged
+    read finalizes var/std identical to the direct batch computation (integer
+    tokens: bitwise), through batch splits, compaction, and resume."""
+    store = str(tmp_path / "var_tiers")
+    pipe = TierPipeline(spark, store, n_batches=3, var_tiers=True)
+    pipe.run(docs)
+    pipe.compact("1h")
+    points = docs_to_points(docs)
+    for tier in ("1m", "1h", "1d"):
+        direct = _tier_pdf(
+            finalize_tier(rollup_tier(points, tier, with_sumsq=True))
+        )
+        incr = _tier_pdf(pipe.read_tier(tier))
+        _assert_tiers_equal(direct, incr)
+        for col in ("var", "std"):
+            np.testing.assert_array_equal(
+                direct[col].to_numpy(), incr[col].to_numpy(), err_msg=col
+            )
+    # flag/backend validation
+    with pytest.raises(ValueError, match="narrow"):
+        TierPipeline(spark, store, var_tiers=True, narrow_partials=True)
+    with pytest.raises(ValueError, match="parquet"):
+        TierPipeline(spark, store, var_tiers=True, backend="iceberg")
