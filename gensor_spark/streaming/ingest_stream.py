@@ -52,9 +52,16 @@ def ingest_pipeline(docs: DataFrame, rates: dict[str, float],
                     min_stopword_ratio: float = 0.0,
                     default_rate: float = 1.0,
                     scrub: bool = False,
-                    max_pii: int | None = None) -> DataFrame:
-    """Gate → [scrub] → mix → dedup over a docs frame with columns
+                    max_pii: int | None = None,
+                    gopher: bool = False) -> DataFrame:
+    """Gate → [gopher] → [scrub] → mix → dedup over a docs frame with columns
     ``(doc_id, ts, text, source)``. Returns the surviving rows.
+
+    With ``gopher`` the full Gopher rule preset
+    (operators/qualityfilter.gopher_quality_flags) runs after the cheap
+    gate: docs failing any of the seven published rules are dropped. Like
+    the gate it is row-local and stateless, so it lifts onto the streaming
+    frame unchanged; the flag columns are removed before the mix stage.
 
     With ``scrub`` the PII redaction pass (operators/pii.scrub_pii) runs
     between the gate and the mix — row-local and stateless, so it lifts
@@ -73,6 +80,17 @@ def ingest_pipeline(docs: DataFrame, rates: dict[str, float],
         min_chars=min_chars, min_alnum_ratio=min_alnum_ratio,
         min_stopword_ratio=min_stopword_ratio,
     ))
+    if gopher:
+        from gensor_spark.operators.qualityfilter import (
+            GOPHER_RULE_ORDER,
+            gopher_quality_flags,
+        )
+
+        gated = (
+            gopher_quality_flags(gated)
+            .filter(F.col("keep"))
+            .drop("keep", "reason", *GOPHER_RULE_ORDER)
+        )
     if scrub or max_pii is not None:
         from gensor_spark.operators.pii import PII_PATTERNS, scrub_pii
 

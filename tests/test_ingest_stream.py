@@ -130,3 +130,43 @@ def test_ingest_pipeline_scrub_stage_streaming(spark, dirs):
               for r in spark.read.parquet(f"{out}/data").collect()}
     assert landed[0] == base + " ping <PII:ipv4> now"
     assert landed[1] == base + " all clear"
+
+
+GOPHER_OK = ("The quick brown fox jumps over the lazy dog and runs far away "
+             "today with all of that done. ") * 8
+
+
+def test_ingest_pipeline_gopher_stage_batch(spark):
+    """gopher=True drops docs failing any published Gopher rule after the
+    cheap gate; flag columns never reach the landing schema."""
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", GOPHER_OK, "s"),
+         # passes the cheap gate (length/alnum) but fails Gopher stop-words
+         (1, "2024-01-01 00:00:10",
+          " ".join(f"word{i}" for i in range(80)), "s")],
+        "doc_id long, ts_s string, text string, source string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "text", "source")
+    base = ingest_pipeline(df, rates={"s": 1.0})
+    out = ingest_pipeline(df, rates={"s": 1.0}, gopher=True)
+    assert {r.doc_id for r in base.collect()} == {0, 1}
+    assert {r.doc_id for r in out.collect()} == {0}
+    assert out.columns == base.columns  # no flag columns leak
+
+
+def test_ingest_pipeline_gopher_stage_streaming(spark, dirs):
+    src, out = dirs
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", GOPHER_OK, "s"),
+         (1, "2024-01-01 00:00:10",
+          " ".join(f"word{i}" for i in range(80)), "s")],
+        "doc_id long, ts_s string, text string, source string",
+    ).select("doc_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "text", "source")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    survivors = ingest_pipeline(stream, rates={"s": 1.0}, gopher=True)
+    q = start_ingest_sink(survivors, out, trigger_once=True)
+    q.awaitTermination(120)
+    landed = {r.doc_id for r in spark.read.parquet(f"{out}/data").collect()}
+    assert landed == {0}
