@@ -53,7 +53,7 @@ from gensor_spark.operators.drift import (
 from gensor_spark.operators.dtw import dtw_pairs, paa_sketch
 from gensor_spark.operators.sax import sax_motif_candidates, sax_words
 from gensor_spark.operators.cvsplit import purged_time_folds
-from gensor_spark.operators.pelt import pelt_changepoints
+from gensor_spark.operators.pelt import pelt_changepoints, segmented_trend
 from gensor_spark.operators.spandedup import trim_duplicate_spans
 from gensor_spark.operators.funnel import window_funnel
 from gensor_spark.operators.twa import time_weighted_avg
@@ -98,6 +98,7 @@ __all__ = [
     "sax_motif_candidates",
     "purged_time_folds",
     "pelt_changepoints",
+    "segmented_trend",
     "trim_duplicate_spans",
     "interval_join",
     "interval_union_length",

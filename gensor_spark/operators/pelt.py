@@ -136,3 +136,58 @@ def pelt_changepoints(
 
     return per_series_map(points, kern, PELT_SCHEMA, keys=keys,
                           sort_col=order_col)
+
+
+def segmented_trend(
+    points: DataFrame,
+    penalty: float = 10.0,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    order_col: str = "seq",
+    min_points: int = 2,
+) -> DataFrame:
+    """Per-regime OLS trends: PELT segmentation composed with per-segment
+    regression — "the mean shifted at t₁, t₂; what is each regime doing?".
+
+    Output one row per (series, segment): ``segment`` ordinal, the segment's
+    ``start_/end_`` ``order_col`` bounds, ``n`` points, OLS ``slope``/
+    ``intercept`` over (order_col, value) via Catalyst ``regr_*`` (the
+    ``trend_ols`` machinery, per segment), and the segment ``mean``.
+    Constant segments get slope 0; single-point segments NULL slope
+    (``regr_slope`` needs 2 points). Series below ``min_points`` fall into
+    one whole-series segment 0.
+
+    Shape at scale: the PELT Arrow kernel's one Exchange, then the tiny
+    per-series changepoint arrays join back on the series key (linear, no
+    skew added — arrays are #changepoints long), segment ids assigned
+    row-locally by counting boundaries ≤ seq, and ONE partial-agged groupBy
+    computes every regression moment. No window over raw points.
+    """
+    from pyspark.sql import functions as F
+
+    cps = pelt_changepoints(points, penalty=penalty, keys=keys,
+                            value_col=value_col, order_col=order_col,
+                            min_points=min_points)
+    cp_arr = (
+        cps.filter(F.col("cp_index") >= 0)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("cp_seq")).alias("_cps"))
+    )
+    pts = points.filter(F.col(value_col).isNotNull())
+    seg = F.when(F.col("_cps").isNull(), F.lit(0)).otherwise(
+        F.size(F.filter("_cps", lambda c: c <= F.col(order_col)))
+    )
+    o = F.col(order_col).cast("double")
+    return (
+        pts.join(cp_arr, list(keys), "left")
+        .withColumn("segment", seg)
+        .groupBy(*keys, "segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(order_col).alias(f"start_{order_col}"),
+            F.max(order_col).alias(f"end_{order_col}"),
+            F.regr_slope(F.col(value_col), o).alias("slope"),
+            F.regr_intercept(F.col(value_col), o).alias("intercept"),
+            F.avg(value_col).alias("mean"),
+        )
+    )

@@ -1018,6 +1018,24 @@ def q_pelt_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_segments", _r6(F.col("total_cost")).alias("cost"))
 
 
+def q_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-regime OLS trends: PELT segmentation composed with per-segment
+    regression (operators/pelt.segmented_trend) over the point view.
+    Rows-only tail (the PELT kernel is not SQL-expressible end-to-end);
+    the regression half is DuckDB regr_*-pinned GIVEN the operator's own
+    segment bounds, and the composition is pinned on planted piecewise
+    regimes in tests/test_pelt.py."""
+    from gensor_spark.operators.pelt import segmented_trend
+
+    out = segmented_trend(_points(spark, sf_dir), penalty=25.0)
+    return out.select(
+        "doc_id", "source", "segment", "n", "start_seq", "end_seq",
+        _r6(F.col("slope")).alias("slope"),
+        _r6(F.col("intercept")).alias("intercept"),
+        _r6(F.col("mean")).alias("mean"),
+    )
+
+
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling pairwise correlation over trailing 24 co-observed hourly
     bins, between the two highest-coverage series (deterministic pick) —
@@ -1878,6 +1896,7 @@ QUERIES["span_dedup"] = q_span_dedup
 QUERIES["rolling_corr"] = q_rolling_corr
 QUERIES["twa_rollup"] = q_twa_rollup
 QUERIES["c4_filter"] = q_c4_filter
+QUERIES["segmented_trend"] = q_segmented_trend
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

@@ -101,3 +101,97 @@ def test_pelt_summary_row_for_short_series(spark):
         [("tiny", "s", 0, 1.0)], "doc_id string, source string, seq long, value double")
     out = pelt_changepoints(df, penalty=5.0).collect()
     assert len(out) == 1 and out[0].cp_index == -1 and out[0].n_segments == 1
+
+
+# ----------------------------------------------------------- segmented trend
+
+def _step_trend_pts(spark):
+    """Three regimes with well-separated means AND within-regime slopes:
+    PELT's mean-shift cost finds the breaks; the per-segment OLS must then
+    recover each regime's slope/intercept exactly (noise-free input)."""
+    segs = [
+        (0, 40, 0.02, 0.0),     # start, n, slope, base level
+        (40, 30, -0.05, 50.0),
+        (70, 30, 0.0, 20.0),
+    ]
+    rows = []
+    for start, n, m, b in segs:
+        for i in range(n):
+            rows.append(("d", "s", start + i, b + m * i))
+    return (
+        spark.createDataFrame(
+            rows, "doc_id string, source string, seq long, value double"
+        ),
+        segs,
+    )
+
+
+def test_segmented_trend_recovers_planted_regimes(spark):
+    from gensor_spark.operators.pelt import segmented_trend
+
+    pts, segs = _step_trend_pts(spark)
+    out = segmented_trend(pts, penalty=50.0).orderBy("segment").toPandas()
+    assert list(out["start_seq"]) == [s[0] for s in segs]
+    assert list(out["n"]) == [s[1] for s in segs]
+    for row, (start, n, m, b) in zip(out.itertuples(), segs):
+        # OLS over value = b + m*(seq-start): slope m, intercept b - m*start
+        np.testing.assert_allclose(row.slope, m, atol=1e-9)
+        np.testing.assert_allclose(row.intercept, b - m * start, atol=1e-9)
+
+
+def test_segmented_trend_ols_matches_duckdb_per_segment(spark):
+    """Given the operator's own segment bounds, the slope/intercept must
+    equal DuckDB's regr_slope/regr_intercept over exactly those points —
+    validates the regression independently of the segmentation."""
+    import duckdb
+
+    from gensor_spark.operators.pelt import segmented_trend
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for d in range(4):
+        level = 0.0
+        for blk in range(3):
+            level += rng.normal(0, 40) + 60  # big shifts so PELT segments
+            for i in range(25):
+                rows.append((f"d{d}", "s", blk * 25 + i,
+                             float(level + rng.normal(0, 1))))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "seq", "value"])
+    pts = spark.createDataFrame(pdf)
+    out = (segmented_trend(pts, penalty=200.0)
+           .orderBy("doc_id", "segment").toPandas())
+    assert (out.groupby("doc_id")["segment"].count() > 1).any()
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    con.register("segs", out[["doc_id", "segment", "start_seq", "end_seq"]])
+    exp = con.execute("""
+        SELECT s.doc_id, s.segment,
+               regr_slope(p.value, p.seq) AS slope,
+               regr_intercept(p.value, p.seq) AS intercept,
+               count(*) AS n
+        FROM segs s JOIN pts p
+          ON p.doc_id = s.doc_id AND p.seq BETWEEN s.start_seq AND s.end_seq
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    np.testing.assert_array_equal(out["n"].to_numpy(), exp["n"].to_numpy())
+    for col in ("slope", "intercept"):
+        np.testing.assert_allclose(
+            out[col].to_numpy(float), exp[col].to_numpy(float),
+            rtol=1e-9, atol=1e-9, err_msg=col,
+        )
+
+
+def test_segmented_trend_nulls_and_short_series(spark):
+    from gensor_spark.operators.pelt import segmented_trend
+
+    df = spark.createDataFrame(
+        [("t", "s", 0, 1.0), ("t", "s", 1, None), ("t", "s", 2, 3.0),
+         ("one", "s", 5, 7.0)],
+        "doc_id string, source string, seq long, value double",
+    )
+    out = {r.doc_id: r for r in segmented_trend(df, penalty=5.0).collect()}
+    # nulls excluded from n and the regression; short series -> segment 0
+    t = out["t"]
+    assert t.segment == 0 and t.n == 2 and abs(t.slope - 1.0) < 1e-12
+    one = out["one"]
+    assert one.segment == 0 and one.n == 1 and one.slope is None
