@@ -58,6 +58,7 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
     # never blocks. Every pre-probe reading is stamped into the output so a
     # still-degraded run is self-identifying.
     pre_probes: list[float] = []
+    pyworker_probes: list[float] = []
     if queries_subset is None and cpus >= 16:
         healthy = 0.72  # local[32] healthy band < 0.7s (r3 records 0.55-0.65)
         tries = int(os.environ.get("SPARK_GRAFT_HEALTHY_TRIES", "8"))
@@ -75,6 +76,23 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
             )
             pre_probes.append(round(time.perf_counter() - t0, 3))
             if pre_probes[-1] < healthy or attempt == tries - 1:
+                break
+            time.sleep(45)
+        # THIRD degradation mode (r4s5): Python worker fork/spawn collapses
+        # while triad AND the JVM window probe read healthy — a trivial
+        # cpus-task mapInPandas went 10.8s where a warm run takes <1s,
+        # inflating every Arrow-kernel query 2-8× (media_pipeline 3.9→40s,
+        # cusum/hw_smooth ~2×). Probe it explicitly: one full-width
+        # mapInPandas per attempt; the first attempt's reading includes the
+        # spawn cost (which is what the first Arrow query of a run pays).
+        py_healthy = 3.0
+        for attempt in range(max(1, tries)):
+            t0 = time.perf_counter()
+            spark.range(0, cpus * 100, 1, cpus).mapInPandas(
+                lambda it: it, "id long").write.format("noop").mode(
+                "overwrite").save()
+            pyworker_probes.append(round(time.perf_counter() - t0, 3))
+            if pyworker_probes[-1] < py_healthy or attempt == tries - 1:
                 break
             time.sleep(45)
 
@@ -200,6 +218,16 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
         window_probe = round(time.perf_counter() - t0, 3)
     except Exception:
         window_probe = None
+    # post-run Python-worker yardstick (workers warm by now: this reads the
+    # steady-state crossing cost the Arrow-kernel walls above were paying)
+    try:
+        t0 = time.perf_counter()
+        spark.range(0, cpus * 100, 1, cpus).mapInPandas(
+            lambda it: it, "id long").write.format("noop").mode(
+            "overwrite").save()
+        pyworker_post = round(time.perf_counter() - t0, 3)
+    except Exception:
+        pyworker_post = None
     return {
         "metric": "total_query_sec",
         "value": round(total_sec, 3),
@@ -213,6 +241,8 @@ def run_bench(sf_dir: str, cpus: int, queries_subset: list[str] | None = None) -
         "host_triad_gbps": host_triad,
         "window_probe_sec": window_probe,
         "pre_probes_sec": pre_probes,
+        "pyworker_probes_sec": pyworker_probes,
+        "pyworker_post_sec": pyworker_post,
         **scale,
     }
 

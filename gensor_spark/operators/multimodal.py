@@ -173,7 +173,8 @@ def _sample_stats(arr) -> dict:
     }
 
 
-def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+def extract_features(media: DataFrame, decoder: str = "fake",
+                     passthrough: tuple = ()) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     ``decoder='fake'`` (default) computes the stats over the *encoded* bytes
@@ -183,9 +184,21 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     the decoded samples. Identical plumbing either way: Arrow batch in,
     pandas DataFrame out, one output row per input row, no driver
     materialization.
+
+    ``passthrough`` names extra input columns copied verbatim onto the
+    output rows (appended after the feature columns, input types kept).
+    This is what lets ONE feature pass score a union of pipeline stages
+    (original ∪ resized ∪ resampled ∪ frames) instead of one Python
+    crossing per stage — at cluster scale the crossing count is the cost
+    (per-stage worker spin-up + Arrow serialization), so a tagged union
+    through a single kernel is the web-scale shape.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder: {decoder!r}")
+    out_schema = StructType(
+        FEATURE_SCHEMA.fields
+        + [media.schema[c] for c in passthrough]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -208,9 +221,11 @@ def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
             out = pd.DataFrame(feats)
             out.insert(0, "media_id", pdf["media_id"].values)
             out.insert(1, "kind", pdf["kind"].values)
+            for c in passthrough:
+                out[c] = pdf[c].values
             yield out
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(run, schema=out_schema)
 
 
 RESIZED_SCHEMA = StructType([

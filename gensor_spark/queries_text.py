@@ -1035,48 +1035,54 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = media_from_documents(_docs(spark, sf_dir))
-    feats = extract_features(media, decoder="fake")
 
-    resized = extract_features(
-        resize_images(media, width=64, height=32)
-        .select("media_id", "kind", "payload")
-    ).select(
-        "media_id",
-        F.col("n_bytes").alias("resized_bytes"),
-        F.col("checksum").alias("resized_checksum"),
+    # Tagged union of every pipeline stage's output, scored by ONE feature
+    # kernel, then pivoted with a single conditional aggregation. The r4s5
+    # bench caught the previous 4-crossings + 3-joins shape paying 4× the
+    # Python worker spin-up and 3 shuffle exchanges for the same values —
+    # at cluster scale the crossing/exchange count is the cost, so the
+    # union-through-one-kernel + one-groupBy form is strictly better (and
+    # locally: 40.5s → single-digit on a degraded-fork host epoch).
+    stages = (
+        media.select("media_id", "kind", "payload",
+                     F.lit("orig").alias("stage"))
+        .unionByName(
+            resize_images(media, width=64, height=32)
+            .select("media_id", "kind", "payload",
+                    F.lit("resized").alias("stage")))
+        .unionByName(
+            resample_audio(media, target_rate=8000)
+            .select("media_id", "kind", "payload",
+                    F.lit("resampled").alias("stage")))
+        .unionByName(
+            sample_frames(media, every_n=30)
+            .select("media_id", F.lit("video").alias("kind"),
+                    F.col("frame").alias("payload"),
+                    F.lit("frame").alias("stage")))
     )
+    feats = extract_features(stages, decoder="fake", passthrough=("stage",))
 
-    resampled = extract_features(
-        resample_audio(media, target_rate=8000)
-        .select("media_id", "kind", "payload")
-    ).select(
-        "media_id",
-        F.col("n_bytes").alias("resampled_bytes"),
-        F.col("checksum").alias("resampled_checksum"),
-    )
+    def stg(s, c):
+        return F.when(F.col("stage") == s,
+                      F.col(c) if isinstance(c, str) else c)
 
-    frame_feats = extract_features(
-        sample_frames(media, every_n=30)
-        .select("media_id", F.lit("video").alias("kind"),
-                F.col("frame").alias("payload"))
-    )
-    frames = frame_feats.groupBy("media_id").agg(
-        F.count("*").alias("n_frames_sampled"),
-        F.sum("n_bytes").alias("frame_bytes"),
-        F.sum("checksum").alias("frame_checksum"),
-    )
-
-    out = (
-        feats.join(resized, "media_id", "left")
-        .join(resampled, "media_id", "left")
-        .join(frames, "media_id", "left")
-    )
-    return out.select(
-        "media_id", "kind", "n_bytes", "first_byte", "last_byte",
-        _r6(F.col("byte_mean")).alias("byte_mean"), "checksum",
-        "resized_bytes", "resized_checksum",
-        "resampled_bytes", "resampled_checksum",
-        "n_frames_sampled", "frame_bytes", "frame_checksum",
+    # one shuffle: every media_id has exactly one 'orig' row, ≤1 resized,
+    # ≤1 resampled, 0..n frame rows — max() picks the singleton stage
+    # values, sum(when) reproduces the old left-join NULLs for absent stages
+    return feats.groupBy("media_id").agg(
+        F.max(stg("orig", "kind")).alias("kind"),
+        F.max(stg("orig", "n_bytes")).alias("n_bytes"),
+        F.max(stg("orig", "first_byte")).alias("first_byte"),
+        F.max(stg("orig", "last_byte")).alias("last_byte"),
+        _r6(F.max(stg("orig", "byte_mean"))).alias("byte_mean"),
+        F.max(stg("orig", "checksum")).alias("checksum"),
+        F.max(stg("resized", "n_bytes")).alias("resized_bytes"),
+        F.max(stg("resized", "checksum")).alias("resized_checksum"),
+        F.max(stg("resampled", "n_bytes")).alias("resampled_bytes"),
+        F.max(stg("resampled", "checksum")).alias("resampled_checksum"),
+        F.sum(stg("frame", F.lit(1))).alias("n_frames_sampled"),
+        F.sum(stg("frame", "n_bytes")).alias("frame_bytes"),
+        F.sum(stg("frame", "checksum")).alias("frame_checksum"),
     )
 
 
