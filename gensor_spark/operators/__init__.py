@@ -17,6 +17,13 @@ from gensor_spark.operators.distinctrollup import (
     finalize_distinct,
     rollup_distinct,
 )
+from gensor_spark.operators.ddsketch import (
+    cascade_dd,
+    dd_quantize,
+    quantiles_from_dd,
+    rollup_dd,
+    rollup_dd_quantiles,
+)
 from gensor_spark.operators.topkrollup import (
     cascade_topk,
     finalize_topk,
@@ -77,6 +84,11 @@ from gensor_spark.operators.plotdata import (
 )
 
 __all__ = [
+    "dd_quantize",
+    "rollup_dd",
+    "cascade_dd",
+    "quantiles_from_dd",
+    "rollup_dd_quantiles",
     "docs_to_points",
     "points_to_docs",
     "events_to_points",

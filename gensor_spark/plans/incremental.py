@@ -91,6 +91,7 @@ class TierPipeline:
         topk_of: str = "value",
         topk_k: int = 32,
         var_tiers: bool = False,
+        hist_quantize_alpha: float | None = None,
     ) -> None:
         self.spark = spark
         self.store = Path(store_dir)
@@ -147,6 +148,19 @@ class TierPipeline:
         #: backend only (the Iceberg MERGE templates carry wide rows, not
         #: map columns).
         self.hist_tiers = hist_tiers
+        #: DDSketch mode for the histogram tiers (operators/ddsketch.py):
+        #: when set, values are quantized onto the log bucket grid with this
+        #: relative accuracy BEFORE entering the 1m histograms — the
+        #: unbounded-float path, bounding per-bin state at
+        #: 2·log_gamma(vmax/vmin)+1 buckets regardless of cardinality.
+        #: Quantization happens once at the leaves, so every downstream
+        #: guarantee (merge associativity, cascade == direct, waves,
+        #: retention) holds bit-exactly over the quantized domain. Keep the
+        #: value constant for a store's lifetime (mixed grids would merge
+        #: distinct bucket keys). Requires hist_tiers.
+        if hist_quantize_alpha is not None and not hist_tiers:
+            raise ValueError("hist_quantize_alpha requires hist_tiers=True")
+        self.hist_quantize_alpha = hist_quantize_alpha
         #: also maintain 1m HLL distinct-count sketches per batch
         #: (operators/distinctrollup.py) — the mergeable distinct-count
         #: state (distinct values/tokens/docs per bin) the numeric partials
@@ -473,6 +487,12 @@ class TierPipeline:
     def _store_hist_batch(self, points: DataFrame, sid: int) -> int:
         """Write one contribution's 1m value-histogram partials (point
         path — the late-data waves, which arrive ts-stamped)."""
+        if self.hist_quantize_alpha is not None:
+            from gensor_spark.operators.ddsketch import dd_quantize
+
+            points = points.withColumn(
+                "value", dd_quantize(F.col("value"),
+                                     self.hist_quantize_alpha))
         hist = rollup_hist(points, "1m", keys=self.keys)
         return self._write_counted(
             hist, str(self.store / "tier_hist_1m" / f"batch={sid}")
@@ -482,8 +502,10 @@ class TierPipeline:
         """Write one batch's 1m histogram partials via the affine Arrow
         kernel (no point explode, no raw-point shuffle — bit-identical to
         the point path, asserted in tests). Falls back to the point path
-        for non-default series keys (the kernel's output schema is fixed)."""
-        if tuple(self.keys) != ("doc_id", "source"):
+        for non-default series keys (the kernel's output schema is fixed)
+        and for DDSketch mode (quantization is a point-grain projection)."""
+        if (tuple(self.keys) != ("doc_id", "source")
+                or self.hist_quantize_alpha is not None):
             return self._store_hist_batch(docs_to_points(batch_docs), sid)
         hist = rollup_hist_docs_arrow(
             batch_docs, "1m", tick_seconds=self.tick_seconds

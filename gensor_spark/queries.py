@@ -1112,6 +1112,28 @@ def q_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt_hi").alias("hi"))
 
 
+def q_rollup_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch float-quantile tier (1h p50/p95/p99, cascaded through 1m
+    sketches; alpha=1% relative accuracy) — the unbounded-float counterpart
+    of the exact hist tier, over the continuous events.value domain the
+    integer histogram cannot bound. Registry entry outside the driver
+    window (bucket boundaries depend on libm ``log``, so a cross-engine
+    value hash is not meaningful); pytest pins the published guarantees
+    instead: per-value relative error ≤ alpha, cascade == direct bit-exact,
+    split-merge associativity, and every p50/p95/p99 within 2·alpha of
+    DuckDB ``quantile_cont`` (tests/test_ddsketch.py)."""
+    from gensor_spark.operators.ddsketch import rollup_dd_quantiles
+
+    out = rollup_dd_quantiles(
+        _points(spark, sf_dir), "1h", ps=(0.5, 0.95, 0.99), alpha=0.01)
+    return _fmt_bin(out).select(
+        "doc_id", "source", "bin_ts",
+        _r6(F.col("p50")).alias("p50"),
+        _r6(F.col("p95")).alias("p95"),
+        _r6(F.col("p99")).alias("p99"),
+    )
+
+
 def q_pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PACF at lags 1..5 per series — registry entry outside the driver
     window (Durbin-Levinson recursion, not SQL-expressible); Yule-Walker
@@ -1897,6 +1919,7 @@ QUERIES["rolling_corr"] = q_rolling_corr
 QUERIES["twa_rollup"] = q_twa_rollup
 QUERIES["c4_filter"] = q_c4_filter
 QUERIES["segmented_trend"] = q_segmented_trend
+QUERIES["rollup_dd"] = q_rollup_dd
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,
