@@ -17,6 +17,11 @@ from gensor_spark.operators.distinctrollup import (
     finalize_distinct,
     rollup_distinct,
 )
+from gensor_spark.operators.classifier import (
+    hashed_features,
+    score_quality,
+    train_quality_classifier,
+)
 from gensor_spark.operators.ddsketch import (
     cascade_dd,
     dd_quantize,

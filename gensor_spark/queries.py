@@ -1905,6 +1905,7 @@ from gensor_spark.queries_text import (  # noqa: E402 - tail entries
     q_bpe_vocab,
     q_c4_filter,
     q_dsir_select,
+    q_quality_classifier,
     q_scrub_pii,
     q_span_dedup,
 )
@@ -1920,6 +1921,7 @@ QUERIES["twa_rollup"] = q_twa_rollup
 QUERIES["c4_filter"] = q_c4_filter
 QUERIES["segmented_trend"] = q_segmented_trend
 QUERIES["rollup_dd"] = q_rollup_dd
+QUERIES["quality_classifier"] = q_quality_classifier
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

@@ -1412,6 +1412,47 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tok", "n_removed", chk.alias("checksum"))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained hashed-linear quality classifier end to end
+    (operators/classifier.py — the CCNet/GPT-3 discriminative filter):
+    fit logistic regression over hashed unigram+bigram features on the
+    even-doc_id half, labeled by a deterministic text rule
+    (``stopword_ratio > 0.06`` — rule distillation, the standard move for
+    turning an expensive quality rule or LLM judgment into a cheap
+    broadcast-sweep classifier), then score EVERY document with the
+    zero-shuffle sweep. Output carries the prediction and the held-out
+    truth so the row set also documents generalization to the odd-id
+    half. Rows-only tail (iterative training is not SQL-expressible); the
+    trainer itself is pinned against a single-process numpy reference at
+    rtol 1e-9 in tests/test_classifier.py. (The corpus ``lang`` column is
+    NOT the label on purpose: the synthetic text is language-independent
+    token soup, so langid is unlearnable here — asserted by the base-rate
+    check in tests.)"""
+    from gensor_spark.operators.classifier import (
+        hashed_features,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rule = (T.quality_features(F.col("text"))["stopword_ratio"]
+            > 0.06).cast("int")
+    labeled = docs.select("doc_id", rule.alias("truth"))
+    feats = hashed_features(docs, n_features=1 << 16)
+    labels = labeled.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("truth").alias("label"))
+    w, b = train_quality_classifier(
+        feats, labels, n_features=1 << 16, iters=12, lr=2.0, l2=1e-6)
+    scored = score_quality(feats, w, b)
+    return scored.join(labeled, "doc_id").select(
+        "doc_id",
+        F.round("prob", 6).alias("prob"),
+        (F.col("prob") > 0.5).alias("pred"),
+        (F.col("truth") == 1).alias("truth"),
+        (F.col("doc_id") % 2 == 0).alias("in_train"),
+    )
+
+
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 line-level clean + doc keep decision (operators/qualityfilter.py
     ``c4_line_filter``) over the documents table. Registered in the
