@@ -22,6 +22,11 @@ from gensor_spark.operators.classifier import (
     score_quality,
     train_quality_classifier,
 )
+from gensor_spark.operators.matrixprofile import (
+    matrix_profile,
+    top_discords,
+    top_motifs,
+)
 from gensor_spark.operators.ddsketch import (
     cascade_dd,
     dd_quantize,

@@ -1134,6 +1134,24 @@ def q_rollup_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact matrix profile (STOMP, operators/matrixprofile.py) per series
+    at m=6 — the z-normalized nearest-neighbor distance + index for every
+    subsequence; argmin ties broken toward the smallest neighbor index so
+    the result is engine-independent. Registry tail (oracle window full);
+    the FULL DuckDB oracle — the definition replayed as a lag-product
+    window query — is pinned in tests/test_matrixprofile.py, alongside a
+    brute-force numpy reference for the kernel itself."""
+    from gensor_spark.operators.matrixprofile import matrix_profile
+
+    out = matrix_profile(_points(spark, sf_dir), m=6)
+    return out.select(
+        "doc_id", "source", "pos",
+        _r6(F.col("mp")).alias("mp"),
+        "mp_index",
+    )
+
+
 def q_pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PACF at lags 1..5 per series — registry entry outside the driver
     window (Durbin-Levinson recursion, not SQL-expressible); Yule-Walker
@@ -1921,6 +1939,7 @@ QUERIES["twa_rollup"] = q_twa_rollup
 QUERIES["c4_filter"] = q_c4_filter
 QUERIES["segmented_trend"] = q_segmented_trend
 QUERIES["rollup_dd"] = q_rollup_dd
+QUERIES["matrix_profile"] = q_matrix_profile
 QUERIES["quality_classifier"] = q_quality_classifier
 
 ORACLES: dict[str, str] = {
