@@ -22,6 +22,11 @@ from gensor_spark.operators.classifier import (
     score_quality,
     train_quality_classifier,
 )
+from gensor_spark.operators.esd import (
+    gesd_outliers,
+    seasonal_esd,
+    t_ppf,
+)
 from gensor_spark.operators.matrixprofile import (
     matrix_profile,
     top_discords,

@@ -1152,6 +1152,31 @@ def q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-Hybrid-ESD anomalies (operators/esd.py — Rosner's
+    generalized ESD with median/MAD robustification over the classic
+    seasonal-decomposition residual, the Twitter production detector) per
+    series at period=6 (>= 2 cycles even on the shortest sf0.01 series —
+    one occurrence per phase degenerates the residual to a constant).
+    Registry tail (iterative test with t-quantiles —
+    not SQL-expressible); the t-quantile is pinned against published
+    t-tables, the critical-value table against Rosner's canonical n=54
+    case, and distributed==kernel parity at rtol 1e-12 in
+    tests/test_esd.py."""
+    from gensor_spark.operators.esd import seasonal_esd
+
+    out = seasonal_esd(
+        _points(spark, sf_dir), period=6, max_anomalies=5, alpha=0.05)
+    return out.select(
+        "doc_id", "source", "seq",
+        _r6(F.col("value")).alias("value"),
+        _r6(F.col("resid")).alias("resid"),
+        "out_rank",
+        _r6(F.col("r_stat")).alias("r_stat"),
+        _r6(F.col("lambda_crit")).alias("lambda_crit"),
+    )
+
+
 def q_pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PACF at lags 1..5 per series — registry entry outside the driver
     window (Durbin-Levinson recursion, not SQL-expressible); Yule-Walker
@@ -1940,6 +1965,7 @@ QUERIES["c4_filter"] = q_c4_filter
 QUERIES["segmented_trend"] = q_segmented_trend
 QUERIES["rollup_dd"] = q_rollup_dd
 QUERIES["matrix_profile"] = q_matrix_profile
+QUERIES["seasonal_esd"] = q_seasonal_esd
 QUERIES["quality_classifier"] = q_quality_classifier
 
 ORACLES: dict[str, str] = {
