@@ -29,6 +29,7 @@ from gensor_spark.operators.esd import (
 )
 from gensor_spark.operators.matrixprofile import (
     matrix_profile,
+    pattern_search,
     top_discords,
     top_motifs,
 )

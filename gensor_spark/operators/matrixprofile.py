@@ -53,7 +53,7 @@ from pyspark.sql import types as T
 
 KEYS = ("doc_id", "source")
 
-__all__ = ["matrix_profile", "top_discords", "top_motifs"]
+__all__ = ["matrix_profile", "pattern_search", "top_discords", "top_motifs"]
 
 
 def _mp_kernel(
@@ -166,6 +166,101 @@ def matrix_profile(
         out.loc[mpi < 0, "mp_index"] = pd.NA
         out.loc[~np.isfinite(mp), "mp"] = None
         return out[[*keys, "pos", "mp", "mp_index"]]
+
+    return (
+        points.select(*keys, order_col, value_col)
+        .groupBy(*keys).applyInPandas(per_series, schema)
+    )
+
+
+def _dp_kernel(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Distance profile of query ``q`` against one series: z-normalized
+    Euclidean distance at every subsequence start (MASS semantics, direct
+    dot products — m is small and broadcast). NaN windows → NaN."""
+    m = len(q)
+    n = len(x)
+    p = n - m + 1
+    if p < 1:
+        return np.empty(0)
+    finite = np.isfinite(x)
+    xf = np.where(finite, x, 0.0)
+    cnt = np.cumsum(np.concatenate([[0], finite.astype(np.int64)]))
+    valid = (cnt[m:] - cnt[:-m]) == m
+    c1 = np.cumsum(np.concatenate([[0.0], xf]))
+    c2 = np.cumsum(np.concatenate([[0.0], xf * xf]))
+    mu = (c1[m:] - c1[:-m]) / m
+    sig = np.sqrt(np.maximum((c2[m:] - c2[:-m]) / m - mu * mu, 0.0))
+    flat = sig <= 1e-13 * np.maximum(np.abs(mu), 1.0)
+    mq, sq = float(q.mean()), float(q.std())
+    qflat = sq <= 1e-13 * max(abs(mq), 1.0)
+    qt = np.correlate(xf, q, mode="valid")
+    sqm = math.sqrt(m)
+    if qflat:
+        d = np.where(flat, 0.0, sqm)
+    else:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = (qt - m * mq * mu) / (m * sq * sig)
+        d = np.sqrt(np.maximum(2.0 * m * (1.0 - corr), 0.0))
+        d[flat] = sqm
+    d[~valid] = np.nan
+    return d
+
+
+def pattern_search(
+    points: DataFrame,
+    query,
+    keys: Iterable[str] = KEYS,
+    value_col: str = "value",
+    order_col: str = "seq",
+    max_dist: float | None = None,
+    per_series_k: int | None = None,
+) -> DataFrame:
+    """Query-by-shape across EVERY series (the MASS/"UCR suite" search):
+    z-normalized distance between the broadcast ``query`` pattern and each
+    subsequence of each series. The 100 TB plan: the query ships in the
+    kernel closure (a handful of floats), each series computes its profile
+    row-locally on the existing series-key Exchange, and the output is cut
+    EARLY — ``per_series_k`` keeps only each series' best matches inside
+    the kernel and ``max_dist`` drops non-matches before anything wide
+    happens, so a global top-k over the result plans as
+    TakeOrderedAndProject on a frame already bounded by series count.
+
+    Output grain: (keys..., pos, dist) — one row per surviving
+    subsequence start; ``dist`` NULL never emitted (invalid windows are
+    dropped, they cannot match). Scale invariance is inherited from
+    z-normalization: a pattern is found at any offset/amplitude.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    if q.ndim != 1 or len(q) < 2:
+        raise ValueError("query must be a 1-D pattern of length >= 2")
+    if not np.isfinite(q).all():
+        raise ValueError("query must be finite")
+    keys = list(keys)
+    fields = [T.StructField(f.name, f.dataType) for f in points.schema.fields
+              if f.name in keys]
+    schema = T.StructType(fields + [
+        T.StructField("pos", T.LongType()),
+        T.StructField("dist", T.DoubleType()),
+    ])
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        d = _dp_kernel(x, q)
+        pos = np.arange(len(d), dtype=np.int64)
+        keep = np.isfinite(d)
+        if max_dist is not None:
+            keep &= d <= max_dist
+        pos, d = pos[keep], d[keep]
+        if per_series_k is not None and len(d) > per_series_k:
+            cut = np.argsort(d, kind="stable")[:per_series_k]
+            cut.sort()
+            pos, d = pos[cut], d[cut]
+        out = pd.DataFrame({"pos": pos})
+        for k in keys:
+            out[k] = pdf[k].iloc[0] if len(pdf) else None
+        out["dist"] = d
+        return out[[*keys, "pos", "dist"]]
 
     return (
         points.select(*keys, order_col, value_col)

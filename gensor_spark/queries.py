@@ -1177,6 +1177,28 @@ def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the fixed query shape for the pattern_search driver row: a rise-and-fall
+# spike (z-normalization makes the literal scale irrelevant)
+PATTERN_QUERY = (0.0, 2.0, 4.0, 2.0, 0.0, -2.0)
+
+
+def q_pattern_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-shape across every series (operators/matrixprofile.py
+    ``pattern_search`` — the MASS distance profile, broadcast-query +
+    row-local per-series computation, scale/offset invariant by
+    z-normalization). Grain: every valid subsequence start with its
+    distance to the fixed PATTERN_QUERY shape. Registry tail; the full
+    DuckDB oracle (query VALUES table joined on the offset, window
+    moments) is pinned in tests/test_matrixprofile.py."""
+    from gensor_spark.operators.matrixprofile import pattern_search
+
+    out = pattern_search(_points(spark, sf_dir), PATTERN_QUERY)
+    return out.select(
+        "doc_id", "source", "pos",
+        _r6(F.col("dist")).alias("dist"),
+    )
+
+
 def q_pacf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PACF at lags 1..5 per series — registry entry outside the driver
     window (Durbin-Levinson recursion, not SQL-expressible); Yule-Walker
@@ -1966,6 +1988,7 @@ QUERIES["segmented_trend"] = q_segmented_trend
 QUERIES["rollup_dd"] = q_rollup_dd
 QUERIES["matrix_profile"] = q_matrix_profile
 QUERIES["seasonal_esd"] = q_seasonal_esd
+QUERIES["pattern_search"] = q_pattern_search
 QUERIES["quality_classifier"] = q_quality_classifier
 
 ORACLES: dict[str, str] = {

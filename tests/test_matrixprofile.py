@@ -13,8 +13,10 @@ import pandas as pd
 import pytest
 
 from gensor_spark.operators.matrixprofile import (
+    _dp_kernel,
     _mp_kernel,
     matrix_profile,
+    pattern_search,
     top_discords,
     top_motifs,
 )
@@ -230,3 +232,124 @@ def test_matches_duckdb_oracle_on_testdata(spark):
     ei = exp["mp_index"].to_numpy(dtype=float)
     np.testing.assert_array_equal(np.isnan(gi), np.isnan(ei))
     np.testing.assert_array_equal(gi[~np.isnan(gi)], ei[~np.isnan(ei)])
+
+
+# --------------------------------------------------------------------------
+# pattern search (MASS distance profile)
+# --------------------------------------------------------------------------
+
+def test_dp_kernel_matches_brute_force():
+    rng = np.random.default_rng(13)
+    x = rng.normal(0, 1, 50).cumsum()
+    q = rng.normal(0, 1, 7)
+    d = _dp_kernel(x, q)
+    for i in range(len(x) - 7 + 1):
+        assert math.isclose(d[i], _znorm_dist(q, x[i:i + 7]),
+                            rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_dp_kernel_nan_and_flat():
+    x = np.array([1.0, 2.0, np.nan, 4.0, 5.0, 5.0, 5.0, 5.0, 9.0, 1.0])
+    q = np.array([1.0, 2.0, 3.0])
+    d = _dp_kernel(x, q)
+    assert np.isnan(d[0]) and np.isnan(d[1]) and np.isnan(d[2])
+    assert math.isclose(d[4], math.sqrt(3))  # flat window vs non-flat query
+
+
+def test_pattern_found_at_any_scale_and_offset(spark):
+    rng = np.random.default_rng(7)
+    q = np.sin(np.linspace(0, 2 * np.pi, 12))
+    frames = []
+    for d_i, (a, b, at) in enumerate([(1.0, 0.0, 30), (250.0, 1000.0, 70)]):
+        x = rng.normal(0, 1, 120) * 4
+        x[at:at + 12] = a * q + b  # same SHAPE, wildly different scale
+        frames.append(pd.DataFrame({
+            "doc_id": f"d{d_i}", "source": "s",
+            "seq": np.arange(120), "value": x}))
+    pts = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    hits = (
+        pattern_search(pts, q, max_dist=0.01)
+        .orderBy("doc_id").collect()
+    )
+    assert [(h["doc_id"], h["pos"]) for h in hits] == [("d0", 30), ("d1", 70)]
+
+
+def test_per_series_k_cut(spark):
+    pdf = pd.DataFrame({
+        "doc_id": "s", "source": "a", "seq": np.arange(60),
+        "value": np.sin(np.arange(60) / 2.0),
+    })
+    pts = spark.createDataFrame(pdf)
+    q = np.sin(np.arange(8) / 2.0)
+    full = pattern_search(pts, q).toPandas()
+    cut = pattern_search(pts, q, per_series_k=5).toPandas()
+    assert len(full) == 53 and len(cut) == 5
+    # the kept five are exactly the five smallest distances
+    np.testing.assert_allclose(
+        np.sort(cut["dist"]), np.sort(full["dist"])[:5], rtol=1e-12)
+
+
+def _pattern_oracle_sql(sf_dir: str, q: list[float]) -> str:
+    m = len(q)
+    vals = ", ".join(f"({k}, {v!r}::DOUBLE)" for k, v in enumerate(q))
+    return f"""
+    WITH pts AS (
+      SELECT user_id::VARCHAR AS doc_id, event_type AS source, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) - 1 AS seq
+      FROM read_parquet('{sf_dir}/events.parquet')
+    ),
+    q(k, qv) AS (VALUES {vals}),
+    qs AS (SELECT avg(qv) AS mq, stddev_pop(qv) AS sq FROM q),
+    win AS (
+      SELECT doc_id, source, i, mu, sig,
+             (sig <= 1e-13 * greatest(abs(mu), 1.0)) AS flat
+      FROM (
+        SELECT doc_id, source, seq AS i,
+               avg(value) OVER w AS mu,
+               stddev_pop(value) OVER w AS sig,
+               count(*) OVER w AS c
+        FROM pts
+        WINDOW w AS (PARTITION BY doc_id, source ORDER BY seq
+                     ROWS BETWEEN CURRENT ROW AND {m - 1} FOLLOWING)
+      ) WHERE c = {m}
+    ),
+    qt AS (
+      SELECT p.doc_id, p.source, p.seq - q.k AS pos,
+             sum(p.value * q.qv) AS qt, count(*) AS c
+      FROM pts p JOIN q ON p.seq - q.k >= 0
+      GROUP BY 1, 2, 3
+    ),
+    dist AS (
+      SELECT w.doc_id, w.source, w.i AS pos,
+             CASE WHEN w.flat THEN sqrt({m}::DOUBLE)
+                  ELSE sqrt(greatest(2.0 * {m} * (1.0 -
+                    (t.qt - {m} * qs.mq * w.mu) / ({m} * qs.sq * w.sig)),
+                    0.0)) END AS dist
+      FROM win w
+      JOIN qt t ON t.doc_id = w.doc_id AND t.source = w.source
+               AND t.pos = w.i AND t.c = {m}
+      CROSS JOIN qs
+    )
+    SELECT doc_id, source, pos, round(dist + 1e-9, 6) AS dist
+    FROM dist ORDER BY doc_id, source, pos
+    """
+
+
+def test_pattern_search_matches_duckdb_oracle(spark):
+    import __spark_entry__ as E
+
+    got = (
+        E.queries()["pattern_search"](spark, SF)
+        .orderBy("doc_id", "source", "pos")
+        .toPandas()
+    )
+    from gensor_spark.queries import PATTERN_QUERY
+    exp = duckdb.connect().execute(
+        _pattern_oracle_sql(SF, list(PATTERN_QUERY))).df()
+    assert len(got) == len(exp) > 0
+    np.testing.assert_array_equal(got["doc_id"], exp["doc_id"])
+    np.testing.assert_array_equal(got["pos"], exp["pos"])
+    np.testing.assert_allclose(
+        got["dist"].to_numpy(dtype=float), exp["dist"].to_numpy(dtype=float),
+        rtol=0, atol=1.1e-6)
