@@ -34,6 +34,8 @@ one tenant) exactly like every published correlation-matrix job; the
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W
@@ -1135,6 +1137,133 @@ def seasonal_anomaly(
     )
 
 
+# ---------------------------------------------------------------------------
+# Theta method (Assimakopoulos & Nikolopoulos 2000)
+# ---------------------------------------------------------------------------
+
+def _ses_level(x: np.ndarray, alpha: float) -> float:
+    """Plain SES final level over the non-NaN values (init = first value)."""
+    l = None
+    for v in x:
+        if np.isnan(v):
+            continue
+        l = v if l is None else alpha * v + (1.0 - alpha) * l
+    return float("nan") if l is None else l
+
+
+def _ses_sse(x: np.ndarray, alpha: float) -> float:
+    """One-step-ahead SSE of plain SES (the alpha-selection objective)."""
+    l = None
+    sse = 0.0
+    for v in x:
+        if np.isnan(v):
+            continue
+        if l is not None:
+            sse += (v - l) ** 2
+        l = v if l is None else alpha * v + (1.0 - alpha) * l
+    return sse
+
+
+def _theta_alpha(x: np.ndarray) -> float:
+    """Golden-section minimization of the SES one-step SSE over alpha in
+    [0.01, 0.99] — deterministic, wheel-free (the box_cox_mle pattern)."""
+    lo, hi = 0.01, 0.99
+    gr = (math.sqrt(5.0) - 1.0) / 2.0
+    c = hi - gr * (hi - lo)
+    d = lo + gr * (hi - lo)
+    fc, fd = _ses_sse(x, c), _ses_sse(x, d)
+    for _ in range(60):
+        if fc < fd:
+            hi, d, fd = d, c, fc
+            c = hi - gr * (hi - lo)
+            fc = _ses_sse(x, c)
+        else:
+            lo, c, fc = c, d, fd
+            d = lo + gr * (hi - lo)
+            fd = _ses_sse(x, d)
+    return 0.5 * (lo + hi)
+
+
+def _prefix_ols_slope(x: np.ndarray) -> float:
+    """OLS slope of the non-NaN values against their 1-based observation
+    ordinal (the classical theta time index)."""
+    v = x[~np.isnan(x)]
+    n = len(v)
+    if n < 2:
+        return float("nan")
+    t = np.arange(1.0, n + 1.0)
+    tc = t - t.mean()
+    denom = float((tc * tc).sum())
+    return float((tc * (v - v.mean())).sum() / denom)
+
+
+def theta_forecast(
+    points: DataFrame,
+    h: int,
+    alpha: float | None = None,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+) -> DataFrame:
+    """Theta-method h-step forecasts per series (Assimakopoulos &
+    Nikolopoulos 2000 — the M3-competition winner), in the Hyndman &
+    Billah 2003 equivalent form: SES with drift b/2,
+
+        yhat(n+k) = l_n + (b/2) * [(k - 1) + (1 - (1-alpha)^n) / alpha]
+
+    where ``l_n`` is the plain-SES level, ``b`` the OLS slope of the
+    series on its observation ordinal, and ``n`` the observation count.
+    The drift grows at HALF the fitted trend — theta's signature damping,
+    which is exactly why it beat full-trend extrapolation in M3.
+    ``alpha=None`` selects alpha per series by golden-section on the SES
+    one-step SSE. Series with < 3 observations yield NULL forecasts
+    (mask-don't-crash). One Arrow crossing on the series key; per-series
+    work is O(n + h).
+
+    Output grain: (keys..., step 1..h, yhat, alpha, slope).
+    """
+    if h < 1:
+        raise ValueError(f"h must be >= 1, got {h}")
+    if alpha is not None and not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    schema = T.StructType(
+        [f for f in points.schema.fields if f.name in keys]
+        + [T.StructField("step", T.IntegerType()),
+           T.StructField("yhat", T.DoubleType()),
+           T.StructField("alpha", T.DoubleType()),
+           T.StructField("slope", T.DoubleType())]
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].to_numpy(dtype=float)
+        v = x[~np.isnan(x)]
+        n = len(v)
+        steps = np.arange(1, h + 1, dtype=np.int64)
+        if n < 3:
+            yhat = np.full(h, np.nan)
+            a_used = slope = float("nan")
+        else:
+            a_used = _theta_alpha(v) if alpha is None else float(alpha)
+            l = _ses_level(v, a_used)
+            slope = _prefix_ols_slope(v)
+            carry = (1.0 - (1.0 - a_used) ** n) / a_used
+            yhat = l + 0.5 * slope * ((steps - 1) + carry)
+        out = pd.DataFrame({"step": steps.astype("int32")})
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        out["yhat"] = yhat
+        out["alpha"] = a_used
+        out["slope"] = slope
+        out.loc[~np.isfinite(out["yhat"]), "yhat"] = None
+        if not np.isfinite(a_used):
+            out["alpha"] = None
+            out["slope"] = None
+        return out[[f.name for f in schema.fields]]
+
+    return per_series_map(points, per_series, schema, keys=keys)
+
+
 def smoother_backtest(
     points: DataFrame,
     period: int,
@@ -1146,9 +1275,12 @@ def smoother_backtest(
     value_col: str = "value",
 ) -> DataFrame:
     """Which smoother fits each series? One-step-ahead backtest of the
-    exponential family (EWMA / Holt / Holt-Winters) on the tail of every
-    series — the model-selection verb that turns the family from three
-    separate calls into an answer.
+    exponential family (EWMA / Holt / Theta / Holt-Winters) on the tail of
+    every series — the model-selection verb that turns the family from
+    four separate calls into an answer. Theta runs in the Hyndman-Billah
+    SES+drift form with the slope REFIT at every rolling origin (prefix
+    OLS, O(1) incremental), so its predictions are leakage-free like the
+    others.
 
     For each method the one-step-ahead prediction at t uses state through
     t−1 (EWMA: ŷ_t = ewma_{t−1}; Holt: l_{t−1}+b_{t−1}; HW: the kernel's
@@ -1158,11 +1290,11 @@ def smoother_backtest(
     state cannot initialize on a series (HW needs 2·period observations)
     report NULL mae and never win.
 
-    All three recurrences run in ONE Arrow-kernel pass per series (one
+    All four recurrences run in ONE Arrow-kernel pass per series (one
     shuffle total — not three operator calls). Output: one row per
     (series, method): (keys..., method, n_eval, mae, best) with ``best``
-    marking the minimal-MAE method (ties break ewma < holt < hw, i.e.
-    toward the simpler model).
+    marking the minimal-MAE method (ties break ewma < holt < theta < hw,
+    i.e. toward the simpler model).
     """
     if not 0.0 < eval_fraction < 1.0:
         raise ValueError(f"eval_fraction must be in (0,1), got {eval_fraction}")
@@ -1177,7 +1309,7 @@ def smoother_backtest(
            T.StructField("mae", T.DoubleType()),
            T.StructField("best", T.BooleanType())]
     )
-    order = ["ewma", "holt", "hw"]
+    order = ["ewma", "holt", "theta", "hw"]
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].to_numpy(dtype=float)
@@ -1194,10 +1326,30 @@ def smoother_backtest(
             # one-step-ahead: the PREVIOUS observation's state predicts this
             # one; prev_obs[i] maps eval positions to their predecessor
             pos = {int(i): k for k, i in enumerate(obs)}
+            # theta (Hyndman-Billah SES+drift form, rolling origin): the
+            # h=1 forecast from origin m is lev_m + (slope_m/2) *
+            # (1-(1-a)^m)/a with prefix-OLS slope and prefix-SES level,
+            # both O(1)-incremental over the observation sequence
+            v = x[obs]
+            m1 = np.arange(1.0, n + 1.0)
+            lev = np.empty(n)
+            acc = v[0]
+            lev[0] = acc
+            for kk in range(1, n):
+                acc = alpha * v[kk] + (1.0 - alpha) * acc
+                lev[kk] = acc
+            ct, cv = np.cumsum(m1), np.cumsum(v)
+            ctt, ctv = np.cumsum(m1 * m1), np.cumsum(m1 * v)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                slp = (m1 * ctv - ct * cv) / (m1 * ctt - ct * ct)
+            carry = (1.0 - (1.0 - alpha) ** m1) / alpha
+            theta_fit = lev + 0.5 * np.where(m1 >= 2, slp, np.nan) * carry
             preds = {
                 "ewma": np.array([ew[obs[pos[int(i)] - 1]] for i in eval_idx]),
                 "holt": np.array([lv[obs[pos[int(i)] - 1]]
                                   + tr[obs[pos[int(i)] - 1]] for i in eval_idx]),
+                "theta": np.array([theta_fit[pos[int(i)] - 1]
+                                   for i in eval_idx]),
                 "hw": hw_fit[eval_idx],
             }
             for m in order:

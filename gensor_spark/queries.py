@@ -893,6 +893,23 @@ def q_hw_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "step", _r6(F.col("yhat")).alias("yh"))
 
 
+def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-step Theta-method forecast per series (Hyndman-Billah SES+drift
+    form, per-series auto-alpha by golden-section SSE) — registry tail
+    (iterative alpha selection + recurrence); loop-reference parity, the
+    half-trend drift signature, and rolling-origin backtest agreement are
+    pinned in tests/test_seriesstats.py."""
+    from gensor_spark.operators.seriesstats import theta_forecast
+
+    out = theta_forecast(_points(spark, sf_dir), h=8)
+    return out.select(
+        "doc_id", "source", "step",
+        _r6(F.col("yhat")).alias("yhat"),
+        _r6(F.col("alpha")).alias("alpha"),
+        _r6(F.col("slope")).alias("slope"),
+    )
+
+
 def q_smoother_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin one-step-ahead backtest of the exponential family
     (ewma/holt/hw, 24h season) — the model-selection verb: one (series,
@@ -1957,6 +1974,7 @@ QUERIES["lttb_downsample"] = q_lttb_downsample
 QUERIES["holt_smooth"] = q_holt_smooth
 QUERIES["hw_smooth"] = q_hw_smooth
 QUERIES["hw_forecast"] = q_hw_forecast
+QUERIES["theta_forecast"] = q_theta_forecast
 QUERIES["smoother_backtest"] = q_smoother_backtest
 QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["sax_words"] = q_sax_words

@@ -1249,7 +1249,7 @@ def test_backtest_model_selection_on_planted_series(spark):
     df = spark.createDataFrame(
         rows, "doc_id string, source string, seq int, value double")
     out = smoother_backtest(df, period=m).toPandas()
-    assert len(out) == 9  # 3 series x 3 methods
+    assert len(out) == 12  # 3 series x 4 methods
     best = {d: g.loc[g.best, "method"].iloc[0]
             for d, g in out.groupby("doc_id")}
     assert best["seasonal"] == "hw"
@@ -1471,3 +1471,103 @@ def test_rolling_corr_validation(spark):
         rolling_corr(df, pairs=[("a", "b")], window=1)
     with _pt.raises(ValueError):
         rolling_corr(df, pairs=[])
+
+
+# ------------------------------------------------------------ theta method
+
+def _theta_loop(x, h, alpha):
+    """Independent loop reference: H&B SES-with-drift theta (theta=2)."""
+    v = [float(u) for u in x if not np.isnan(u)]
+    n = len(v)
+    l = v[0]
+    for u in v[1:]:
+        l = alpha * u + (1 - alpha) * l
+    tbar = (n + 1) / 2.0
+    vbar = sum(v) / n
+    num = sum((t - tbar) * (u - vbar) for t, u in zip(range(1, n + 1), v))
+    den = sum((t - tbar) ** 2 for t in range(1, n + 1))
+    b = num / den
+    carry = (1 - (1 - alpha) ** n) / alpha
+    return [l + 0.5 * b * ((k - 1) + carry) for k in range(1, h + 1)], b
+
+
+def test_theta_forecast_matches_loop_reference(spark):
+    from gensor_spark.operators.seriesstats import theta_forecast
+
+    rng = np.random.default_rng(4)
+    x = 3.0 + 0.7 * np.arange(60) + rng.normal(0, 1.5, 60)
+    x[7] = np.nan
+    df = spark.createDataFrame(
+        [("d", "s", int(i), None if np.isnan(v) else float(v))
+         for i, v in enumerate(x)],
+        "doc_id string, source string, seq int, value double")
+    got = (theta_forecast(df, h=5, alpha=0.35)
+           .orderBy("step").toPandas())
+    want, b = _theta_loop(x, 5, 0.35)
+    np.testing.assert_allclose(got["yhat"], want, rtol=1e-12)
+    np.testing.assert_allclose(got["slope"], b, rtol=1e-12)
+    assert (got["alpha"] == 0.35).all()
+
+
+def test_theta_ramp_drifts_at_half_trend(spark):
+    # theta's signature: the forecast path climbs at HALF the fitted slope
+    from gensor_spark.operators.seriesstats import theta_forecast
+
+    df = spark.createDataFrame(
+        [("d", "s", int(i), 2.0 + 3.0 * i) for i in range(50)],
+        "doc_id string, source string, seq int, value double")
+    got = theta_forecast(df, h=4, alpha=0.5).orderBy("step").toPandas()
+    np.testing.assert_allclose(np.diff(got["yhat"]), 1.5, rtol=1e-9)
+    np.testing.assert_allclose(got["slope"], 3.0, rtol=1e-12)
+
+
+def test_theta_auto_alpha_and_short_series(spark):
+    from gensor_spark.operators.seriesstats import theta_forecast
+
+    rng = np.random.default_rng(12)
+    rows = [("long", "s", int(i), float(v))
+            for i, v in enumerate(rng.normal(10, 1, 40))]
+    rows += [("short", "s", 0, 1.0), ("short", "s", 1, 2.0)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, seq int, value double")
+    got = theta_forecast(df, h=2).toPandas()
+    lg = got[got.doc_id == "long"]
+    assert lg["yhat"].notna().all()
+    assert (lg["alpha"].between(0.01, 0.99)).all()
+    sh = got[got.doc_id == "short"]
+    assert len(sh) == 2 and sh["yhat"].isna().all()
+
+
+def test_backtest_theta_beats_ewma_on_trend(spark):
+    # on a strong ramp the drift term must buy theta a lower MAE than
+    # the drift-free ewma (holt may still win; theta >= ewma is the claim)
+    from gensor_spark.operators.seriesstats import smoother_backtest
+
+    rng = np.random.default_rng(6)
+    x = 1.0 + 2.0 * np.arange(120) + rng.normal(0, 0.3, 120)
+    df = spark.createDataFrame(
+        [("d", "s", int(i), float(v)) for i, v in enumerate(x)],
+        "doc_id string, source string, seq int, value double")
+    out = smoother_backtest(df, period=8).toPandas().set_index("method")
+    assert out.loc["theta", "mae"] < out.loc["ewma", "mae"]
+
+
+def test_backtest_theta_matches_hand_rolled(spark):
+    from gensor_spark.operators.seriesstats import smoother_backtest
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(0, 1, 40).cumsum()
+    df = spark.createDataFrame(
+        [("d", "s", int(i), float(v)) for i, v in enumerate(x)],
+        "doc_id string, source string, seq int, value double")
+    out = smoother_backtest(df, period=4, eval_fraction=0.25,
+                            alpha=0.4, beta=0.2, gamma=0.3).toPandas()
+    # hand-rolled rolling-origin theta h=1 predictions
+    n_eval = 10
+    preds = []
+    for origin in range(len(x) - n_eval, len(x)):
+        want, _ = _theta_loop(x[:origin], 1, 0.4)
+        preds.append(want[0])
+    mae = float(np.abs(np.array(preds) - x[-n_eval:]).mean())
+    got = out.set_index("method").loc["theta", "mae"]
+    np.testing.assert_allclose(got, mae, rtol=1e-12)
