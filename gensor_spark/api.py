@@ -399,6 +399,17 @@ class Dataset:
                            alpha=alpha, beta=beta, gamma=gamma,
                            keys=self.keys)
 
+    def forecast_ar(self, horizon: int, p: int | None = None,
+                    max_p: int = 8) -> DataFrame:
+        """h-step Yule-Walker AR forecast per series: (keys, step, yhat,
+        p, sigma2). ``p=None`` selects the order per series by AIC — the
+        linear-memory complement to the exponential ``forecast()``
+        (captures oscillation / mean-reversion, decays to the mean)."""
+        from gensor_spark.operators.seriesstats import ar_forecast
+
+        return ar_forecast(self.df, h=horizon, p=p, max_p=max_p,
+                           keys=self.keys)
+
     def ks_drift(self, split_fraction: float = 0.5) -> DataFrame:
         """Two-sample KS test between each series' early and late parts —
         did the value DISTRIBUTION drift (the change ``changepoint()`` and

@@ -57,6 +57,7 @@ from gensor_spark.operators.seriesstats import (
     cusum_changepoint,
     ewma,
     holt_smooth,
+    ar_forecast,
     hw_forecast,
     hw_smooth,
     ks_split,
@@ -67,6 +68,7 @@ from gensor_spark.operators.seriesstats import (
     rolling_corr,
     series_corr,
     smoother_backtest,
+    theta_forecast,
 )
 from gensor_spark.operators.drift import (
     psi_numeric,
@@ -136,6 +138,8 @@ __all__ = [
     "holt_smooth",
     "hw_smooth",
     "hw_forecast",
+    "ar_forecast",
+    "theta_forecast",
     "ks_split",
     "psi_numeric",
     "psi_vs_reference",

@@ -1264,6 +1264,140 @@ def theta_forecast(
     return per_series_map(points, per_series, schema, keys=keys)
 
 
+def _yule_walker(x: np.ndarray, max_p: int):
+    """Levinson-Durbin over the biased autocovariances of the (already
+    demeaned, NaN-free) series ``x``: returns ``(phis, sigma2)`` where
+    ``phis[k]`` is the length-k coefficient vector of the order-k
+    Yule-Walker AR fit and ``sigma2[k]`` its innovation variance
+    (``sigma2[0]`` is the plain variance — the mean-only model).
+
+    The biased estimator (fixed denominator n) keeps the autocovariance
+    sequence positive-definite, so the recursion is stable and every
+    ``sigma2[k]`` is non-increasing; the recursion stops early if a step
+    degenerates (``sigma2`` hits 0 — a perfectly predictable series), and
+    the caller sees only the orders actually fitted.
+    """
+    n = len(x)
+    kmax = max(0, min(max_p, n - 1))
+    gamma0 = float(x @ x) / n
+    phis: list[np.ndarray] = [np.empty(0)]
+    sigma2 = [gamma0]
+    if gamma0 <= 0.0:
+        return phis, np.array(sigma2)
+    gamma = np.array(
+        [float(x[k:] @ x[:-k]) / n for k in range(1, kmax + 1)]
+    )
+    phi_prev = np.empty(0)
+    for k in range(1, kmax + 1):
+        prev_var = sigma2[k - 1]
+        if prev_var <= 0.0:
+            break
+        if k == 1:
+            kappa = gamma[0] / gamma0
+            phi = np.array([kappa])
+        else:
+            kappa = (
+                gamma[k - 1] - float(phi_prev @ gamma[k - 2 :: -1][: k - 1])
+            ) / prev_var
+            phi = np.append(phi_prev - kappa * phi_prev[::-1], kappa)
+        phis.append(phi)
+        sigma2.append(prev_var * (1.0 - kappa * kappa))
+        phi_prev = phi
+    return phis, np.array(sigma2)
+
+
+def ar_forecast(
+    points: DataFrame,
+    h: int,
+    p: int | None = None,
+    max_p: int = 8,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+) -> DataFrame:
+    """AR(p) h-step forecasts per series by Yule-Walker — the classical
+    linear-memory forecaster that completes the engine's family (EWMA /
+    Holt / Holt-Winters capture level+trend+season, theta damps a trend;
+    AR captures oscillation and mean-reversion none of them can express,
+    e.g. a sensor bouncing around equilibrium forecasts a decaying
+    oscillation, not a flat level).
+
+    Fit: demean, biased autocovariances, Levinson-Durbin (the same
+    recursion ``pacf`` uses — YW order-k coefficients fall out of the
+    PACF recursion for free). ``p=None`` selects the order per series by
+    AIC over 0..``max_p``: ``n·ln(sigma2_k) + 2k`` on the recursion's
+    innovation variances — no refits, the single DL sweep prices every
+    order. A degenerate (constant) series selects p=0 and forecasts its
+    mean. Forecast: the standard recursive plug-in — unknown future
+    values are replaced by their own forecasts; the prediction decays
+    toward the series mean at the AR polynomial's rate.
+
+    Series with < 3 observations yield NULL forecasts (mask-don't-crash).
+    One Arrow crossing on the series key (udfkernel.per_series_map);
+    per-series work is O(n·max_p + max_p² + h·p).
+
+    Output grain: ``(keys..., step 1..h, yhat, p, sigma2)`` — ``p`` the
+    order used and ``sigma2`` its innovation variance (the 1-step-ahead
+    forecast-error variance, what a caller needs for prediction bands).
+    """
+    if h < 1:
+        raise ValueError(f"h must be >= 1, got {h}")
+    if p is not None and p < 0:
+        raise ValueError(f"p must be >= 0, got {p}")
+    if max_p < 0:
+        raise ValueError(f"max_p must be >= 0, got {max_p}")
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    schema = T.StructType(
+        [f for f in points.schema.fields if f.name in keys]
+        + [T.StructField("step", T.IntegerType()),
+           T.StructField("yhat", T.DoubleType()),
+           T.StructField("p", T.IntegerType()),
+           T.StructField("sigma2", T.DoubleType())]
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].to_numpy(dtype=float)
+        v = x[~np.isnan(x)]
+        n = len(v)
+        steps = np.arange(1, h + 1, dtype=np.int64)
+        out = pd.DataFrame({"step": steps.astype("int32")})
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        if n < 3:
+            out["yhat"] = None
+            out["p"] = None
+            out["sigma2"] = None
+            return out[[f.name for f in schema.fields]]
+        mu = float(v.mean())
+        fit_cap = p if p is not None else max_p
+        phis, sig2 = _yule_walker(v - mu, fit_cap)
+        if p is not None:
+            order = min(p, len(phis) - 1)  # shorter series caps the order
+        else:
+            # AIC over the orders the sweep fitted; log(0) would be a
+            # perfect fit — floor the variance at machine-tiny so the
+            # smallest perfectly-fitting order wins without -inf math
+            aic = n * np.log(np.maximum(sig2, 1e-300)) \
+                + 2.0 * np.arange(len(sig2))
+            order = int(np.argmin(aic))
+        phi = phis[order]
+        # recursive plug-in forecast on the demeaned tail
+        ext = list((v - mu)[n - order:] if order else ())
+        yhat = np.empty(h)
+        for i in range(h):
+            pred = 0.0
+            for j in range(order):  # phi_j multiplies x_{t+1-j}
+                pred += phi[j] * ext[len(ext) - 1 - j]
+            ext.append(pred)
+            yhat[i] = mu + pred
+        out["yhat"] = yhat
+        out["p"] = np.int32(order)
+        out["sigma2"] = float(sig2[order])
+        return out[[f.name for f in schema.fields]]
+
+    return per_series_map(points, per_series, schema, keys=keys)
+
+
 def smoother_backtest(
     points: DataFrame,
     period: int,

@@ -910,6 +910,23 @@ def q_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-step Yule-Walker AR forecast per series with AIC order selection
+    (max_p=6) — registry tail (Levinson-Durbin recursion); the kernel is
+    pinned in tests/test_seriesstats.py against an independent direct
+    Toeplitz solve, a loop-reference forecast, and order recovery on a
+    synthetic AR(2)."""
+    from gensor_spark.operators.seriesstats import ar_forecast
+
+    out = ar_forecast(_points(spark, sf_dir), h=6, max_p=6)
+    return out.select(
+        "doc_id", "source", "step",
+        _r6(F.col("yhat")).alias("yhat"),
+        "p",
+        _r6(F.col("sigma2")).alias("sigma2"),
+    )
+
+
 def q_smoother_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin one-step-ahead backtest of the exponential family
     (ewma/holt/hw, 24h season) — the model-selection verb: one (series,
@@ -2008,6 +2025,7 @@ QUERIES["matrix_profile"] = q_matrix_profile
 QUERIES["seasonal_esd"] = q_seasonal_esd
 QUERIES["pattern_search"] = q_pattern_search
 QUERIES["quality_classifier"] = q_quality_classifier
+QUERIES["ar_forecast"] = q_ar_forecast
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

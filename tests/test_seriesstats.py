@@ -1571,3 +1571,113 @@ def test_backtest_theta_matches_hand_rolled(spark):
     mae = float(np.abs(np.array(preds) - x[-n_eval:]).mean())
     got = out.set_index("method").loc["theta", "mae"]
     np.testing.assert_allclose(got, mae, rtol=1e-12)
+
+
+# ------------------------------------------------------------ AR / Yule-Walker
+
+def _yw_direct(x, p):
+    """Independent reference: solve the order-p Yule-Walker Toeplitz system
+    directly (np.linalg.solve), no Levinson-Durbin shortcuts."""
+    v = np.asarray([u for u in x if not np.isnan(u)], dtype=float)
+    v = v - v.mean()
+    n = len(v)
+    g = np.array([float(v[k:] @ v[: n - k]) / n for k in range(p + 1)])
+    G = np.array([[g[abs(i - j)] for j in range(p)] for i in range(p)])
+    phi = np.linalg.solve(G, g[1 : p + 1])
+    return phi, float(g[0] - phi @ g[1 : p + 1])
+
+
+def _ar_loop_forecast(x, phi, h):
+    """Loop reference for the recursive plug-in forecast."""
+    v = [float(u) for u in x if not np.isnan(u)]
+    mu = sum(v) / len(v)
+    ext = [u - mu for u in v]
+    out = []
+    for _ in range(h):
+        pred = sum(phi[j] * ext[-1 - j] for j in range(len(phi)))
+        ext.append(pred)
+        out.append(mu + pred)
+    return out
+
+
+def _ar2_series(seed=7, n=400):
+    rng = np.random.default_rng(seed)
+    e = rng.normal(0, 1.0, n + 100)
+    x = np.zeros(n + 100)
+    for t in range(2, n + 100):
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + e[t]
+    return x[100:] + 5.0
+
+
+def test_yule_walker_kernel_matches_direct_solve():
+    from gensor_spark.operators.seriesstats import _yule_walker
+
+    x = _ar2_series(n=2000)
+    xd = x - x.mean()
+    phis, sig2 = _yule_walker(xd, 6)
+    for p in (1, 2, 3, 6):
+        phi_r, s2_r = _yw_direct(x, p)
+        np.testing.assert_allclose(phis[p], phi_r, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(sig2[p], s2_r, rtol=1e-9)
+
+
+def test_ar_forecast_matches_loop_reference(spark):
+    from gensor_spark.operators.seriesstats import ar_forecast
+
+    x = _ar2_series(seed=11, n=120)
+    x[13] = np.nan  # NaN observations are dropped, not zeroed
+    df = spark.createDataFrame(
+        [("d", "s", int(i), None if np.isnan(v) else float(v))
+         for i, v in enumerate(x)],
+        "doc_id string, source string, seq int, value double")
+    got = ar_forecast(df, h=6, p=2).orderBy("step").toPandas()
+    phi, s2 = _yw_direct(x, 2)
+    want = _ar_loop_forecast(x, phi, 6)
+    np.testing.assert_allclose(got["yhat"], want, rtol=1e-10)
+    np.testing.assert_allclose(got["sigma2"], s2, rtol=1e-10)
+    assert (got["p"] == 2).all()
+
+
+def test_ar_order_selection_recovers_ar2(spark):
+    from gensor_spark.operators.seriesstats import ar_forecast
+
+    df = spark.createDataFrame(
+        [("d", "s", int(i), float(v)) for i, v in enumerate(_ar2_series())],
+        "doc_id string, source string, seq int, value double")
+    got = ar_forecast(df, h=40, max_p=6).orderBy("step").toPandas()
+    assert (got["p"] == 2).all()
+    # stationary AR: the long-horizon path decays toward the series mean
+    mu = float(np.mean(_ar2_series()))
+    tail_gap = abs(got["yhat"].iloc[-1] - mu)
+    head_gap = abs(got["yhat"].iloc[0] - mu)
+    assert tail_gap < max(head_gap, 1e-9) or head_gap < 1e-9
+    assert tail_gap < 0.05  # |roots| < 1 => geometric decay over 40 steps
+
+
+def test_ar_constant_and_short_series(spark):
+    from gensor_spark.operators.seriesstats import ar_forecast
+
+    rows = [("const", "s", int(i), 4.25) for i in range(30)]
+    rows += [("short", "s", 0, 1.0), ("short", "s", 1, 2.0)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, seq int, value double")
+    got = ar_forecast(df, h=3).toPandas()
+    c = got[got.doc_id == "const"]
+    assert (c["p"] == 0).all()
+    np.testing.assert_allclose(c["yhat"], 4.25, rtol=0, atol=0)
+    np.testing.assert_allclose(c["sigma2"], 0.0, atol=0)
+    sh = got[got.doc_id == "short"]
+    assert len(sh) == 3 and sh["yhat"].isna().all() and sh["p"].isna().all()
+
+
+def test_ar_fixed_p_caps_to_series_length(spark):
+    # p larger than n-1: the fit caps at the last order the sweep reached
+    from gensor_spark.operators.seriesstats import ar_forecast
+
+    df = spark.createDataFrame(
+        [("d", "s", 0, 1.0), ("d", "s", 1, 3.0), ("d", "s", 2, 2.0),
+         ("d", "s", 3, 5.0)],
+        "doc_id string, source string, seq int, value double")
+    got = ar_forecast(df, h=2, p=10).orderBy("step").toPandas()
+    assert got["yhat"].notna().all()
+    assert (got["p"] <= 3).all()
