@@ -12,6 +12,12 @@ from gensor_spark.operators.qualityfilter import (
     c4_line_filter,
     gopher_quality_flags,
 )
+from gensor_spark.operators.cmsketch import (
+    cascade_cms,
+    estimate_cms,
+    merge_cms,
+    rollup_cms,
+)
 from gensor_spark.operators.distinctrollup import (
     cascade_distinct,
     finalize_distinct,
@@ -139,6 +145,10 @@ __all__ = [
     "hw_smooth",
     "hw_forecast",
     "ar_forecast",
+    "rollup_cms",
+    "cascade_cms",
+    "merge_cms",
+    "estimate_cms",
     "theta_forecast",
     "ks_split",
     "psi_numeric",

@@ -1146,6 +1146,29 @@ def q_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt_hi").alias("hi"))
 
 
+def q_rollup_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency tier (1h, cascaded bit-exactly through 1m
+    counters, items = floor-quantized values) answering point queries for a
+    fixed item panel — registry entry outside the driver window (DuckDB has
+    no xxhash64); pytest pins the deterministic never-undercount guarantee,
+    the eps*N overshoot bound, bit-exact cascade/merge identity and a
+    collision-free exact fixture (tests/test_cmsketch.py)."""
+    from gensor_spark.operators.cmsketch import (
+        cascade_cms,
+        estimate_cms,
+        rollup_cms,
+    )
+
+    pts = _points(spark, sf_dir).withColumn(
+        "item", F.floor("value").cast("long"))
+    cms = cascade_cms(
+        rollup_cms(pts, "1m", of="item", depth=4, width=512), "1h")
+    items = spark.createDataFrame(
+        [(int(i),) for i in range(0, 101, 10)], "item long")
+    out = estimate_cms(cms, items, depth=4, width=512)
+    return _fmt_bin(out).select("doc_id", "source", "bin_ts", "item", "est")
+
+
 def q_rollup_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch float-quantile tier (1h p50/p95/p99, cascaded through 1m
     sketches; alpha=1% relative accuracy) — the unbounded-float counterpart
@@ -2026,6 +2049,7 @@ QUERIES["seasonal_esd"] = q_seasonal_esd
 QUERIES["pattern_search"] = q_pattern_search
 QUERIES["quality_classifier"] = q_quality_classifier
 QUERIES["ar_forecast"] = q_ar_forecast
+QUERIES["rollup_cms"] = q_rollup_cms
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,
