@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="also maintain Misra-Gries top-k summary partials")
     ap.add_argument("--topk-k", type=int, default=32,
                     help="counters per Misra-Gries summary (with --topk-tiers)")
+    ap.add_argument("--cms-tiers", action="store_true",
+                    help="also maintain Count-Min frequency counter partials")
     ap.add_argument("--var-tiers", action="store_true",
                     help="also carry the sum-of-squares variance partial "
                          "(read_tier then emits var/std per bin)")
@@ -64,6 +66,7 @@ def main(argv: list[str] | None = None) -> None:
                         tick_seconds=args.tick, hist_tiers=args.hist_tiers,
                         distinct_tiers=args.distinct_tiers,
                         topk_tiers=args.topk_tiers, topk_k=args.topk_k,
+                        cms_tiers=args.cms_tiers,
                         var_tiers=args.var_tiers)
     stats = pipe.run(docs)
     result = {

@@ -90,6 +90,10 @@ class TierPipeline:
         topk_tiers: bool = False,
         topk_of: str = "value",
         topk_k: int = 32,
+        cms_tiers: bool = False,
+        cms_of: str = "value",
+        cms_depth: int = 4,
+        cms_width: int = 1024,
         var_tiers: bool = False,
         hist_quantize_alpha: float | None = None,
     ) -> None:
@@ -113,6 +117,8 @@ class TierPipeline:
             raise ValueError("distinct_tiers requires the parquet backend")
         if topk_tiers and backend != "parquet":
             raise ValueError("topk_tiers requires the parquet backend")
+        if cms_tiers and backend != "parquet":
+            raise ValueError("cms_tiers requires the parquet backend")
         if var_tiers and backend != "parquet":
             raise ValueError("var_tiers requires the parquet backend")
         if var_tiers and narrow_partials:
@@ -178,6 +184,18 @@ class TierPipeline:
         self.topk_tiers = topk_tiers
         self.topk_of = topk_of
         self.topk_k = topk_k
+        #: also maintain 1m Count-Min sketch counters per batch
+        #: (operators/cmsketch.py) — the mergeable point-query frequency
+        #: state ("how often did THIS item appear in that bin" for ANY
+        #: item, not just heavy hitters). Counters are sums, so cascades,
+        #: cross-contribution merges, compaction and retention are all
+        #: BIT-EXACT vs a from-scratch build (stronger than MG/HLL). Keep
+        #: depth/width constant for a store's lifetime — they are the
+        #: sketch's identity, like lgk for HLL. Parquet backend only.
+        self.cms_tiers = cms_tiers
+        self.cms_of = cms_of
+        self.cms_depth = cms_depth
+        self.cms_width = cms_width
         #: also carry the Σx² variance partial in every stored tier row
         #: (operators/rollup.py with_sumsq) — `read_tier(finalize=True)` then
         #: emits var/std alongside count/min/max/mean/last; the sumsq-aware
@@ -347,6 +365,9 @@ class TierPipeline:
         if self.topk_tiers:
             counts["topk_1m"] = self._store_topk_batch(
                 docs_to_points(batch_docs, tick_seconds=self.tick_seconds), b)
+        if self.cms_tiers:
+            counts["cms_1m"] = self._store_cms_batch(
+                docs_to_points(batch_docs, tick_seconds=self.tick_seconds), b)
         self._lineage_row(
             {
                 "batch": b,
@@ -471,6 +492,8 @@ class TierPipeline:
             counts["distinct_1m"] = self._store_distinct_batch(pts, sid)
         if self.topk_tiers:
             counts["topk_1m"] = self._store_topk_batch(pts, sid)
+        if self.cms_tiers:
+            counts["cms_1m"] = self._store_cms_batch(pts, sid)
         self._lineage_row(
             {
                 "batch": sid,
@@ -725,6 +748,59 @@ class TierPipeline:
                 "topk_1m", self._merge_topk_fn, "topk_tiers=True"),
             manifest=self._sketch_fold_manifest("topk_1m"),
         )
+
+    # ------------------------------------------- Count-Min frequency tiers
+
+    def _merge_cms_fn(self, raw: DataFrame) -> DataFrame:
+        from gensor_spark.operators.cmsketch import merge_cms
+
+        return merge_cms(raw, [*self.keys, "bin_ts"])
+
+    def _store_cms_batch(self, points: DataFrame, sid: int) -> int:
+        """Write one contribution's 1m Count-Min counter partials."""
+        from gensor_spark.operators.cmsketch import rollup_cms
+
+        sk = rollup_cms(points, "1m", of=self.cms_of, keys=self.keys,
+                        depth=self.cms_depth, width=self.cms_width)
+        return self._write_counted(
+            sk, str(self.store / "tier_cms_1m" / f"batch={sid}")
+        )
+
+    def read_cms(self, tier: str = "1h", items: DataFrame | None = None,
+                 item_col: str = "item") -> DataFrame:
+        """Per-bin Count-Min state at ``tier`` from the stored 1m counters
+        — coarser tiers cascade at read via counter sums (BIT-EXACT vs a
+        direct build; operators/cmsketch.py), the same bin-grain-only
+        contract as ``read_topk``. With ``items`` (a one-column DataFrame
+        whose type matches ``cms_of``), returns point-query estimates
+        ``keys..., bin_ts, item, est`` instead of raw counters."""
+        from gensor_spark.operators.cmsketch import cascade_cms, estimate_cms
+
+        merged = self._read_sketch_merged(
+            "cms_1m", self._merge_cms_fn, "cms_tiers=True")
+        if tier != "1m":
+            merged = cascade_cms(merged, tier, keys=self.keys)
+        if items is None:
+            return merged
+        return estimate_cms(merged, items, item_col=item_col,
+                            keys=self.keys, depth=self.cms_depth,
+                            width=self.cms_width)
+
+    def compact_cms(self) -> None:
+        """Fold all Count-Min contributions into one (the hist crash-safe
+        rewrite protocol, fold manifest included). Counters are sums, so
+        the folded state is bit-identical to the unfolded union."""
+        self._rewrite_tier(
+            "cms_1m",
+            self._read_sketch_merged(
+                "cms_1m", self._merge_cms_fn, "cms_tiers=True"),
+            manifest=self._sketch_fold_manifest("cms_1m"),
+        )
+
+    def apply_cms_retention(self, age: str, now) -> str:
+        """Drop 1m Count-Min counter bins older than ``now - age``."""
+        return self._apply_sketch_retention(
+            "cms_1m", self._merge_cms_fn, "cms_tiers=True", age, now)
 
     # ------------------------------------------------------------------- read
 

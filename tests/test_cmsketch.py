@@ -126,3 +126,103 @@ def test_nulls_ignored_and_param_validation(spark):
         rollup_cms(df, "1m", of="item", depth=0)
     with pytest.raises(ValueError):
         rollup_cms(df, "1m", of="item", width=1)
+
+
+# --------------------------------------------------- TierPipeline integration
+
+def _counters(df: pd.DataFrame) -> dict:
+    return {
+        (r.doc_id, r.source, r.bin_ts, r.row, r.col): int(r.cnt)
+        for r in df.itertuples()
+    }
+
+
+def test_pipeline_cms_tiers_bit_exact(spark, tmp_path):
+    """TierPipeline(cms_tiers=True): batch-split counter contributions read
+    back BIT-IDENTICAL to a from-scratch rollup over all points — and stay
+    identical through compaction and an idempotent batch re-run."""
+    from gensor_spark.operators.points import docs_to_points
+    from gensor_spark.plans.incremental import TierPipeline
+    from gensor_spark.sources.synth import synth_docs
+
+    docs = synth_docs(spark, n_docs=300, seed=7, vocab=64, num_partitions=4)
+    pipe = TierPipeline(spark, str(tmp_path / "store"), n_batches=2,
+                        tick_seconds=1, cms_tiers=True,
+                        cms_depth=3, cms_width=128)
+    pipe.run(docs)
+    pts = docs_to_points(docs, tick_seconds=1)
+    want = _counters(
+        cascade_cms(rollup_cms(pts, "1m", depth=3, width=128), "1h").toPandas()
+    )
+    got = _counters(pipe.read_cms("1h").toPandas())
+    assert got == want
+
+    pipe.compact_cms()
+    assert _counters(pipe.read_cms("1h").toPandas()) == want
+
+    # idempotent re-run of one batch: overwrite, not double-union
+    pipe.run(docs, batches=[0])
+    assert _counters(pipe.read_cms("1h").toPandas()) == want
+
+    # point queries through the store match the operator's estimates
+    items = spark.createDataFrame([(float(i),) for i in range(4)], "item double")
+    via_store = pipe.read_cms("1h", items=items).toPandas()
+    direct = estimate_cms(
+        cascade_cms(rollup_cms(pts, "1m", depth=3, width=128), "1h"),
+        items, depth=3, width=128,
+    ).toPandas()
+    key = ["doc_id", "source", "bin_ts", "item"]
+    pd.testing.assert_frame_equal(
+        via_store.sort_values(key).reset_index(drop=True)[key + ["est"]],
+        direct.sort_values(key).reset_index(drop=True)[key + ["est"]],
+    )
+
+
+def test_cms_stream_epochs_equal_batch_and_retention(spark, tmp_path):
+    """Stream-epoch contributions merge bit-exactly with batch ones; a
+    retention fold absorbs stream epochs so a replayed epoch is skipped."""
+    import pandas as pd
+
+    from gensor_spark.operators.points import docs_to_points
+    from gensor_spark.plans.incremental import TierPipeline
+    from gensor_spark.sources.synth import synth_docs
+    from gensor_spark.streaming.cms_stream import make_cms_sink
+
+    docs = synth_docs(spark, n_docs=60, seed=5, vocab=32, num_partitions=4)
+    store = str(tmp_path / "store")
+    pipe = TierPipeline(spark, store, n_batches=2, tick_seconds=60,
+                        cms_tiers=True, cms_depth=3, cms_width=128)
+    pipe.run(docs)
+    sink = make_cms_sink(store, depth=3, width=128)
+    extra = docs_to_points(docs.limit(5), tick_seconds=60)
+    sink(extra, 9)
+
+    # streamed + batch contributions == one rollup over the union
+    pts = docs_to_points(docs, tick_seconds=60)
+    want = _counters(
+        merge_cms(
+            cascade_cms(rollup_cms(pts, "1m", depth=3, width=128), "1h")
+            .unionByName(
+                cascade_cms(rollup_cms(extra, "1m", depth=3, width=128), "1h")
+            ),
+            ["doc_id", "source", "bin_ts"],
+        ).toPandas()
+    )
+    before = _counters(pipe.read_cms("1h").toPandas())
+    assert before == want
+
+    bins = sorted({b for (_, _, b, _, _) in before})
+    mid = bins[len(bins) // 2]
+    now = bins[-1] + pd.Timedelta("1h")
+    cutoff = pipe.apply_cms_retention(str(now - mid), now=now)
+    after = _counters(pipe.read_cms("1h").toPandas())
+    cut = pd.Timestamp(cutoff)
+    survivors = {k: v for k, v in before.items() if k[2] >= cut}
+    assert 0 < len(after) == len(survivors) < len(before)
+    assert after == survivors
+
+    # replay of the absorbed stream epoch: skipped, state unchanged
+    sink(extra, 9)
+    assert _counters(pipe.read_cms("1h").toPandas()) == after
+    import pathlib
+    assert not (pathlib.Path(store) / "tier_cms_1m" / "batch=s9").exists()
