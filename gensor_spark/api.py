@@ -229,14 +229,32 @@ class Dataset:
         return self._wrap(out)
 
     def detect_outliers(self, method: Literal[
-        "iqr", "zscore", "hampel", "isolation_forest", "lof"
+        "iqr", "zscore", "hampel", "isolation_forest", "lof",
+        "gesd", "seasonal_esd",
     ], rolling: bool = False, window: int = 6, remove: bool = True,
             **kwargs: Any) -> "Dataset":
         """gensor ``detect_outliers`` (core/base.py:207-237): flags via the
         chosen detector; ``remove=True`` returns the clean Dataset with the
-        flagged points on ``.outliers`` (mask, don't delete)."""
+        flagged points on ``.outliers`` (mask, don't delete). The ESD pair
+        ('gesd'; 'seasonal_esd', which requires ``period=``) emits
+        per-outlier rows rather than a flag column, so the split here is a
+        key join against that (per-series-capped, hence small) set — AQE
+        broadcasts it at runtime."""
         from gensor_spark.operators import outliers as O
 
+        if method in ("gesd", "seasonal_esd"):
+            from gensor_spark.operators import esd as E
+
+            detect = E.gesd_outliers if method == "gesd" else E.seasonal_esd
+            flagged_keys = detect(self.df, keys=self.keys, **kwargs).select(
+                *self.keys, "seq")
+            on = [*self.keys, "seq"]
+            cols = self.df.columns
+            outs = self.df.join(flagged_keys, on, "semi").select(*cols)
+            clean = (self.df.join(flagged_keys, on, "anti").select(*cols)
+                     if remove else self.df)
+            return Dataset(clean, keys=self.keys,
+                           outliers=Dataset(outs, keys=self.keys))
         if method == "zscore":
             flagged = (O.zscore_rolling(self.df, window=window, keys=self.keys,
                                         **kwargs)
@@ -440,6 +458,92 @@ class Dataset:
 
         return dtw_pairs(self.df, eps=eps, length=length, band=band,
                          keys=self.keys, max_series=max_series)
+
+    def forecast_theta(self, horizon: int, alpha: float | None = None) -> DataFrame:
+        """h-step Theta-method forecasts per series (keys, step, yhat) —
+        the M3 benchmark winner; SES level + half the OLS trend as drift.
+        ``alpha=None`` picks the SES constant per series by SSE."""
+        from gensor_spark.operators.seriesstats import theta_forecast
+
+        return theta_forecast(self.df, h=horizon, alpha=alpha, keys=self.keys)
+
+    def matrix_profile(self, m: int, **kwargs: Any) -> DataFrame:
+        """Exact STOMP matrix profile per series: for every length-``m``
+        subsequence, the z-normalized distance to its nearest neighbor
+        (``mp``) and that neighbor's position (``mp_index``)."""
+        from gensor_spark.operators.matrixprofile import matrix_profile
+
+        return matrix_profile(self.df, m=m, keys=self.keys, **kwargs)
+
+    def discords(self, m: int, k: int = 1, **kwargs: Any) -> DataFrame:
+        """Per-series top-k shape anomalies: the subsequences FARTHEST from
+        every other subsequence of their own series."""
+        from gensor_spark.operators.matrixprofile import matrix_profile, top_discords
+
+        return top_discords(matrix_profile(self.df, m=m, keys=self.keys,
+                                           **kwargs), k=k, keys=self.keys)
+
+    def motifs(self, m: int, k: int = 1, **kwargs: Any) -> DataFrame:
+        """Per-series top-k repeated shapes (closest subsequence pairs)."""
+        from gensor_spark.operators.matrixprofile import matrix_profile, top_motifs
+
+        return top_motifs(matrix_profile(self.df, m=m, keys=self.keys,
+                                         **kwargs), k=k, keys=self.keys)
+
+    def find_pattern(self, query, max_dist: float | None = None,
+                     per_series_k: int | None = None) -> DataFrame:
+        """Query-by-shape (MASS) across every series: where does this
+        pattern occur, and how closely? ``query`` is a plain sequence of
+        floats; it broadcasts in the kernel closure."""
+        from gensor_spark.operators.matrixprofile import pattern_search
+
+        return pattern_search(self.df, query, keys=self.keys,
+                              max_dist=max_dist, per_series_k=per_series_k)
+
+    def sax(self, w: int = 16, alphabet_size: int = 4) -> DataFrame:
+        """Per-series SAX word (symbolic shape index): z-normalized PAA in
+        ``w`` segments quantized to an ``alphabet_size`` alphabet."""
+        from gensor_spark.operators.sax import sax_words
+
+        return sax_words(self.df, w=w, alphabet_size=alphabet_size,
+                         keys=self.keys)
+
+    def changepoints(self, penalty: float = 10.0) -> DataFrame:
+        """Optimal MULTI-changepoint segmentation per series (PELT) — the
+        any-number-of-shifts generalization of ``changepoint()``'s single
+        most-likely CUSUM split."""
+        from gensor_spark.operators.pelt import pelt_changepoints
+
+        return pelt_changepoints(self.df, penalty=penalty, keys=self.keys)
+
+    def segments(self, penalty: float = 10.0) -> DataFrame:
+        """Per-regime OLS trends: PELT changepoints composed with
+        per-segment regression — slope/intercept/mean per regime."""
+        from gensor_spark.operators.pelt import segmented_trend
+
+        return segmented_trend(self.df, penalty=penalty, keys=self.keys)
+
+    # ------------------------------------------------------------- storage
+
+    def save_bucketed(self, table: str, n_buckets: int,
+                      path: str | None = None) -> None:
+        """Persist the points hash-bucketed on the series keys (sorted by
+        ts within buckets) so every reread's per-series groupBy/window/join
+        plans with ZERO Exchange — the write-once answer to the opening
+        shuffle every per-series operator otherwise pays."""
+        from gensor_spark.plans.bucketing import write_bucketed
+
+        write_bucketed(self.df, table, n_buckets, bucket_cols=self.keys,
+                       path=path)
+
+    @classmethod
+    def from_bucketed(cls, spark, table: str,
+                      keys: tuple[str, ...] = KEYS) -> "Dataset":
+        """Reopen a ``save_bucketed`` table; the catalog carries the layout,
+        so downstream per-series verbs skip their shuffle."""
+        from gensor_spark.plans.bucketing import read_bucketed
+
+        return cls(read_bucketed(spark, table), keys=keys)
 
     def to_store(self, pipeline, wave: int) -> dict:
         """gensor ``to_sql(db)`` analogue (core/base.py:269-283): persist

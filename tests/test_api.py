@@ -221,3 +221,60 @@ def test_locations_contains_one(spark, ds):
     assert one.df.select("doc_id", "source").distinct().count() == 1
     with pytest.raises(ValueError, match="expected exactly 1"):
         ds.one(variable="click")  # many locations match
+
+
+def test_detect_outliers_esd_methods(spark, ds):
+    """GESD/S-H-ESD through the facade: per-outlier rows become the mask
+    split, clean + outliers partition the points exactly."""
+    from gensor_spark.operators.esd import gesd_outliers
+
+    out = ds.detect_outliers("gesd", max_anomalies=3, alpha=0.05)
+    direct = gesd_outliers(ds.df, max_anomalies=3, alpha=0.05)
+    n_out = direct.count()
+    assert out.outliers.df.count() == n_out
+    assert out.df.count() == ds.df.count() - n_out
+    assert out.df.columns == ds.df.columns
+    kept = ds.detect_outliers("seasonal_esd", remove=False, period=6,
+                              max_anomalies=2)
+    assert kept.df.count() == ds.df.count()
+    assert kept.outliers.df.count() >= 0  # side channel present
+    assert kept.outliers.df.columns == ds.df.columns
+
+
+def test_shape_and_segment_verbs(spark, ds):
+    from gensor_spark.operators.matrixprofile import matrix_profile
+
+    one = ds.one(location=ds.get_locations()[0], variable="click")
+    mp = one.matrix_profile(m=8)
+    _same(mp, matrix_profile(one.df, m=8))
+    d = one.discords(m=8, k=2).toPandas()
+    assert len(d) <= 2 and (d["rank"] <= 2).all()
+    mo = one.motifs(m=8, k=1).toPandas()
+    assert len(mo) <= 1
+    q = one.df.orderBy("seq").limit(8).toPandas()["value"].tolist()
+    hits = one.find_pattern(q, per_series_k=1).toPandas()
+    assert len(hits) == 1 and hits["dist"].iloc[0] < 1e-6
+
+    n_series = ds.df.select("doc_id", "source").distinct().count()
+    sx = ds.sax(w=8, alphabet_size=4)
+    # series shorter than the word length are skipped by design
+    assert 0 < sx.count() <= n_series
+    seg = ds.segments(penalty=50.0)
+    assert seg.select("doc_id", "source").distinct().count() == n_series
+    cps = ds.changepoints(penalty=50.0)
+    assert cps.filter("cp_index = -1").count() == n_series
+    th = ds.forecast_theta(horizon=3)
+    assert th.count() == 3 * n_series
+
+
+def test_bucketed_roundtrip_facade(spark, ds, tmp_path):
+    from gensor_spark.plans.bucketing import is_bucket_satisfied
+
+    ds.save_bucketed("api_bkt", 4, path=str(tmp_path / "b"))
+    try:
+        back = Dataset.from_bucketed(spark, "api_bkt")
+        assert back.df.count() == ds.df.count()
+        agg = back.df.groupBy("doc_id", "source").count()
+        assert is_bucket_satisfied(agg)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS api_bkt")
