@@ -23,6 +23,13 @@ Partial-state schema per (doc_id, source, bin_ts)::
     last_ts timestamp -- ... and when it occurred (cascade orders by this)
     vsumsq double  -- OPTIONAL (with_sumsq=True): Σx², the mergeable
                    -- variance/stddev state (TimescaleDB stats_agg analogue)
+    first double   -- OPTIONAL (with_first=True): first non-null value ...
+    first_ts timestamp -- ... and when — ``min_by`` merges it, the exact
+                   -- mirror of the ``last`` pair; with min/max/last this
+                   -- completes the OHLC bar (open=first, close=last)
+    vsumcu double  -- OPTIONAL (with_moments=True): Σx³ ...
+    vsumqu double  -- ... and Σx⁴ — the mergeable states behind per-bin
+                   -- skewness/kurtosis (implies Σx², which they divide by)
 
 ``finalize_tier`` turns partials into the user-facing
 ``count/min/max/mean/last`` frame.
@@ -45,6 +52,11 @@ from gensor_spark.operators.resample import bin_ts, freq_to_seconds
 
 PARTIAL_COLS = ("cnt", "vmin", "vmax", "vsum", "last", "last_ts")
 
+#: opt-in partial columns (with_sumsq / with_first / with_moments) — kept
+#: out of PARTIAL_COLS, which also names the columns the Iceberg MERGE
+#: updates on the standard tier tables
+OPT_PARTIAL_COLS = ("vsumsq", "first", "first_ts", "vsumcu", "vsumqu")
+
 TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 
 
@@ -54,6 +66,8 @@ def rollup_tier(
     keys: tuple[str, ...] = ("doc_id", "source"),
     salt: int = 0,
     with_sumsq: bool = False,
+    with_first: bool = False,
+    with_moments: bool = False,
 ) -> DataFrame:
     """Aggregate the point view into partial states at ``tier`` granularity.
 
@@ -63,6 +77,18 @@ def rollup_tier(
     the cascade and the salted two-phase merge carry it unchanged; for
     integer-valued points (token ids) it is EXACT in doubles at any merge
     order (< 2^53), so cascaded stddev equals direct stddev bit-for-bit.
+
+    ``with_first=True`` adds the ``first``/``first_ts`` pair (``min_by``
+    mirror of ``last``) — with min/max/last this completes the OHLC bar
+    (open=first, close=last), the classic financial tier rollup.
+
+    ``with_moments=True`` adds Σx³/Σx⁴ (``vsumcu``/``vsumqu``) and implies
+    ``vsumsq`` — the mergeable states behind per-bin skewness/kurtosis
+    (``finalize_tier``). Plain sums, so every merge path carries them
+    unchanged; unlike Σx², Σx⁴ of large token ids exceeds 2^53, so cascaded
+    moments match direct ones to float accumulation order (~1 ulp), not
+    bit-for-bit — ``finalize_tier`` guards the near-constant bins where
+    that matters.
     """
     step = TIER_SECONDS.get(tier) or freq_to_seconds(tier)
     v = F.col("value")
@@ -76,8 +102,17 @@ def rollup_tier(
         F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("last"),
         F.max(F.when(v.isNotNull(), F.col("ts"))).alias("last_ts"),
     ]
-    if with_sumsq:
+    if with_first:
+        partials.append(
+            F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("first"))
+        partials.append(
+            F.min(F.when(v.isNotNull(), F.col("ts"))).alias("first_ts"))
+    if with_sumsq or with_moments:
         partials.append(F.sum(v * v).alias("vsumsq"))
+    if with_moments:
+        d = v.cast("double")
+        partials.append(F.sum(d * d * d).alias("vsumcu"))
+        partials.append(F.sum(d * d * (d * d)).alias("vsumqu"))
 
     if salt > 1:
         # two-phase: partial-agg on a salted key, then merge the sub-partials
@@ -96,6 +131,8 @@ def rollup_docs_arrays(
     epoch0: str = "2024-01-01 00:00:00",
     keys: tuple[str, ...] = ("doc_id", "source"),
     with_sumsq: bool = False,
+    with_first: bool = False,
+    with_moments: bool = False,
 ) -> DataFrame:
     """Tier partials straight from the token table — no point-view explode.
 
@@ -134,24 +171,46 @@ def rollup_docs_arrays(
             ).alias("_chunks"),
         )
     )
-    bin_struct = lambda ch, i: F.struct(
-        F.timestamp_seconds(epoch_expr + i.cast("long") * step).alias("bin_ts"),
-        F.size(ch).cast("long").alias("cnt"),
-        F.array_min(ch).cast("double").alias("vmin"),
-        F.array_max(ch).cast("double").alias("vmax"),
-        F.aggregate(ch, F.lit(0.0), lambda acc, x: acc + x).alias("vsum"),
-        F.element_at(ch, -1).cast("double").alias("last"),
-        F.timestamp_seconds(
-            epoch_expr + (i.cast("long") * k + F.size(ch) - 1) * tick_seconds
-        ).alias("last_ts"),
-        F.aggregate(  # cast BEFORE the square: int32·int32 overflows
-            ch, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
-        ).alias("vsumsq"),
-    )
+    def bin_struct(ch, i):
+        fields = [
+            F.timestamp_seconds(epoch_expr + i.cast("long") * step).alias("bin_ts"),
+            F.size(ch).cast("long").alias("cnt"),
+            F.array_min(ch).cast("double").alias("vmin"),
+            F.array_max(ch).cast("double").alias("vmax"),
+            F.aggregate(ch, F.lit(0.0), lambda acc, x: acc + x).alias("vsum"),
+            F.element_at(ch, -1).cast("double").alias("last"),
+            F.timestamp_seconds(
+                epoch_expr + (i.cast("long") * k + F.size(ch) - 1) * tick_seconds
+            ).alias("last_ts"),
+        ]
+        if with_first:
+            fields.append(F.element_at(ch, 1).cast("double").alias("first"))
+            fields.append(F.timestamp_seconds(
+                epoch_expr + i.cast("long") * k * tick_seconds
+            ).alias("first_ts"))
+        fields.append(
+            F.aggregate(  # cast BEFORE the square: int32·int32 overflows
+                ch, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+            ).alias("vsumsq"))
+        if with_moments:
+            fields.append(F.aggregate(
+                ch, F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x * x).alias("vsumcu"))
+            fields.append(F.aggregate(
+                ch, F.lit(0.0),
+                lambda acc, x: acc
+                + (x.cast("double") * x) * (x.cast("double") * x),
+            ).alias("vsumqu"))
+        return F.struct(*fields)
+
     out_cols = ["_b.bin_ts", "_b.cnt", "_b.vmin", "_b.vmax",
                 "_b.vsum", "_b.last", "_b.last_ts"]
-    if with_sumsq:
+    if with_first:
+        out_cols += ["_b.first", "_b.first_ts"]
+    if with_sumsq or with_moments:
         out_cols.append("_b.vsumsq")
+    if with_moments:
+        out_cols += ["_b.vsumcu", "_b.vsumqu"]
     return (
         staged.select(*keys, F.explode(F.transform("_chunks", bin_struct)).alias("_b"))
         .select(*keys, *out_cols)
@@ -286,8 +345,16 @@ def _merge_partials(partials: DataFrame, group_cols: list[str]) -> DataFrame:
         F.max_by("last", F.when(F.col("cnt") > 0, F.col("last_ts"))).alias("last"),
         F.max(F.when(F.col("cnt") > 0, F.col("last_ts"))).alias("last_ts"),
     ]
+    if "first" in partials.columns:
+        aggs.append(F.min_by("first", F.when(F.col("cnt") > 0,
+                                             F.col("first_ts"))).alias("first"))
+        aggs.append(F.min(F.when(F.col("cnt") > 0,
+                                 F.col("first_ts"))).alias("first_ts"))
     if "vsumsq" in partials.columns:
         aggs.append(F.sum("vsumsq").alias("vsumsq"))
+    for c in ("vsumcu", "vsumqu"):
+        if c in partials.columns:
+            aggs.append(F.sum(c).alias(c))
     return partials.groupBy(*group_cols).agg(*aggs)
 
 
@@ -468,16 +535,30 @@ def finalize_tier(partials: DataFrame, ddof: int = 1) -> DataFrame:
     ``cnt <= ddof`` finalize to NULL, matching pandas. The textbook
     ``(Σx² − (Σx)²/n) / (n − ddof)`` can go a hair negative in floating
     point on near-constant bins — clamped to 0, never NaN.
+
+    ``first`` partials (``with_first=True``) finalize as ``open`` — with
+    min/max/last the row is the bin's OHLC bar.
+
+    Moment partials (``with_moments=True``) finalize as ``skew``/``kurt``
+    in the bias-adjusted Fisher-Pearson form pandas/DuckDB report (kurt is
+    EXCESS kurtosis). Defined for n ≥ 3 (skew) / n ≥ 4 (kurt); NULL
+    otherwise, and NULL on degenerate bins where the central second moment
+    has lost ~all significant bits to cancellation (m₂ ≤ 1e-9·Σx²/n —
+    covers exactly-constant bins and the near-constant ones where a
+    one-pass moment formula, like DuckDB's own, is pure noise).
     """
     nz = F.col("cnt") > 0
     cols = [
-        *[c for c in partials.columns if c not in PARTIAL_COLS and c != "vsumsq"],
+        *[c for c in partials.columns
+          if c not in PARTIAL_COLS and c not in OPT_PARTIAL_COLS],
         F.col("cnt").alias("count"),
         F.when(nz, F.col("vmin")).alias("min"),
         F.when(nz, F.col("vmax")).alias("max"),
         F.when(nz, F.col("vsum") / F.col("cnt")).alias("mean"),
         F.when(nz, F.col("last")).alias("last"),
     ]
+    if "first" in partials.columns:
+        cols.append(F.when(nz, F.col("first")).alias("open"))
     if "vsumsq" in partials.columns:
         n = F.col("cnt")
         var = F.greatest(
@@ -488,4 +569,19 @@ def finalize_tier(partials: DataFrame, ddof: int = 1) -> DataFrame:
         var = F.when(n > ddof, var)
         cols.append(var.alias("var"))
         cols.append(F.sqrt(var).alias("std"))
+    if "vsumcu" in partials.columns:
+        n = F.col("cnt").cast("double")
+        mean = F.col("vsum") / n
+        m2 = F.col("vsumsq") / n - mean * mean
+        m3 = (F.col("vsumcu") / n - F.lit(3.0) * mean * (F.col("vsumsq") / n)
+              + F.lit(2.0) * mean * mean * mean)
+        m4 = (F.col("vsumqu") / n - F.lit(4.0) * mean * (F.col("vsumcu") / n)
+              + F.lit(6.0) * mean * mean * (F.col("vsumsq") / n)
+              - F.lit(3.0) * mean * mean * (mean * mean))
+        ok = m2 > F.lit(1e-9) * (F.col("vsumsq") / n)
+        skew = (F.sqrt(n * (n - 1)) / (n - 2)) * m3 / F.pow(m2, 1.5)
+        kurt = ((n - 1) / ((n - 2) * (n - 3))) * (
+            (n + 1) * (m4 / (m2 * m2) - F.lit(3.0)) + F.lit(6.0))
+        cols.append(F.when(ok & (F.col("cnt") >= 3), skew).alias("skew"))
+        cols.append(F.when(ok & (F.col("cnt") >= 4), kurt).alias("kurt"))
     return partials.select(*cols)

@@ -67,7 +67,8 @@ def _fmt_bin(df: DataFrame) -> DataFrame:
 def _q_rollup(tier: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = finalize_tier(
-            rollup_tier(_points(spark, sf_dir), tier, with_sumsq=True)
+            rollup_tier(_points(spark, sf_dir), tier, with_sumsq=True,
+                        with_first=True, with_moments=True)
         )
         return _fmt_bin(out).select(
             "doc_id",
@@ -79,23 +80,62 @@ def _q_rollup(tier: str):
             _r6(F.col("mean")).alias("vmean"),
             _r6(F.col("last")).alias("vlast"),
             _r6(F.col("std")).alias("vstd"),
+            _r6(F.col("open")).alias("vopen"),
+            _r6(F.col("skew")).alias("vskew"),
+            _r6(F.col("kurt")).alias("vkurt"),
         )
 
     return q
 
 
 def _sql_rollup(unit: str) -> str:
+    # vskew/vkurt mirror finalize_tier's EXACT expression tree (same ops,
+    # same associativity) so the only cross-engine difference is SUM
+    # accumulation order — ~1e-13 here, invisible at the 6dp rounding
     return f"""
-    WITH pts AS ({_PTS_SQL})
+    WITH pts AS ({_PTS_SQL}),
+    agg AS (
+      SELECT doc_id, source, date_trunc('{unit}', ts) AS bint,
+             COUNT(value) AS cnt,
+             MIN(value) AS vmin_, MAX(value) AS vmax_, AVG(value) AS vmean_,
+             arg_max(value, ts) FILTER (WHERE value IS NOT NULL) AS vlast_,
+             arg_min(value, ts) FILTER (WHERE value IS NOT NULL) AS vopen_,
+             STDDEV_SAMP(value) AS vstd_,
+             CAST(COUNT(value) AS DOUBLE) AS n,
+             SUM(value) AS s1,
+             SUM(value * value) AS s2,
+             SUM(value * value * value) AS s3,
+             SUM((value * value) * (value * value)) AS s4
+      FROM pts GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT *,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * (s3 / n)
+                    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3.0 * (s1 / n) * (s1 / n) * ((s1 / n) * (s1 / n)) AS m4,
+             m2 > 1e-9 * (s2 / n) AS ok
+      FROM agg
+    )
     SELECT doc_id, source,
-           strftime(date_trunc('{unit}', ts), '{TS_FMT_DUCK}') AS bin_ts,
-           COUNT(value) AS cnt,
-           ROUND(MIN(value) + 1e-9, 6) AS vmin,
-           ROUND(MAX(value) + 1e-9, 6) AS vmax,
-           ROUND(AVG(value) + 1e-9, 6) AS vmean,
-           ROUND(arg_max(value, ts) FILTER (WHERE value IS NOT NULL) + 1e-9, 6) AS vlast,
-           ROUND(STDDEV_SAMP(value) + 1e-9, 6) AS vstd
-    FROM pts GROUP BY 1, 2, 3
+           strftime(bint, '{TS_FMT_DUCK}') AS bin_ts,
+           cnt,
+           ROUND(vmin_ + 1e-9, 6) AS vmin,
+           ROUND(vmax_ + 1e-9, 6) AS vmax,
+           ROUND(vmean_ + 1e-9, 6) AS vmean,
+           ROUND(vlast_ + 1e-9, 6) AS vlast,
+           ROUND(vstd_ + 1e-9, 6) AS vstd,
+           ROUND(vopen_ + 1e-9, 6) AS vopen,
+           ROUND(CASE WHEN ok AND cnt >= 3 THEN
+             (sqrt(n * (n - 1)) / (n - 2)) * m3 / pow(m2, 1.5)
+           END + 1e-9, 6) AS vskew,
+           ROUND(CASE WHEN ok AND cnt >= 4 THEN
+             ((n - 1) / ((n - 2) * (n - 3)))
+               * ((n + 1) * (m4 / (m2 * m2) - 3.0) + 6.0)
+           END + 1e-9, 6) AS vkurt
+    FROM m
     """
 
 

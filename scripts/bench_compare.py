@@ -57,6 +57,10 @@ ADDED_WORK = {
     "vocab_topk": "+ per-source PSI drift + vocabulary JSD vs rest-of-corpus",
     "emb_dup_clusters": "+ SemDeDup cells (k-means fit + within-cell dedup)",
     "stratified_sample": "+ quality-weighted keep decisions (second hash pass)",
+    "rollup_1m": "+ OHLC open partial + Σx³/Σx⁴ skew/kurt moments",
+    "rollup_1h": "+ OHLC open partial + Σx³/Σx⁴ skew/kurt moments",
+    "rollup_1d": "+ OHLC open partial + Σx³/Σx⁴ skew/kurt moments",
+    "rollup_tiers": "+ OHLC open partial + Σx³/Σx⁴ skew/kurt moments",
 }
 
 
