@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--var-tiers", action="store_true",
                     help="also carry the sum-of-squares variance partial "
                          "(read_tier then emits var/std per bin)")
+    ap.add_argument("--ohlc-tiers", action="store_true",
+                    help="also carry the first/first_ts pair (read_tier then "
+                         "emits the OHLC open alongside min/max/last)")
+    ap.add_argument("--moment-tiers", action="store_true",
+                    help="also carry Σx³/Σx⁴ moment partials (read_tier then "
+                         "emits per-bin skew/kurt)")
     args = ap.parse_args(argv)
 
     from gensor_spark.plans.incremental import TIERS, TierPipeline
@@ -67,7 +73,9 @@ def main(argv: list[str] | None = None) -> None:
                         distinct_tiers=args.distinct_tiers,
                         topk_tiers=args.topk_tiers, topk_k=args.topk_k,
                         cms_tiers=args.cms_tiers,
-                        var_tiers=args.var_tiers)
+                        var_tiers=args.var_tiers,
+                        ohlc_tiers=args.ohlc_tiers,
+                        moment_tiers=args.moment_tiers)
     stats = pipe.run(docs)
     result = {
         "stats": stats,

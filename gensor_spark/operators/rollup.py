@@ -258,6 +258,8 @@ def rollup_docs_arrow(
     epoch0_us: int = 1_704_067_200_000_000,
     keys: tuple[str, ...] = ("doc_id", "source"),
     with_sumsq: bool = False,
+    with_first: bool = False,
+    with_moments: bool = False,
 ) -> DataFrame:
     """Affine-ts tier partials via a batched numpy kernel (the fast path).
 
@@ -289,8 +291,12 @@ def rollup_docs_arrow(
         "doc_id string, source string, bin_ts timestamp, cnt long, "
         "vmin double, vmax double, vsum double, last double, last_ts timestamp"
     )
-    if with_sumsq:
+    if with_first:
+        schema += ", first double, first_ts timestamp"
+    if with_sumsq or with_moments:
         schema += ", vsumsq double"
+    if with_moments:
+        schema += ", vsumcu double, vsumqu double"
 
     def kernel(batches):
         for pdf in batches:
@@ -323,8 +329,21 @@ def rollup_docs_arrow(
                 "last": last,
                 "last_ts": last_ts,
             }
-            if with_sumsq:
+            if with_first:
+                out["first"] = flat[starts]
+                out["first_ts"] = pd.to_datetime(
+                    epoch0_us + bin_local * k * (tick_seconds * 1_000_000),
+                    unit="us",
+                )
+            if with_sumsq or with_moments:
                 out["vsumsq"] = np.add.reduceat(flat * flat, starts)
+            if with_moments:
+                # same per-element association as the Catalyst producers:
+                # x³ = (x·x)·x, x⁴ = (x·x)·(x·x) — reduceat accumulates
+                # left-to-right like F.aggregate, so partials stay bitwise
+                sq = flat * flat
+                out["vsumcu"] = np.add.reduceat(sq * flat, starts)
+                out["vsumqu"] = np.add.reduceat(sq * sq, starts)
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, schema=schema)

@@ -95,6 +95,8 @@ class TierPipeline:
         cms_depth: int = 4,
         cms_width: int = 1024,
         var_tiers: bool = False,
+        ohlc_tiers: bool = False,
+        moment_tiers: bool = False,
         hist_quantize_alpha: float | None = None,
     ) -> None:
         self.spark = spark
@@ -121,11 +123,16 @@ class TierPipeline:
             raise ValueError("cms_tiers requires the parquet backend")
         if var_tiers and backend != "parquet":
             raise ValueError("var_tiers requires the parquet backend")
+        if (ohlc_tiers or moment_tiers) and backend != "parquet":
+            raise ValueError("ohlc_tiers/moment_tiers require the parquet backend")
         if var_tiers and narrow_partials:
             raise ValueError(
                 "var_tiers needs the wide partial schema (vsumsq is float64; "
                 "the narrow experiment does not carry it)"
             )
+        if (ohlc_tiers or moment_tiers) and narrow_partials:
+            raise ValueError(
+                "ohlc_tiers/moment_tiers need the wide partial schema")
         if backend == "iceberg":
             from gensor_spark.plans.iceberg_store import IcebergTierStore
 
@@ -203,6 +210,12 @@ class TierPipeline:
         #: Keep the flag constant for a store's lifetime (mixed batches
         #: would disagree on the parquet schema). Parquet backend only.
         self.var_tiers = var_tiers
+        #: ditto for the first/first_ts OHLC pair and the Σx³/Σx⁴ moment
+        #: partials — each an opt-in column family every merge path
+        #: (cascade, compaction, retention, streaming fold) carries
+        #: unchanged because _merge_partials is schema-driven
+        self.ohlc_tiers = ohlc_tiers
+        self.moment_tiers = moment_tiers
         #: batches in flight at once. Spark schedules concurrent jobs from
         #: driver threads task-by-task, so a second batch's heavy stages fill
         #: the slots the first batch leaves idle during its commit/small-stage
@@ -331,6 +344,7 @@ class TierPipeline:
             m1 = rollup_docs_arrow(
                 batch_docs, "1m", tick_seconds=self.tick_seconds,
                 keys=self.keys, with_sumsq=self.var_tiers,
+                with_first=self.ohlc_tiers, with_moments=self.moment_tiers,
             ).persist()
         h1: DataFrame | None = None
         try:
@@ -472,7 +486,8 @@ class TierPipeline:
         pts = bucketed.filter(F.col("_batch") == b).drop("_batch")
         counts: dict[str, int] = {}
         m1 = rollup_tier(
-            pts, "1m", keys=self.keys, with_sumsq=self.var_tiers
+            pts, "1m", keys=self.keys, with_sumsq=self.var_tiers,
+            with_first=self.ohlc_tiers, with_moments=self.moment_tiers,
         ).persist()
         h1: DataFrame | None = None
         try:

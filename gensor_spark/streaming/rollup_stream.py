@@ -51,6 +51,8 @@ def streaming_rollup(
     watermark: str = "2 minutes",
     keys: tuple[str, ...] = ("doc_id", "source"),
     with_sumsq: bool = False,
+    with_first: bool = False,
+    with_moments: bool = False,
 ) -> DataFrame:
     """Watermarked tumbling-window partial aggregation (append mode).
 
@@ -73,9 +75,18 @@ def streaming_rollup(
         F.max(F.when(v.isNotNull(), F.col("ts"))).alias("last_ts"),
     ]
     out = ["cnt", "vmin", "vmax", "vsum", "last", "last_ts"]
-    if with_sumsq:
+    if with_first:
+        aggs.append(F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("first"))
+        aggs.append(F.min(F.when(v.isNotNull(), F.col("ts"))).alias("first_ts"))
+        out += ["first", "first_ts"]
+    if with_sumsq or with_moments:
         aggs.append(F.sum(v * v).alias("vsumsq"))
         out.append("vsumsq")
+    if with_moments:
+        d = v.cast("double")
+        aggs.append(F.sum(d * d * d).alias("vsumcu"))
+        aggs.append(F.sum(d * d * (d * d)).alias("vsumqu"))
+        out += ["vsumcu", "vsumqu"]
     agged = points.withWatermark("ts", watermark).groupBy(*keys, win).agg(*aggs)
     return agged.select(
         *keys, F.col("window.start").alias("bin_ts"), *out,

@@ -177,3 +177,42 @@ def test_absent_when_not_requested(spark, points_sdf):
     assert "std" in only_sq.columns and "skew" not in only_sq.columns
     only_m = finalize_tier(rollup_tier(points_sdf, "1h", with_moments=True))
     assert {"skew", "kurt", "std"} <= set(only_m.columns)
+
+
+def test_store_ohlc_moment_tiers_match_direct(spark, tmp_path):
+    """TierPipeline(ohlc_tiers=True, moment_tiers=True): the stored/merged/
+    cascaded tiers finalize open/skew/kurt equal to the direct batch
+    computation — the Arrow producer, the schema-driven merge, compaction
+    and the cascade all carry the new column families."""
+    from gensor_spark.plans.incremental import TierPipeline
+    from gensor_spark.sources.synth import synth_docs
+
+    docs = synth_docs(spark, n_docs=60, seed=11, min_tok=0, max_tok=250,
+                      hot_fraction=0.05, hot_factor=4).cache()
+    store = str(tmp_path / "ohlc_tiers")
+    pipe = TierPipeline(spark, store, n_batches=3,
+                        ohlc_tiers=True, moment_tiers=True)
+    pipe.run(docs)
+    pipe.compact("1h")
+    points = docs_to_points(docs)
+    for tier in ("1m", "1h", "1d"):
+        direct = (
+            finalize_tier(rollup_tier(points, tier, **FLAGS))
+            .orderBy(*KEY).toPandas().reset_index(drop=True)
+        )
+        incr = (
+            pipe.read_tier(tier).orderBy(*KEY).toPandas()
+            .reset_index(drop=True)
+        )
+        assert len(direct) == len(incr) > 0
+        pd.testing.assert_series_equal(direct["open"], incr["open"],
+                                       check_names=False)
+        for col in ("skew", "kurt"):
+            np.testing.assert_allclose(
+                direct[col].to_numpy(float), incr[col].to_numpy(float),
+                rtol=1e-6, atol=1e-9, err_msg=f"{tier}/{col}",
+            )
+    with pytest.raises(ValueError, match="wide partial"):
+        TierPipeline(spark, store, ohlc_tiers=True, narrow_partials=True)
+    with pytest.raises(ValueError, match="parquet"):
+        TierPipeline(spark, store, moment_tiers=True, backend="iceberg")

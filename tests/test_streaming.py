@@ -146,3 +146,30 @@ def test_streaming_rollup_sumsq_matches_batch_std(spark, events_dir, tmp_path):
     w = want.select(*cols[:4], *[F.round(c, 9).alias(c) for c in cols[4:]])
     assert g.exceptAll(w).count() == 0
     assert g.count() >= w.count() * 0.95 and g.count() > 0
+
+
+def test_streaming_rollup_ohlc_moments_match_batch(spark, events_dir, tmp_path):
+    """with_first/with_moments stream the open and Σx³/Σx⁴ partials; the
+    read-side merge + finalize must equal the batch open/skew/kurt."""
+    events_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = spark.readStream.schema(events_schema).parquet(events_dir)
+    pts = stream_points_from_events(stream)
+    rolled = streaming_rollup(pts, tier="1m", watermark="1 minute",
+                              with_first=True, with_moments=True)
+    store = str(tmp_path / "ohlc_store")
+    q = start_tier_sink(rolled, store, tier="1m", trigger_once=True)
+    q.awaitTermination(120)
+
+    got = read_stream_tier(spark, store, "1m", finalize=True)
+    assert {"open", "skew", "kurt"} <= set(got.columns)
+
+    batch_pts = events_to_points(spark.read.parquet(f"{SF}/events.parquet"))
+    want = finalize_tier(
+        rollup_tier(batch_pts.select("doc_id", "source", "ts", "value"),
+                    "1m", with_first=True, with_moments=True)
+    )
+    cols = ["doc_id", "source", "bin_ts", "count", "open", "skew", "kurt"]
+    g = got.select(*cols[:5], *[F.round(c, 6).alias(c) for c in cols[5:]])
+    w = want.select(*cols[:5], *[F.round(c, 6).alias(c) for c in cols[5:]])
+    assert g.exceptAll(w).count() == 0
+    assert g.count() >= w.count() * 0.95 and g.count() > 0
