@@ -230,22 +230,30 @@ class Dataset:
 
     def detect_outliers(self, method: Literal[
         "iqr", "zscore", "hampel", "isolation_forest", "lof",
-        "gesd", "seasonal_esd",
+        "gesd", "seasonal_esd", "spectral",
     ], rolling: bool = False, window: int = 6, remove: bool = True,
             **kwargs: Any) -> "Dataset":
         """gensor ``detect_outliers`` (core/base.py:207-237): flags via the
         chosen detector; ``remove=True`` returns the clean Dataset with the
         flagged points on ``.outliers`` (mask, don't delete). The ESD pair
-        ('gesd'; 'seasonal_esd', which requires ``period=``) emits
-        per-outlier rows rather than a flag column, so the split here is a
-        key join against that (per-series-capped, hence small) set — AQE
-        broadcasts it at runtime."""
+        ('gesd'; 'seasonal_esd', which requires ``period=``) and 'spectral'
+        (SR saliency) emit per-outlier rows rather than a flag column, so
+        the split here is a key join against that (per-series-capped /
+        tau-thresholded, hence small) set — AQE broadcasts it at runtime."""
         from gensor_spark.operators import outliers as O
 
-        if method in ("gesd", "seasonal_esd"):
-            from gensor_spark.operators import esd as E
+        if method in ("gesd", "seasonal_esd", "spectral"):
+            if method == "spectral":
+                from gensor_spark.operators.spectral import spectral_residual
 
-            detect = E.gesd_outliers if method == "gesd" else E.seasonal_esd
+                def detect(df, keys, **kw):
+                    return spectral_residual(df, keys=keys, **kw).filter(
+                        "is_anomaly")
+            else:
+                from gensor_spark.operators import esd as E
+
+                detect = (E.gesd_outliers if method == "gesd"
+                          else E.seasonal_esd)
             flagged_keys = detect(self.df, keys=self.keys, **kwargs).select(
                 *self.keys, "seq")
             on = [*self.keys, "seq"]
@@ -515,6 +523,20 @@ class Dataset:
         from gensor_spark.operators.pelt import pelt_changepoints
 
         return pelt_changepoints(self.df, penalty=penalty, keys=self.keys)
+
+    def anomaly_episodes(self, tau: float = 3.0, max_gap: int = 2,
+                         **kwargs: Any) -> DataFrame:
+        """SR saliency anomalies coalesced into alert episodes: one row per
+        (series, episode) with ordinal bounds, size, and peak score — the
+        paging-system view of ``detect_outliers('spectral')``."""
+        from gensor_spark.operators.spectral import (
+            anomaly_episodes,
+            spectral_residual,
+        )
+
+        flagged = spectral_residual(self.df, tau=tau, keys=self.keys,
+                                    **kwargs)
+        return anomaly_episodes(flagged, max_gap=max_gap, keys=self.keys)
 
     def segments(self, penalty: float = 10.0) -> DataFrame:
         """Per-regime OLS trends: PELT changepoints composed with

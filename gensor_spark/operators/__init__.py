@@ -33,6 +33,10 @@ from gensor_spark.operators.esd import (
     seasonal_esd,
     t_ppf,
 )
+from gensor_spark.operators.spectral import (
+    anomaly_episodes,
+    spectral_residual,
+)
 from gensor_spark.operators.matrixprofile import (
     matrix_profile,
     pattern_search,

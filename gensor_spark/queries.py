@@ -1274,6 +1274,23 @@ def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spectral_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-residual saliency anomalies coalesced into alert episodes
+    (operators/spectral.py — Ren et al. KDD'19, the frequency-domain
+    detector; no period/window/count parameter). Registry tail (FFT kernel
+    — not SQL-expressible); the kernel is pinned against an independent
+    direct-DFT reference at rtol 1e-9 in tests/test_spectral.py, episode
+    algebra against hand-built fixtures."""
+    from gensor_spark.operators.spectral import anomaly_episodes, spectral_residual
+
+    flagged = spectral_residual(_points(spark, sf_dir), tau=2.5)
+    out = anomaly_episodes(flagged, max_gap=2)
+    return out.select(
+        "doc_id", "source", "episode", "start_seq", "end_seq", "n_points",
+        _r6(F.col("peak_score")).alias("peak_score"),
+    )
+
+
 # the fixed query shape for the pattern_search driver row: a rise-and-fall
 # spike (z-normalization makes the literal scale irrelevant)
 PATTERN_QUERY = (0.0, 2.0, 4.0, 2.0, 0.0, -2.0)
@@ -2090,6 +2107,7 @@ QUERIES["pattern_search"] = q_pattern_search
 QUERIES["quality_classifier"] = q_quality_classifier
 QUERIES["ar_forecast"] = q_ar_forecast
 QUERIES["rollup_cms"] = q_rollup_cms
+QUERIES["spectral_anomaly"] = q_spectral_anomaly
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

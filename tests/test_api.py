@@ -278,3 +278,15 @@ def test_bucketed_roundtrip_facade(spark, ds, tmp_path):
         assert is_bucket_satisfied(agg)
     finally:
         spark.sql("DROP TABLE IF EXISTS api_bkt")
+
+
+def test_spectral_facade(spark, ds):
+    from gensor_spark.operators.spectral import spectral_residual
+
+    n_flag = spectral_residual(ds.df, tau=2.0).filter("is_anomaly").count()
+    out = ds.detect_outliers("spectral", tau=2.0)
+    assert out.outliers.df.count() == n_flag
+    assert out.df.count() == ds.df.count() - n_flag
+    eps = ds.anomaly_episodes(tau=2.0).toPandas()
+    assert len(eps) > 0 and (eps["peak_score"] > 2.0).all()
+    assert (eps["end_seq"] >= eps["start_seq"]).all()

@@ -1,0 +1,139 @@
+"""Spectral-residual anomaly detection (operators/spectral.py).
+
+The kernel is pinned against an INDEPENDENT reference implementation that
+uses a direct O(n²) DFT matrix (no np.fft) and naive Python loops for the
+moving averages — same mathematics, disjoint code path. Behavioral pins:
+the saliency map spikes at a planted spike inside a strong seasonal
+pattern (the case a global z-test cannot separate), NaN masking, episode
+coalescing, and distributed == kernel parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gensor_spark.operators.spectral import (
+    _sr_kernel,
+    anomaly_episodes,
+    spectral_residual,
+)
+
+
+def _ref_sr(x, mag_window=3, score_window=21, extend_num=5, look_ahead=5):
+    """Independent SR: direct DFT matrix + loop-built moving averages."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.size
+    la = min(look_ahead, n - 1)
+    if extend_num > 0 and la >= 1:
+        slopes = [(x[-1] - x[-1 - i]) / i for i in range(la, 0, -1)]
+        est = x[-(la + 1)] + (sum(slopes) / len(slopes)) * (la + 1)
+        xe = np.concatenate([x, [est] * extend_num])
+    else:
+        xe = x
+    m = xe.size
+    k = np.arange(m)
+    W = np.exp(-2j * np.pi * np.outer(k, k) / m)  # DFT matrix
+    spec = W @ xe
+    amp = np.abs(spec)
+    logamp = np.log(np.maximum(amp, 1e-12))
+
+    def movavg_same(a, w):
+        # zero-padded 'same' convolution with a ones/w kernel, by hand:
+        # same[i] = full[i + (w-1)//2], full[t] = (1/w)·Σ_j a[j]·[t-w < j <= t]
+        w = max(1, min(w, a.size))
+        out = np.empty_like(a)
+        c = (w - 1) // 2
+        for i in range(a.size):
+            lo = max(0, i + c - w + 1)
+            hi = min(a.size, i + c + 1)
+            out[i] = a[lo:hi].sum() / w
+        return out
+
+    resid = logamp - movavg_same(logamp, mag_window)
+    phase = np.where(amp > 0, spec / amp, 0.0)
+    Winv = np.conj(W) / m
+    sal = np.abs(Winv @ (np.exp(resid) * phase))[:n]
+    local = np.maximum(movavg_same(sal, min(score_window, n)), 1e-12)
+    return sal, (sal - local) / local
+
+
+@pytest.mark.parametrize("n", [16, 50, 127])
+def test_kernel_matches_independent_dft_reference(n):
+    rng = np.random.default_rng(n)
+    x = np.sin(np.arange(n) * 0.3) * 5 + rng.normal(0, 0.5, n)
+    got_sal, got_score = _sr_kernel(x, 3, 21, 5, 5)
+    exp_sal, exp_score = _ref_sr(x)
+    np.testing.assert_allclose(got_sal, exp_sal, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(got_score, exp_score, rtol=1e-9, atol=1e-9)
+
+
+def test_spike_in_seasonal_series_is_top_salient():
+    """A one-point spike inside a strong sinusoid: SR's selling point. The
+    spike must carry the top score, and the seasonal peaks (which a global
+    z-test flags before the spike) must score far below it."""
+    n = 240
+    t = np.arange(n)
+    x = 10 * np.sin(2 * np.pi * t / 24)  # daily season, amplitude 10
+    x[117] += 6.0  # in-band spike: |value| stays under the seasonal max
+    sal, score = _sr_kernel(x, 3, 21, 5, 5)
+    assert int(np.argmax(score)) == 117
+    # global z-score CANNOT isolate it: the spike value is not extreme
+    z = np.abs((x - x.mean()) / x.std())
+    assert int(np.argmax(z)) != 117
+
+
+def test_short_and_constant_series_never_flag():
+    for x in ([1.0, 2.0], [5.0] * 50):
+        sal, score = _sr_kernel(np.asarray(x), 3, 21, 5, 5)
+        assert (score <= 3.0).all()
+
+
+def test_distributed_matches_kernel_and_masks_nans(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for d in range(6):
+        n = 80 + 13 * d
+        x = np.sin(np.arange(n) * 0.25) * (d + 1)
+        x += rng.normal(0, 0.1, n)
+        x[n // 2] += 5.0
+        for i, v in enumerate(x):
+            val = None if (d == 2 and i % 17 == 0) else float(v)
+            rows.append((f"d{d}", "s", i, val))
+    pts = spark.createDataFrame(
+        rows, "doc_id string, source string, seq long, value double")
+    out = spectral_residual(pts, tau=2.0).toPandas()
+    assert not out["value"].isna().any()  # nulls dropped, never scored
+    for d in range(6):
+        sub = out[out["doc_id"] == f"d{d}"].sort_values("seq")
+        xs = np.array([v for (dd, s, i, v) in rows
+                       if dd == f"d{d}" and v is not None])
+        sal, score = _sr_kernel(xs, 3, 21, 5, 5)
+        np.testing.assert_allclose(sub["sr_score"].to_numpy(), score,
+                                   rtol=1e-9, atol=1e-9)
+    # each series' planted spike is its top-scoring point
+    top = out.loc[out.groupby("doc_id")["sr_score"].idxmax()]
+    for _, r in top.iterrows():
+        d = int(r["doc_id"][1:])
+        n = 80 + 13 * d
+        assert abs(int(r["seq"]) - n // 2) <= 1
+
+
+def test_anomaly_episodes_coalesce(spark):
+    flagged = spark.createDataFrame(
+        [("a", "s", i, 1.0, float(s), s > 2.0)
+         for i, s in enumerate([0, 3, 4, 0, 3, 0, 0, 0, 5, 6])],
+        "doc_id string, source string, seq long, value double, "
+        "sr_score double, is_anomaly boolean")
+    eps = anomaly_episodes(flagged, max_gap=2).orderBy("episode").toPandas()
+    # flags at 1,2,4 merge (gap 2 allowed); 8,9 separate (gap 4)
+    assert len(eps) == 2
+    assert (eps.loc[0, "start_seq"], eps.loc[0, "end_seq"],
+            eps.loc[0, "n_points"], eps.loc[0, "peak_score"]) == (1, 4, 3, 4.0)
+    assert (eps.loc[1, "start_seq"], eps.loc[1, "end_seq"]) == (8, 9)
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="tau"):
+        spectral_residual(None, tau=0.0)
