@@ -143,3 +143,55 @@ def stratified_exact_k(df: DataFrame, k: int, strata_col: str = "source",
         .where(F.col("_r") <= k)
         .drop("_pr", "_r")
     )
+
+
+def temperature_rates(counts: dict[str, int], alpha: float,
+                      budget: int | None = None) -> dict[str, float]:
+    """Per-source keep rates for TEMPERATURE-BASED mixing (the multilingual
+    LM recipe — mC4/mT5, Arivazhagan et al. 2019): sample source ``s`` with
+    probability ``q_s ∝ p_s^alpha`` where ``p_s`` is its corpus share.
+    ``alpha=1`` keeps natural proportions; ``alpha→0`` flattens toward
+    uniform (up-samples the tail, down-samples the head) — the standard
+    fix for head-language/source dominance.
+
+    ``budget`` is the target TOTAL row count; rates are ``q_s·budget/n_s``
+    clamped to 1 (this sampler never repeats rows, so a tail source capped
+    at 1.0 under-fills its quota rather than over-sampling — callers
+    wanting >1 epochs of a tiny source materialize repeats upstream).
+    ``budget=None`` targets the full corpus size N (pure re-weighting).
+    Pure arithmetic on the per-source counts — unit-testable, engine-free.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not counts:
+        return {}
+    total = float(sum(counts.values()))
+    if total <= 0:
+        return {s: 0.0 for s in counts}
+    weights = {s: (n / total) ** alpha if n > 0 else 0.0
+               for s, n in counts.items()}
+    wsum = sum(weights.values())
+    b = float(budget if budget is not None else total)
+    return {
+        s: min(1.0, (weights[s] / wsum) * b / counts[s]) if counts[s] else 0.0
+        for s in counts
+    }
+
+
+def temperature_mix(df: DataFrame, alpha: float, budget: int | None = None,
+                    strata_col: str = "source", id_col: str = "doc_id",
+                    salt: str = "temp1") -> DataFrame:
+    """Temperature-mix the corpus in one pass: per-source counts (one
+    partial-agg shuffle over the SOURCE grain — rows out = #sources, the
+    one justified driver collect), ``temperature_rates``, then the
+    deterministic hash sampler. Same seed-stability/oracle contract as
+    ``stratified_sample`` — the selection is a pure function of
+    (id, salt, counts).
+    """
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+    }
+    rates = temperature_rates(counts, alpha, budget)
+    return stratified_sample(df, rates, strata_col=strata_col,
+                             id_col=id_col, salt=salt)

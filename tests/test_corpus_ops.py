@@ -708,3 +708,65 @@ def test_stratified_exact_k_priority_order(spark):
         want = sorted(full[full.source == src]["quality"].dropna(),
                       reverse=True)[:5]
         assert sorted(grp["quality"], reverse=True) == want
+
+
+def test_temperature_rates_properties():
+    """alpha=1 → natural proportions (full-corpus budget keeps everything);
+    alpha=0 → uniform quotas; alpha between interpolates monotonically;
+    clamping under-fills rather than over-samples."""
+    from gensor_spark.operators.sampling import temperature_rates
+
+    counts = {"head": 9000, "mid": 900, "tail": 100}
+    nat = temperature_rates(counts, alpha=1.0)
+    assert all(v == 1.0 for v in nat.values())  # budget=N, q_s == p_s
+    uni = temperature_rates(counts, alpha=0.0, budget=300)
+    # uniform q = 1/3 each: head 1000/9000, tail capped at 1.0
+    assert abs(uni["head"] - 100 / 9000) < 1e-12
+    assert uni["tail"] == 1.0
+    half = temperature_rates(counts, alpha=0.5, budget=3000)
+    # flattening up-samples the tail relative to natural share
+    assert half["tail"] / half["head"] > 1.0
+    expected_rows = sum(min(1.0, half[s]) * counts[s] for s in counts)
+    assert expected_rows <= 3000 + 1e-9  # clamp never over-fills
+    import pytest as _pt
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_rates(counts, alpha=-0.1)
+    assert temperature_rates({}, alpha=0.5) == {}
+
+
+def test_temperature_mix_matches_duckdb(spark):
+    """The end-to-end mix: per-source counts → rates → hash keep. DuckDB
+    reproduces the exact selection from the same rate table (the
+    stratified_sample oracle contract extends to computed rates)."""
+    import duckdb
+
+    from gensor_spark.operators.sampling import (
+        DENOM,
+        temperature_mix,
+        temperature_rates,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 7, "big")
+        .when(F.col("id") % 10 < 9, "mid")
+        .otherwise("small").alias("source"),
+    )
+    kept = temperature_mix(df, alpha=0.4, budget=1000).toPandas()
+    counts = {r["source"]: r["count"]
+              for _, r in df.groupBy("source").count().toPandas().iterrows()}
+    rates = temperature_rates(counts, alpha=0.4, budget=1000)
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * DENOM))}" for s, r in rates.items())
+    exp = con.execute(f"""
+        SELECT * FROM docs
+        WHERE ('0x' || substr(md5('temp1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {DENOM}
+              < (CASE source {case} ELSE 0 END)
+    """).df()
+    assert sorted(kept["doc_id"]) == sorted(exp["doc_id"])
+    # tail keeps a larger fraction than head
+    sizes = kept.groupby("source").size()
+    assert sizes["small"] / counts["small"] > sizes["big"] / counts["big"]
