@@ -524,6 +524,17 @@ class Dataset:
 
         return pelt_changepoints(self.df, penalty=penalty, keys=self.keys)
 
+    def period(self, max_period: int | None = None,
+               min_acf: float = 0.2) -> DataFrame:
+        """Dominant seasonal period per series (periodogram peak +
+        ACF confirmation; NULL = aperiodic) — feeds every ``period=``
+        verb (``decompose``, ``holt_winters``, ``forecast``,
+        ``backtest``, S-H-ESD) instead of asking the caller to know it."""
+        from gensor_spark.operators.spectral import dominant_period
+
+        return dominant_period(self.df, max_period=max_period,
+                               min_acf=min_acf, keys=self.keys)
+
     def anomaly_episodes(self, tau: float = 3.0, max_gap: int = 2,
                          **kwargs: Any) -> DataFrame:
         """SR saliency anomalies coalesced into alert episodes: one row per

@@ -35,6 +35,7 @@ from gensor_spark.operators.esd import (
 )
 from gensor_spark.operators.spectral import (
     anomaly_episodes,
+    dominant_period,
     spectral_residual,
 )
 from gensor_spark.operators.matrixprofile import (

@@ -186,3 +186,103 @@ def anomaly_episodes(
         F.count("*").alias("n_points"),
         F.max(score_col).alias("peak_score"),
     )
+
+
+def _period_kernel(
+    x: np.ndarray,
+    max_period: int | None,
+    min_acf: float,
+) -> tuple[float, float, float]:
+    """Dominant period of ONE gap-free series (numpy).
+
+    Periodogram of the linearly-detrended series (detrending keeps a trend
+    ramp from burying the seasonal peak under low-frequency power), peak
+    bin → candidate period, then an ACF confirmation at that lag — a pure
+    spectral peak can be a harmonic artifact; a real season must also
+    autocorrelate at its own lag. Returns ``(period, power_ratio,
+    acf_at_period)`` with period NaN when no confirmed season exists
+    (the R forecast::findfrequency contract).
+    """
+    n = x.size
+    if n < 8:
+        return np.nan, np.nan, np.nan
+    t = np.arange(n, dtype=np.float64)
+    # linear detrend (closed-form OLS)
+    tm, xm = t.mean(), x.mean()
+    dt = t - tm
+    denom = float(dt @ dt)
+    slope = float(dt @ (x - xm)) / denom if denom > 0 else 0.0
+    r = x - (xm + slope * dt)
+    if not r.any():
+        return np.nan, np.nan, np.nan
+    spec = np.fft.rfft(r)
+    power = np.abs(spec) ** 2
+    power[0] = 0.0  # DC carries no period
+    # candidate periods are n/k; keep those in [2, max_period or n/2]
+    ks = np.arange(1, power.size)
+    per = n / ks
+    valid = (per >= 2) & (per <= (max_period or n / 2))
+    if not valid.any():
+        return np.nan, np.nan, np.nan
+    pw = power[1:]
+    k_star = ks[valid][int(np.argmax(pw[valid]))]
+    total = float(pw[valid].sum())
+    ratio = float(power[k_star] / total) if total > 0 else 0.0
+    p = int(round(n / k_star))
+    p = max(2, min(p, n - 2))
+    # ACF at the candidate lag (biased estimator, the pandas convention)
+    v = float(r @ r)
+    acf = float(r[:-p] @ r[p:]) / v if v > 0 else 0.0
+    if acf < min_acf:
+        return np.nan, ratio, acf
+    return float(p), ratio, acf
+
+
+def dominant_period(
+    points: DataFrame,
+    max_period: int | None = None,
+    min_acf: float = 0.2,
+    keys: Iterable[str] = KEYS,
+    value_col: str = "value",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Per-series dominant-period detection: the diagnostic that feeds
+    every ``period=``-taking verb here (``seasonal_decompose``,
+    ``hw_smooth``/``hw_forecast``, ``seasonal_esd``, ``backtest``) instead
+    of asking the caller to know the seasonality up front.
+
+    Output: one row per series — ``period`` (double; NULL when no
+    spectral peak survives the ACF confirmation, i.e. the series is
+    aperiodic and the seasonal verbs should not be applied), ``power_ratio``
+    (peak share of off-DC periodogram power), ``acf_at_period``, ``n``.
+    NULLs in ``value_col`` are dropped (ordinal axis, same contract as the
+    SR detector). One Arrow crossing on the series-key Exchange.
+    """
+    if not 0.0 <= min_acf < 1.0:
+        raise ValueError(f"min_acf must be in [0, 1), got {min_acf}")
+    keys = list(keys)
+    fields = [T.StructField(f.name, f.dataType) for f in points.schema.fields
+              if f.name in keys]
+    schema = T.StructType(fields + [
+        T.StructField("period", T.DoubleType()),
+        T.StructField("power_ratio", T.DoubleType()),
+        T.StructField("acf_at_period", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ])
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        x = vals[np.isfinite(vals)]
+        p, ratio, acf = _period_kernel(x, max_period, min_acf)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["period"] = [None if np.isnan(p) else p]
+        out["power_ratio"] = [None if np.isnan(ratio) else ratio]
+        out["acf_at_period"] = [None if np.isnan(acf) else acf]
+        out["n"] = [int(x.size)]
+        return pd.DataFrame(out)
+
+    return (
+        points.select(*keys, order_col, value_col)
+        .groupBy(*keys).applyInPandas(per_series, schema)
+    )

@@ -290,3 +290,10 @@ def test_spectral_facade(spark, ds):
     eps = ds.anomaly_episodes(tau=2.0).toPandas()
     assert len(eps) > 0 and (eps["peak_score"] > 2.0).all()
     assert (eps["end_seq"] >= eps["start_seq"]).all()
+
+
+def test_period_facade(spark, ds):
+    per = ds.period()
+    assert set(per.columns) == {
+        "doc_id", "source", "period", "power_ratio", "acf_at_period", "n"}
+    assert per.count() == ds.df.select("doc_id", "source").distinct().count()
