@@ -556,6 +556,16 @@ class Dataset:
 
         return segmented_trend(self.df, penalty=penalty, keys=self.keys)
 
+    def resample_calendar(self, unit: str = "month",
+                          ohlc: bool = False) -> DataFrame:
+        """Calendar-bin aggregates (week/month/quarter/year — non-fixed-
+        width bins ``resample`` cannot floor to): count/min/max/mean/last
+        per series-bin, plus the OHLC open when asked."""
+        from gensor_spark.operators.rollup import finalize_tier, rollup_calendar
+
+        return finalize_tier(rollup_calendar(self.df, unit, keys=self.keys,
+                                             with_first=ohlc))
+
     # ------------------------------------------------------------- storage
 
     def save_bucketed(self, table: str, n_buckets: int,

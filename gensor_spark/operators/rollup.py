@@ -604,3 +604,75 @@ def finalize_tier(partials: DataFrame, ddof: int = 1) -> DataFrame:
         cols.append(F.when(ok & (F.col("cnt") >= 3), skew).alias("skew"))
         cols.append(F.when(ok & (F.col("cnt") >= 4), kurt).alias("kurt"))
     return partials.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# calendar tiers: month/quarter/year/week bins are NOT fixed-width, so the
+# epoch-floor bin_ts arithmetic cannot express them — but they NEST exactly
+# over the 1d tier (every day belongs to one week/month/quarter/year), so a
+# calendar rollup is date_trunc + the same associative partial merge, and
+# the incremental-maintenance property extends unchanged: the month tier
+# cascades from the ~30× smaller 1d tier, never from raw points.
+# ---------------------------------------------------------------------------
+
+CALENDAR_UNITS = ("week", "month", "quarter", "year")
+
+
+def rollup_calendar(
+    points: DataFrame,
+    unit: str = "month",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    with_sumsq: bool = False,
+    with_first: bool = False,
+    with_moments: bool = False,
+) -> DataFrame:
+    """Partial states at a CALENDAR granularity, direct from points.
+
+    ``bin_ts`` is ``date_trunc(unit, ts)`` (weeks start Monday — the Spark
+    and DuckDB convention both). Same partial schema and flags as
+    ``rollup_tier``; prefer ``cascade_calendar`` over a stored 1d tier when
+    one exists.
+    """
+    if unit not in CALENDAR_UNITS:
+        raise ValueError(f"unit must be one of {CALENDAR_UNITS}, got {unit!r}")
+    binned = points.withColumn("bin_ts", F.date_trunc(unit, F.col("ts")))
+    v = F.col("value")
+    partials = [
+        F.count(v).alias("cnt"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(v).alias("vsum"),
+        F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("last"),
+        F.max(F.when(v.isNotNull(), F.col("ts"))).alias("last_ts"),
+    ]
+    if with_first:
+        partials.append(
+            F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("first"))
+        partials.append(
+            F.min(F.when(v.isNotNull(), F.col("ts"))).alias("first_ts"))
+    if with_sumsq or with_moments:
+        partials.append(F.sum(v * v).alias("vsumsq"))
+    if with_moments:
+        d = v.cast("double")
+        partials.append(F.sum(d * d * d).alias("vsumcu"))
+        partials.append(F.sum(d * d * (d * d)).alias("vsumqu"))
+    return binned.groupBy(*keys, "bin_ts").agg(*partials)
+
+
+def cascade_calendar(
+    finer: DataFrame,
+    unit: str = "month",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+) -> DataFrame:
+    """Calendar tier from a FINER tier's partials (1d → month, month →
+    quarter/year, week from 1d...). Correct for any finer tier whose bins
+    nest inside the calendar unit: every fixed tier ≤ 1d nests in all four
+    units; month nests in quarter/year; week nests in NEITHER month nor
+    year (ISO weeks straddle month boundaries) — cascade weeks from 1d or
+    finer only. Associativity does the rest; identical output to
+    ``rollup_calendar`` on the raw points (tested bitwise on tokens).
+    """
+    if unit not in CALENDAR_UNITS:
+        raise ValueError(f"unit must be one of {CALENDAR_UNITS}, got {unit!r}")
+    rebinned = finer.withColumn("bin_ts", F.date_trunc(unit, F.col("bin_ts")))
+    return _merge_partials(rebinned, [*keys, "bin_ts"])

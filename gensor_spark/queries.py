@@ -1274,6 +1274,27 @@ def q_seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar (month) tier cascaded from the 1d tier — the non-fixed-width
+    bins the epoch-floor tiers cannot express, maintained incrementally from
+    the ~30× smaller 1d partials (operators/rollup.py cascade_calendar).
+    Registry tail (window full); the full DuckDB date_trunc oracle + the
+    cascade≡direct bitwise pin live in tests/test_calendar.py."""
+    from gensor_spark.operators.rollup import cascade_calendar
+
+    out = finalize_tier(cascade_calendar(
+        rollup_tier(_points(spark, sf_dir), "1d", with_first=True), "month"))
+    return _fmt_bin(out).select(
+        "doc_id", "source", "bin_ts",
+        F.col("count").alias("cnt"),
+        _r6(F.col("min")).alias("vmin"),
+        _r6(F.col("max")).alias("vmax"),
+        _r6(F.col("mean")).alias("vmean"),
+        _r6(F.col("open")).alias("vopen"),
+        _r6(F.col("last")).alias("vlast"),
+    )
+
+
 def q_spectral_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spectral-residual saliency anomalies coalesced into alert episodes
     (operators/spectral.py — Ren et al. KDD'19, the frequency-domain
@@ -2108,6 +2129,7 @@ QUERIES["quality_classifier"] = q_quality_classifier
 QUERIES["ar_forecast"] = q_ar_forecast
 QUERIES["rollup_cms"] = q_rollup_cms
 QUERIES["spectral_anomaly"] = q_spectral_anomaly
+QUERIES["rollup_month"] = q_rollup_month
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

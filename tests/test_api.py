@@ -297,3 +297,9 @@ def test_period_facade(spark, ds):
     assert set(per.columns) == {
         "doc_id", "source", "period", "power_ratio", "acf_at_period", "n"}
     assert per.count() == ds.df.select("doc_id", "source").distinct().count()
+
+
+def test_resample_calendar_facade(spark, ds):
+    out = ds.resample_calendar("week", ohlc=True)
+    assert {"count", "min", "max", "mean", "last", "open"} <= set(out.columns)
+    assert out.count() > 0
