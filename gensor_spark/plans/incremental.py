@@ -1011,3 +1011,51 @@ class TierPipeline:
                 self.iceberg.drop(tier)
         shutil.rmtree(self.store, ignore_errors=True)
         self.store.mkdir(parents=True, exist_ok=True)
+
+
+def read_range(
+    pipeline: "TierPipeline",
+    start,
+    end,
+    max_points: int | None = None,
+    finalize: bool = True,
+):
+    """Resolution-aware range read: serve ``[start, end)`` from the
+    COARSEST stored tier that still yields at least ``max_points`` bins per
+    series — the router a dashboard zoom uses (wide span → 1d tier, tight
+    span → 1m), so a year-long query reads ~365 rows per series instead of
+    half a million, and the time-range predicate prunes the tier scan.
+
+    ``max_points=None`` picks the finest stored tier (full resolution).
+    The choice is metadata arithmetic (span / tier step — no data scan);
+    absent tiers are skipped; falls back to the finest stored tier when
+    even it cannot satisfy the budget (short span). Returns the filtered
+    tier frame plus the chosen tier name.
+    """
+    import pandas as pd
+
+    from gensor_spark.operators.rollup import TIER_SECONDS
+
+    s = pd.Timestamp(start)
+    e = pd.Timestamp(end)
+    if e <= s:
+        raise ValueError(f"empty range: {start!r} .. {end!r}")
+    span = (e - s).total_seconds()
+    stored = [t for t in TIERS
+              if (pipeline.store / f"tier_{t}").exists()]
+    if not stored:
+        raise FileNotFoundError(f"no tiers stored under {pipeline.store}")
+    chosen = stored[0]
+    if max_points is not None:
+        # coarsest tier whose bin count over the span still >= max_points;
+        # TIERS is ordered fine->coarse, so walk from the coarse end
+        for t in reversed(stored):
+            if span / TIER_SECONDS[t] >= max_points:
+                chosen = t
+                break
+    df = pipeline.read_tier(chosen, finalize=finalize)
+    out = df.filter(
+        (F.col("bin_ts") >= F.lit(str(s)).cast("timestamp"))
+        & (F.col("bin_ts") < F.lit(str(e)).cast("timestamp"))
+    )
+    return out, chosen

@@ -431,3 +431,36 @@ def test_var_tiers_store_matches_direct_and_validates(spark, docs, tmp_path):
         TierPipeline(spark, store, var_tiers=True, narrow_partials=True)
     with pytest.raises(ValueError, match="parquet"):
         TierPipeline(spark, store, var_tiers=True, backend="iceberg")
+
+
+def test_read_range_resolution_router(spark, docs, tmp_path):
+    """read_range picks the coarsest tier that still yields max_points bins
+    over the span, pushes the time filter into the tier scan, and falls
+    back to the finest tier on tight spans."""
+    from gensor_spark.plans.incremental import read_range
+
+    store = str(tmp_path / "router")
+    pipe = TierPipeline(spark, store, n_batches=2)
+    pipe.run(docs)
+
+    # 2-day span, budget 24 -> 1h tier (48 bins >= 24; 1d gives only 2)
+    out, tier = read_range(pipe, "2024-01-01", "2024-01-03", max_points=24)
+    assert tier == "1h"
+    direct = pipe.read_tier("1h").filter(
+        "bin_ts >= '2024-01-01' AND bin_ts < '2024-01-03'")
+    assert out.count() == direct.count() > 0
+    # same span, generous budget -> falls to 1m
+    _, t2 = read_range(pipe, "2024-01-01", "2024-01-03", max_points=500)
+    assert t2 == "1m"
+    # same span, tiny budget -> coarsest (1d)
+    _, t3 = read_range(pipe, "2024-01-01", "2024-01-03", max_points=2)
+    assert t3 == "1d"
+    # max_points=None -> finest stored
+    _, t4 = read_range(pipe, "2024-01-01", "2024-01-03")
+    assert t4 == "1m"
+    # the time predicate reaches the parquet scan (partition/row-group prune)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bin_ts" in plan
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty range"):
+        read_range(pipe, "2024-01-02", "2024-01-01")
