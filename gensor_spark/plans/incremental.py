@@ -825,16 +825,18 @@ class TierPipeline:
             df = self.iceberg.read(tier)
         else:
             self._recover_compact(tier)
-            base = self.store / f"tier_{tier}"
-            parts = sorted(base.glob("batch=*"))
-            if not parts:
-                raise FileNotFoundError(
-                    f"tier {tier!r} has no data under {base} — run() it "
-                    "first (retention/compaction skip absent tiers)"
-                )
-            df = self.spark.read.option("basePath", str(base)).parquet(
-                *[str(p) for p in parts]
-            ).drop("batch")
+            df = self._bucketed_scan(tier)
+            if df is None:
+                base = self.store / f"tier_{tier}"
+                parts = sorted(base.glob("batch=*"))
+                if not parts:
+                    raise FileNotFoundError(
+                        f"tier {tier!r} has no data under {base} — run() it "
+                        "first (retention/compaction skip absent tiers)"
+                    )
+                df = self.spark.read.option("basePath", str(base)).parquet(
+                    *[str(p) for p in parts]
+                ).drop("batch")
         if self.narrow_partials:
             merged = widen_partials(
                 _merge_partials_narrow(df, [*self.keys, "bin"]),
@@ -849,11 +851,13 @@ class TierPipeline:
         input for compaction/retention rewrites, which must not change the
         physical schema of the tier directory."""
         self._recover_compact(tier)
-        base = self.store / f"tier_{tier}"
-        parts = sorted(base.glob("batch=*"))
-        df = self.spark.read.option("basePath", str(base)).parquet(
-            *[str(p) for p in parts]
-        ).drop("batch")
+        df = self._bucketed_scan(tier)
+        if df is None:
+            base = self.store / f"tier_{tier}"
+            parts = sorted(base.glob("batch=*"))
+            df = self.spark.read.option("basePath", str(base)).parquet(
+                *[str(p) for p in parts]
+            ).drop("batch")
         if self.narrow_partials:
             return _merge_partials_narrow(df, [*self.keys, "bin"])
         return _merge_partials(df, [*self.keys, "bin_ts"])
@@ -900,12 +904,89 @@ class TierPipeline:
         partials.write.mode("overwrite").parquet(str(tmp / "batch=-1"))  # step 1
         if manifest is not None:
             (tmp / "_folded.json").write_text(json.dumps(manifest))
+        # a plain rewrite replaces any bucketed layout: retire the catalog
+        # entry BEFORE promoting, or a reader could treat the new plain
+        # files as bucket files (Spark aborts on unsuffixed bucket files —
+        # a crash, not wrong data, but still a broken store)
+        self._drop_bucket_table(tier)
         os.replace(final, old)  # step 2: set aside, never rmtree the live tier
         os.replace(tmp, final)  # step 3: promote
         shutil.rmtree(old)  # step 4: cleanup
 
+    def _drop_bucket_table(self, tier: str) -> None:
+        try:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._bucket_table(tier)}")
+        except Exception:
+            pass  # catalog unavailable → there is no entry to go stale
+
+    # --------------------------------------------------- bucketed compaction
+
+    def _bucket_table(self, tier: str) -> str:
+        """Deterministic catalog name for this store's bucketed tier (the
+        store path is the identity — two stores in one session never
+        collide)."""
+        import hashlib
+
+        h = hashlib.md5(str(self.store.resolve()).encode()).hexdigest()[:10]
+        return f"gs_bkt_{h}_{tier.replace('-', '_')}"
+
+    def _rewrite_tier_bucketed(self, tier: str, partials: DataFrame,
+                               n_buckets: int) -> None:
+        """The ``_rewrite_tier`` protocol with a bucketed writer: steps 1-4
+        identical (tmp write → set-aside → promote → cleanup), plus a final
+        catalog re-point. Bucket file names carry their bucket id, so the
+        layout survives the directory rename; only the catalog's location
+        string goes stale between promote and re-register — and the read
+        side treats the catalog as advisory (``_bucketed_scan``), so every
+        crash window degrades to the plain path scan, never to wrong data.
+        """
+        from gensor_spark.plans.bucketing import write_bucketed
+
+        final, tmp, old = self._compact_paths(tier)
+        shutil.rmtree(tmp, ignore_errors=True)
+        tbl = self._bucket_table(tier)
+        # drop any previous entry BEFORE the write: an overwrite-saveAsTable
+        # onto an existing external table registered at the LIVE location
+        # must never get a chance to touch that location (external-table
+        # drops are metadata-only; the live files stay)
+        self._drop_bucket_table(tier)
+        write_bucketed(partials, tbl, n_buckets, bucket_cols=self.keys,
+                       sort_cols=("bin_ts",), path=str(tmp / "batch=-1"))
+        os.replace(final, old)
+        os.replace(tmp, final)
+        self.spark.sql(
+            f"ALTER TABLE {tbl} SET LOCATION '{final / 'batch=-1'}'")
+        shutil.rmtree(old)
+
+    def _bucketed_scan(self, tier: str) -> DataFrame | None:
+        """The verified bucketed fast path: the catalog table must exist,
+        the tier must be fully folded (only ``batch=-1``), and the
+        registered location must name the LIVE tier directory. Any
+        mismatch → None (callers fall back to the plain path scan)."""
+        tbl = self._bucket_table(tier)
+        try:
+            if not self.spark.catalog.tableExists(tbl):
+                return None
+        except Exception:
+            return None
+        base = self.store / f"tier_{tier}"
+        parts = sorted(p.name for p in base.glob("batch=*"))
+        if parts != ["batch=-1"]:
+            return None
+        loc = (
+            self.spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+            .filter(F.col("col_name") == "Location")
+            .first()
+        )
+        want = (base / "batch=-1").resolve()
+        if loc is None or Path(
+                loc["data_type"].replace("file:", "")).resolve() != want:
+            return None
+        return self.spark.table(tbl)
+
     def compact(self, tier: str, zorder: bool = False,
-                zorder_files: int = 32) -> None:
+                zorder_files: int = 32, bucket: int | None = None) -> None:
         """Fold all contributions into one (Iceberg: rewrite_data_files).
 
         ``zorder=True`` (parquet backend) rewrites the tier clustered on
@@ -918,14 +999,34 @@ class TierPipeline:
         associatively regardless of row order. On Iceberg the equivalent
         is ``rewrite_data_files`` with a zorder sort order; out of scope
         while the runtime jar is availability-gated.
+
+        ``bucket=N`` (parquet backend, exclusive with zorder) folds into a
+        BUCKETED catalog table on the series keys (plans/bucketing.py):
+        every subsequent ``read_tier`` merge — a groupBy on the keys+bin
+        SUPERSET of the bucket columns — plans with ZERO Exchange, turning
+        the store's dominant recurring read cost into this one write-side
+        shuffle. The catalog entry is advisory only: reads verify the
+        registered location still names the live tier directory and fall
+        back to the plain path scan on any mismatch (crash between promote
+        and re-register, bucketing disabled, foreign session), so the
+        rename-promotion crash protocol is unchanged.
         """
         if self.backend == "iceberg":
-            if zorder:
+            if zorder or bucket:
                 raise ValueError(
-                    "zorder compaction requires the parquet backend "
+                    "zorder/bucket compaction requires the parquet backend "
                     "(Iceberg: use rewrite_data_files with a zorder sort "
                     "order via the catalog)")
             self.iceberg.compact(tier)  # rewrite_data_files, atomic snapshot
+            return
+        if bucket is not None:
+            if zorder:
+                raise ValueError("bucket and zorder are exclusive layouts")
+            if self.narrow_partials:
+                raise ValueError(
+                    "bucket compaction needs the wide partial schema")
+            self._rewrite_tier_bucketed(
+                tier, self._read_merged_storage(tier), bucket)
             return
         merged = self._read_merged_storage(tier)
         if zorder:

@@ -143,3 +143,71 @@ def test_degraded_guard_detects_mismatched_buckets(spark, bucketed_points, tmp_p
 def test_validation(bucketed_points):
     with pytest.raises(ValueError):
         write_bucketed(bucketed_points, "nope", 0)
+
+
+# ------------------------------------------------- tier-store bucketed fold
+
+def test_tier_store_bucketed_compact_roundtrip(spark, tmp_path):
+    """compact(tier, bucket=N): the folded tier becomes a bucketed catalog
+    table; read_tier's partial merge then plans with ZERO Exchange and
+    identical values. A later batch degrades gracefully to the plain union
+    scan; a later plain compact retires the catalog entry (no stale
+    bucketed claim over plain files)."""
+    import pandas as pd
+
+    from gensor_spark.operators.points import docs_to_points
+    from gensor_spark.operators.rollup import finalize_tier, rollup_tier
+    from gensor_spark.plans.incremental import TierPipeline
+    from gensor_spark.sources.synth import synth_docs
+
+    docs = synth_docs(spark, n_docs=40, seed=21, min_tok=5, max_tok=200).cache()
+    pipe = TierPipeline(spark, str(tmp_path / "bkt_store"), n_batches=2)
+    pipe.run(docs, batches=[0])
+    before = (pipe.read_tier("1h").orderBy("doc_id", "source", "bin_ts")
+              .toPandas().reset_index(drop=True))
+
+    pipe.compact("1h", bucket=8)
+    merged = pipe.read_tier("1h", finalize=False)
+    assert is_bucket_satisfied(merged), _plan(merged)
+    after = (pipe.read_tier("1h").orderBy("doc_id", "source", "bin_ts")
+             .toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(before, after)
+
+    # second batch arrives: catalog goes advisory-stale, reads fall back to
+    # the plain union scan and stay CORRECT
+    pipe.run(docs, batches=[1])
+    full = (pipe.read_tier("1h").orderBy("doc_id", "source", "bin_ts")
+            .toPandas().reset_index(drop=True))
+    want = (
+        finalize_tier(rollup_tier(docs_to_points(docs), "1h"))
+        .orderBy("doc_id", "source", "bin_ts").toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full, want)
+
+    # plain re-compact: catalog entry must be gone, values unchanged
+    pipe.compact("1h")
+    assert not spark.catalog.tableExists(pipe._bucket_table("1h"))
+    again = (pipe.read_tier("1h").orderBy("doc_id", "source", "bin_ts")
+             .toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(again, want)
+
+    # re-bucket the full store: fast path returns, still equal
+    pipe.compact("1h", bucket=8)
+    m2 = pipe.read_tier("1h", finalize=False)
+    assert is_bucket_satisfied(m2), _plan(m2)
+    final = (pipe.read_tier("1h").orderBy("doc_id", "source", "bin_ts")
+             .toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(final, want)
+    spark.sql(f"DROP TABLE IF EXISTS {pipe._bucket_table('1h')}")
+
+
+def test_tier_store_bucket_validations(spark, tmp_path):
+    from gensor_spark.plans.incremental import TierPipeline
+    from gensor_spark.sources.synth import synth_docs
+
+    docs = synth_docs(spark, n_docs=8, seed=1, min_tok=5, max_tok=50)
+    pipe = TierPipeline(spark, str(tmp_path / "v"), n_batches=1)
+    pipe.run(docs)
+    with pytest.raises(ValueError, match="exclusive"):
+        pipe.compact("1h", zorder=True, bucket=4)
