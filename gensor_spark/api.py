@@ -201,7 +201,7 @@ class Dataset:
 
     def transform(self, method: Literal[
         "difference", "log", "square_root", "box_cox", "standard_scaler",
-        "minmax_scaler", "robust_scaler", "maxabs_scaler",
+        "minmax_scaler", "robust_scaler", "maxabs_scaler", "winsorize",
     ], **kwargs: Any) -> "Dataset":
         """gensor ``transform(method)`` (core/base.py:172-206), quirks
         included (log/sqrt pass non-positive values through unchanged)."""
@@ -222,8 +222,8 @@ class Dataset:
                 out = self.df.withColumn(
                     "value", T.box_cox_fixed(v, lmbda=lmbda))
         elif method in ("standard_scaler", "minmax_scaler",
-                        "robust_scaler", "maxabs_scaler"):
-            out = getattr(T, method)(self.df, keys=self.keys)
+                        "robust_scaler", "maxabs_scaler", "winsorize"):
+            out = getattr(T, method)(self.df, keys=self.keys, **kwargs)
         else:
             raise ValueError(f"unknown transform method: {method!r}")
         return self._wrap(out)

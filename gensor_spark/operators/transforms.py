@@ -85,6 +85,29 @@ def robust_scaler(points: DataFrame, keys=KEYS) -> DataFrame:
     return points.withColumn("value", (F.col("value") - med) / (q3 - q1))
 
 
+def winsorize(points: DataFrame, lower: float = 0.05, upper: float = 0.95,
+              keys=KEYS) -> DataFrame:
+    """Clip each series to its own [lower, upper] quantiles (pandas
+    ``s.clip(s.quantile(l), s.quantile(u))`` parity — exact percentiles
+    with linear interpolation, NULLs pass through unclipped).
+
+    The robust-preprocessing verb the scaler family composes with:
+    winsorize → standard-scale is the classic outlier-insensitive
+    normalization for training-data features. Same one-Exchange window
+    plan as the scalers (the quantile window is unordered-whole-series,
+    so all three percentile frames share one Sort)."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    w = _series_window(keys)
+    lo = F.expr(f"percentile(value, {lower!r})").over(w)
+    hi = F.expr(f"percentile(value, {upper!r})").over(w)
+    return points.withColumn(
+        "value", F.when(F.col("value") < lo, lo)
+                  .when(F.col("value") > hi, hi)
+                  .otherwise(F.col("value")))
+
+
 # ---------------------------------------------------------------------------
 # Box-Cox with per-series MLE λ (grouped Arrow UDF; numpy-only, no scipy)
 # ---------------------------------------------------------------------------

@@ -427,3 +427,44 @@ def test_fieldwork_mask_keeps_gap_rows(spark):
     rows = wc.collect()
     assert len(rows) == 3
     assert all(r["water_column"] is None for r in rows)
+
+
+def test_winsorize_pandas_and_duckdb_parity(spark, points_sdf, points_pdf):
+    """Per-series quantile clipping: pandas clip(quantile) parity (linear
+    interpolation) + DuckDB quantile_cont oracle; NULLs pass through."""
+    import duckdb
+
+    from gensor_spark.operators.transforms import winsorize
+
+    got = (winsorize(points_sdf, 0.1, 0.9)
+           .orderBy("doc_id", "source", "seq").toPandas())
+
+    def clip(s):
+        return s.clip(s.quantile(0.1), s.quantile(0.9))
+
+    exp = points_pdf.sort_values(["doc_id", "source", "seq"]).reset_index(
+        drop=True)
+    exp["value"] = exp.groupby(["doc_id", "source"])["value"].transform(clip)
+    np.testing.assert_allclose(
+        got["value"].to_numpy(float), exp["value"].to_numpy(float),
+        rtol=1e-12, atol=1e-12)
+    assert got["value"].isna().sum() == points_pdf["value"].isna().sum()
+
+    con = duckdb.connect()
+    con.register("pts", points_pdf)
+    oracle = con.execute("""
+        SELECT doc_id, source, seq,
+               CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
+                    ELSE value END AS value
+        FROM (SELECT *,
+                quantile_cont(value, 0.1) OVER (PARTITION BY doc_id, source) AS lo,
+                quantile_cont(value, 0.9) OVER (PARTITION BY doc_id, source) AS hi
+              FROM pts)
+        ORDER BY doc_id, source, seq
+    """).df()
+    np.testing.assert_allclose(
+        got["value"].to_numpy(float), oracle["value"].to_numpy(float),
+        rtol=1e-12, atol=1e-12)
+
+    with pytest.raises(ValueError, match="lower"):
+        winsorize(points_sdf, 0.9, 0.1)
