@@ -1409,9 +1409,11 @@ def smoother_backtest(
     value_col: str = "value",
 ) -> DataFrame:
     """Which smoother fits each series? One-step-ahead backtest of the
-    exponential family (EWMA / Holt / Theta / Holt-Winters) on the tail of
-    every series — the model-selection verb that turns the family from
-    four separate calls into an answer. Theta runs in the Hyndman-Billah
+    exponential family (EWMA / Holt / Theta / Holt-Winters) plus the
+    SEASONAL-NAIVE baseline (ŷ_t = y_{t-period} — the no-parameter floor
+    every forecast claim must beat, and the MASE denominator) on the tail
+    of every series — the model-selection verb that turns the family from
+    separate calls into an answer. Theta runs in the Hyndman-Billah
     SES+drift form with the slope REFIT at every rolling origin (prefix
     OLS, O(1) incremental), so its predictions are leakage-free like the
     others.
@@ -1427,8 +1429,8 @@ def smoother_backtest(
     All four recurrences run in ONE Arrow-kernel pass per series (one
     shuffle total — not three operator calls). Output: one row per
     (series, method): (keys..., method, n_eval, mae, best) with ``best``
-    marking the minimal-MAE method (ties break ewma < holt < theta < hw,
-    i.e. toward the simpler model).
+    marking the minimal-MAE method (ties break snaive < ewma < holt <
+    theta < hw, i.e. toward the simpler model).
     """
     if not 0.0 < eval_fraction < 1.0:
         raise ValueError(f"eval_fraction must be in (0,1), got {eval_fraction}")
@@ -1443,7 +1445,7 @@ def smoother_backtest(
            T.StructField("mae", T.DoubleType()),
            T.StructField("best", T.BooleanType())]
     )
-    order = ["ewma", "holt", "theta", "hw"]
+    order = ["snaive", "ewma", "holt", "theta", "hw"]
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].to_numpy(dtype=float)
@@ -1479,6 +1481,14 @@ def smoother_backtest(
             carry = (1.0 - (1.0 - alpha) ** m1) / alpha
             theta_fit = lev + 0.5 * np.where(m1 >= 2, slp, np.nan) * carry
             preds = {
+                # seasonal naive — ŷ_t = y_{t-period} on the observation
+                # ordinal: the no-parameter baseline every forecast claim
+                # must beat (the MASE denominator); NaN until one full
+                # season of history exists
+                "snaive": np.array([
+                    v[pos[int(i)] - period] if pos[int(i)] >= period
+                    else np.nan
+                    for i in eval_idx]),
                 "ewma": np.array([ew[obs[pos[int(i)] - 1]] for i in eval_idx]),
                 "holt": np.array([lv[obs[pos[int(i)] - 1]]
                                   + tr[obs[pos[int(i)] - 1]] for i in eval_idx]),

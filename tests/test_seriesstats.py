@@ -1249,7 +1249,7 @@ def test_backtest_model_selection_on_planted_series(spark):
     df = spark.createDataFrame(
         rows, "doc_id string, source string, seq int, value double")
     out = smoother_backtest(df, period=m).toPandas()
-    assert len(out) == 12  # 3 series x 4 methods
+    assert len(out) == 15  # 3 series x 5 methods (incl. the snaive baseline)
     best = {d: g.loc[g.best, "method"].iloc[0]
             for d, g in out.groupby("doc_id")}
     assert best["seasonal"] == "hw"
@@ -1257,6 +1257,10 @@ def test_backtest_model_selection_on_planted_series(spark):
     mae = out.set_index(["doc_id", "method"])["mae"]
     assert mae[("ramp", "holt")] < mae[("ramp", "ewma")] / 3
     assert mae[("seasonal", "hw")] < mae[("seasonal", "ewma")] / 3
+    # the baseline beats ewma on the seasonal series (it IS the season)
+    # but loses to hw, which also tracks the trend component
+    assert mae[("seasonal", "snaive")] < mae[("seasonal", "ewma")]
+    assert mae[("seasonal", "hw")] < mae[("seasonal", "snaive")]
     assert (out.groupby("doc_id")["best"].sum() == 1).all()
 
 
@@ -1292,6 +1296,9 @@ def test_backtest_matches_hand_rolled_mae(spark):
     pred_holt = np.array(hlv[-n_eval - 1:-1]) + np.array(htr[-n_eval - 1:-1])
     want_holt = np.abs(pred_holt - x[-n_eval:]).mean()
     np.testing.assert_allclose(got.loc["holt", "mae"], want_holt, rtol=1e-12)
+    # seasonal-naive: y[t-4] predicts y[t]
+    want_sn = np.abs(x[-n_eval - 4:-4] - x[-n_eval:]).mean()
+    np.testing.assert_allclose(got.loc["snaive", "mae"], want_sn, rtol=1e-12)
 
 
 def test_backtest_short_series_hw_masks(spark):
