@@ -556,6 +556,22 @@ class Dataset:
 
         return segmented_trend(self.df, penalty=penalty, keys=self.keys)
 
+    def ohlc(self, freq: str = "1h") -> DataFrame:
+        """pandas ``resample(freq).ohlc()`` parity per series: open/high/
+        low/close (+ count) bars from one partial-agg pass."""
+        from gensor_spark.operators.rollup import finalize_tier, rollup_tier
+
+        out = finalize_tier(rollup_tier(self.df, freq, keys=self.keys,
+                                        with_first=True))
+        return out.select(
+            *self.keys, "bin_ts",
+            F.col("open"),
+            F.col("max").alias("high"),
+            F.col("min").alias("low"),
+            F.col("last").alias("close"),
+            F.col("count"),
+        )
+
     def resample_calendar(self, unit: str = "month",
                           ohlc: bool = False) -> DataFrame:
         """Calendar-bin aggregates (week/month/quarter/year — non-fixed-

@@ -1045,6 +1045,41 @@ class TierPipeline:
             )
         self._rewrite_tier(tier, merged)
 
+    def refresh_calendar(self, unit: str = "month",
+                         from_tier: str = "1d") -> int:
+        """Materialize (or re-fold) a CALENDAR tier from a stored fixed
+        tier: ``cascade_calendar`` over the merged ``from_tier`` partials,
+        written as the calendar tier's single ``batch=-1`` contribution —
+        a continuous aggregate at calendar grain, refreshed from the ~30×
+        smaller 1d state, never from raw points. Re-run after new batches
+        land (the fold is a full re-cascade of bin-grain rows — cheap).
+        ``read_tier(unit)`` then serves it like any other tier. Weeks
+        straddle month boundaries, so ``from_tier`` must be a fixed tier
+        (≤ 1d) — enforced by cascade_calendar's nesting rules being
+        trivially satisfied for every fixed tier. Returns the row count.
+        """
+        from gensor_spark.operators.rollup import CALENDAR_UNITS, cascade_calendar
+
+        if unit not in CALENDAR_UNITS:
+            raise ValueError(f"unit must be one of {CALENDAR_UNITS}, got {unit!r}")
+        if self.narrow_partials:
+            raise ValueError("refresh_calendar needs the wide partial schema")
+        if self.backend != "parquet":
+            raise ValueError("refresh_calendar requires the parquet backend")
+        cal = cascade_calendar(self._read_merged_storage(from_tier), unit,
+                               keys=self.keys)
+        final, tmp, old = self._compact_paths(unit)
+        if final.exists():
+            self._rewrite_tier(unit, cal)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            cal.write.mode("overwrite").parquet(str(tmp / "batch=-1"))
+            os.replace(tmp, final)
+        n = self.spark.read.parquet(str(final / "batch=-1")).count()
+        self._lineage_row({"calendar_refresh": {"unit": unit,
+                                                "from": from_tier, "rows": n}})
+        return n
+
     def apply_retention(self, policy: dict[str, str], now) -> dict[str, str]:
         """Enforce per-tier retention windows: the 'retention' in retention
         tiers. ``policy`` maps tier → max age (any pandas Timedelta string,
@@ -1137,21 +1172,28 @@ def read_range(
 
     from gensor_spark.operators.rollup import TIER_SECONDS
 
+    # nominal bin widths for stored calendar tiers (refresh_calendar) —
+    # only used for the budget arithmetic, never for binning
+    cal_seconds = {"week": 604_800, "month": 2_629_746,
+                   "quarter": 7_889_238, "year": 31_556_952}
+
     s = pd.Timestamp(start)
     e = pd.Timestamp(end)
     if e <= s:
         raise ValueError(f"empty range: {start!r} .. {end!r}")
     span = (e - s).total_seconds()
-    stored = [t for t in TIERS
+    widths = dict(TIER_SECONDS, **cal_seconds)
+    ladder = [*TIERS, *cal_seconds]  # fine -> coarse
+    stored = [t for t in ladder
               if (pipeline.store / f"tier_{t}").exists()]
     if not stored:
         raise FileNotFoundError(f"no tiers stored under {pipeline.store}")
     chosen = stored[0]
     if max_points is not None:
         # coarsest tier whose bin count over the span still >= max_points;
-        # TIERS is ordered fine->coarse, so walk from the coarse end
+        # the ladder is ordered fine->coarse, so walk from the coarse end
         for t in reversed(stored):
-            if span / TIER_SECONDS[t] >= max_points:
+            if span / widths[t] >= max_points:
                 chosen = t
                 break
     df = pipeline.read_tier(chosen, finalize=finalize)

@@ -139,3 +139,55 @@ def test_validation(spark, long_sdf):
         rollup_calendar(long_sdf, "fortnight")
     with pytest.raises(ValueError, match="unit"):
         cascade_calendar(long_sdf, "1h")
+
+
+def test_store_calendar_refresh_and_range_router(spark, long_sdf, tmp_path):
+    """refresh_calendar materializes the month tier from the stored 1d
+    state (equal to the direct calendar rollup), re-folds after new waves,
+    and read_range routes a wide-span/small-budget query to it."""
+    from gensor_spark.plans.incremental import TierPipeline, read_range
+
+    pipe = TierPipeline(spark, str(tmp_path / "cal_store"), n_batches=2)
+    pipe.ingest_points_wave(long_sdf, wave=1)
+    n = pipe.refresh_calendar("month")
+    got = (pipe.read_tier("month").orderBy(*KEY).toPandas()
+           .reset_index(drop=True))
+    want = (finalize_tier(rollup_calendar(long_sdf, "month"))
+            .orderBy(*KEY).toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert n == len(want)
+
+    # the router: ~5-month span, budget 3 -> month; budget 40 -> 1d
+    out, tier = read_range(pipe, "2024-01-01", "2024-06-01", max_points=3)
+    assert tier == "month"
+    assert out.count() == got[got["bin_ts"] < pd.Timestamp(
+        "2024-06-01")].shape[0]
+    _, t2 = read_range(pipe, "2024-01-01", "2024-06-01", max_points=40)
+    assert t2 == "1d"
+
+    with pytest.raises(ValueError, match="unit"):
+        pipe.refresh_calendar("fortnight")
+
+
+def test_ohlc_facade_matches_pandas(spark, long_sdf, long_pdf):
+    from gensor_spark.api import Dataset
+
+    ds = Dataset(long_sdf)
+    got = (ds.ohlc("1d").orderBy("doc_id", "source", "bin_ts").toPandas()
+           .reset_index(drop=True))
+    exp = (
+        long_pdf.set_index("ts")
+        .groupby(["doc_id", "source"])["value"]
+        .resample("1D")
+        .ohlc()
+        .dropna(how="all")
+        .reset_index()
+        .rename(columns={"ts": "bin_ts"})
+        .sort_values(["doc_id", "source", "bin_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    for col in ("open", "high", "low", "close"):
+        np.testing.assert_allclose(got[col].to_numpy(float),
+                                   exp[col].to_numpy(float),
+                                   rtol=0, atol=0, err_msg=col)
