@@ -2129,8 +2129,25 @@ QUERIES["pattern_search"] = q_pattern_search
 QUERIES["quality_classifier"] = q_quality_classifier
 QUERIES["ar_forecast"] = q_ar_forecast
 QUERIES["rollup_cms"] = q_rollup_cms
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call batch corpus-preparation composition (operators/
+    corpusprep.py): gate → scrub → exact dedup → minhash near-dedup
+    (best-of-cluster) → temperature mixing, end to end. Every stage is an
+    already-oracled operator; this entry times/checks the COMPOSITION.
+    Registry tail; per-stage differential tests in
+    tests/test_corpusprep.py."""
+    from gensor_spark.operators.corpusprep import corpus_prep
+    from gensor_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out, _ = corpus_prep(docs, scrub=True, near_dedup=True,
+                         minhash_threshold=0.6, temperature=0.7)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 QUERIES["spectral_anomaly"] = q_spectral_anomaly
 QUERIES["rollup_month"] = q_rollup_month
+QUERIES["corpus_prep"] = q_corpus_prep
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,
