@@ -100,12 +100,29 @@ def corpus_prep(
             minhash_dedup_pairs,
         )
 
-        pairs = minhash_dedup_pairs(out, threshold=minhash_threshold)
+        # the minhash chain (shingles/signatures/bands) is written against
+        # the canonical (doc_id, text) contract — present a renamed view
+        # when the caller uses different column names
+        std = out
+        if text_col != "text" or id_col != "doc_id":
+            clash = {c for c in ("text", "doc_id") if c in out.columns
+                     and c not in (text_col, id_col)}
+            if clash:
+                raise ValueError(
+                    f"near_dedup needs the canonical text/doc_id names but "
+                    f"{sorted(clash)} already exist alongside "
+                    f"({text_col!r}, {id_col!r}) — rename or drop them")
+            std = (out.withColumnRenamed(text_col, "text")
+                      .withColumnRenamed(id_col, "doc_id"))
+        pairs = minhash_dedup_pairs(std, threshold=minhash_threshold)
         clusters = dup_clusters(pairs)
-        quality = out.withColumn("_len", F.length(text_col))
-        out = note("near_dedup", cluster_representatives(
-            quality, clusters, score_col="_len", id_col=id_col,
-        ).select(*out.columns))
+        quality = std.withColumn("_len", F.length("text"))
+        kept = cluster_representatives(
+            quality, clusters, score_col="_len", id_col="doc_id")
+        if std is not out:
+            kept = (kept.withColumnRenamed("text", text_col)
+                        .withColumnRenamed("doc_id", id_col))
+        out = note("near_dedup", kept.select(*out.columns))
 
     if benchmark is not None:
         from gensor_spark.operators.decontaminate import contamination_stats

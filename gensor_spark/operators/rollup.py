@@ -60,6 +60,32 @@ OPT_PARTIAL_COLS = ("vsumsq", "first", "first_ts", "vsumcu", "vsumqu")
 TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 
 
+def partial_aggs(v, ts, with_sumsq: bool = False, with_first: bool = False,
+                 with_moments: bool = False) -> list:
+    """The ONE partial-state aggregate list every producer shares
+    (rollup_tier, rollup_calendar, streaming_rollup): a new opt-in partial
+    family is added here once and exists in all of them. ``v``/``ts`` are
+    the value and event-time Columns."""
+    aggs = [
+        F.count(v).alias("cnt"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(v).alias("vsum"),
+        F.max_by(v, F.when(v.isNotNull(), ts)).alias("last"),
+        F.max(F.when(v.isNotNull(), ts)).alias("last_ts"),
+    ]
+    if with_first:
+        aggs.append(F.min_by(v, F.when(v.isNotNull(), ts)).alias("first"))
+        aggs.append(F.min(F.when(v.isNotNull(), ts)).alias("first_ts"))
+    if with_sumsq or with_moments:
+        aggs.append(F.sum(v * v).alias("vsumsq"))
+    if with_moments:
+        d = v.cast("double")
+        aggs.append(F.sum(d * d * d).alias("vsumcu"))
+        aggs.append(F.sum(d * d * (d * d)).alias("vsumqu"))
+    return aggs
+
+
 def rollup_tier(
     points: DataFrame,
     tier: str = "1m",
@@ -93,26 +119,8 @@ def rollup_tier(
     step = TIER_SECONDS.get(tier) or freq_to_seconds(tier)
     v = F.col("value")
     binned = points.withColumn("bin_ts", bin_ts(F.col("ts"), step))
-
-    partials = [
-        F.count(v).alias("cnt"),
-        F.min(v).alias("vmin"),
-        F.max(v).alias("vmax"),
-        F.sum(v).alias("vsum"),
-        F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("last"),
-        F.max(F.when(v.isNotNull(), F.col("ts"))).alias("last_ts"),
-    ]
-    if with_first:
-        partials.append(
-            F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("first"))
-        partials.append(
-            F.min(F.when(v.isNotNull(), F.col("ts"))).alias("first_ts"))
-    if with_sumsq or with_moments:
-        partials.append(F.sum(v * v).alias("vsumsq"))
-    if with_moments:
-        d = v.cast("double")
-        partials.append(F.sum(d * d * d).alias("vsumcu"))
-        partials.append(F.sum(d * d * (d * d)).alias("vsumqu"))
+    partials = partial_aggs(v, F.col("ts"), with_sumsq, with_first,
+                            with_moments)
 
     if salt > 1:
         # two-phase: partial-agg on a salted key, then merge the sub-partials
@@ -636,43 +644,48 @@ def rollup_calendar(
     if unit not in CALENDAR_UNITS:
         raise ValueError(f"unit must be one of {CALENDAR_UNITS}, got {unit!r}")
     binned = points.withColumn("bin_ts", F.date_trunc(unit, F.col("ts")))
-    v = F.col("value")
-    partials = [
-        F.count(v).alias("cnt"),
-        F.min(v).alias("vmin"),
-        F.max(v).alias("vmax"),
-        F.sum(v).alias("vsum"),
-        F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("last"),
-        F.max(F.when(v.isNotNull(), F.col("ts"))).alias("last_ts"),
-    ]
-    if with_first:
-        partials.append(
-            F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("first"))
-        partials.append(
-            F.min(F.when(v.isNotNull(), F.col("ts"))).alias("first_ts"))
-    if with_sumsq or with_moments:
-        partials.append(F.sum(v * v).alias("vsumsq"))
-    if with_moments:
-        d = v.cast("double")
-        partials.append(F.sum(d * d * d).alias("vsumcu"))
-        partials.append(F.sum(d * d * (d * d)).alias("vsumqu"))
+    partials = partial_aggs(F.col("value"), F.col("ts"), with_sumsq,
+                            with_first, with_moments)
     return binned.groupBy(*keys, "bin_ts").agg(*partials)
+
+
+#: calendar units a given calendar unit may cascade FROM (week nests in
+#: nothing; month in quarter/year; quarter in year)
+_CAL_NESTS = {"week": set(), "month": set(), "quarter": {"month"},
+              "year": {"month", "quarter"}}
 
 
 def cascade_calendar(
     finer: DataFrame,
     unit: str = "month",
     keys: tuple[str, ...] = ("doc_id", "source"),
+    finer_unit: str | None = None,
 ) -> DataFrame:
     """Calendar tier from a FINER tier's partials (1d → month, month →
-    quarter/year, week from 1d...). Correct for any finer tier whose bins
-    nest inside the calendar unit: every fixed tier ≤ 1d nests in all four
-    units; month nests in quarter/year; week nests in NEITHER month nor
-    year (ISO weeks straddle month boundaries) — cascade weeks from 1d or
-    finer only. Associativity does the rest; identical output to
-    ``rollup_calendar`` on the raw points (tested bitwise on tokens).
+    quarter/year, week from 1d...). Correct only when the finer bins NEST
+    inside the calendar unit: every fixed tier that divides a day nests in
+    all four units; month nests in quarter/year; week nests in NEITHER
+    month nor year (ISO weeks straddle month boundaries). Pass
+    ``finer_unit`` (a tier string like '1d' or a calendar unit) to have
+    the nesting rule ENFORCED — an illegal pair (e.g. month→week) raises
+    instead of silently collapsing every month into the week containing
+    its 1st. Without ``finer_unit`` the caller owns the invariant.
+    Associativity does the rest; identical output to ``rollup_calendar``
+    on the raw points (tested bitwise on tokens).
     """
     if unit not in CALENDAR_UNITS:
         raise ValueError(f"unit must be one of {CALENDAR_UNITS}, got {unit!r}")
+    if finer_unit is not None:
+        if finer_unit in CALENDAR_UNITS:
+            if finer_unit not in _CAL_NESTS[unit]:
+                raise ValueError(
+                    f"{finer_unit!r} bins do not nest inside {unit!r} bins "
+                    f"— cascade {unit!r} from a fixed tier (<= 1d) instead")
+        else:
+            step = TIER_SECONDS.get(finer_unit) or freq_to_seconds(finer_unit)
+            if step > 86_400 or 86_400 % step:
+                raise ValueError(
+                    f"fixed tier {finer_unit!r} ({step}s) does not divide a "
+                    f"day — its bins straddle {unit!r} boundaries")
     rebinned = finer.withColumn("bin_ts", F.date_trunc(unit, F.col("bin_ts")))
     return _merge_partials(rebinned, [*keys, "bin_ts"])

@@ -191,6 +191,10 @@ def temperature_mix(df: DataFrame, alpha: float, budget: int | None = None,
     counts = {
         r[0]: r[1]
         for r in df.groupBy(strata_col).count().collect()
+        # a NULL stratum cannot be a map key (and matches no map entry
+        # anyway): those rows fall to stratified_sample's default_rate=0,
+        # i.e. null-source rows are dropped, not crashed on
+        if r[0] is not None
     }
     rates = temperature_rates(counts, alpha, budget)
     return stratified_sample(df, rates, strata_col=strata_col,

@@ -173,9 +173,12 @@ def anomaly_episodes(
     keys = list(keys)
     w = W.partitionBy(*keys).orderBy(order_col)
     f = flagged.filter(F.col(flag_col))
+    # gap is the ordinal distance between consecutive FLAGGED points, so
+    # the count of unflagged ordinals between them is gap - 1: allowing
+    # max_gap of those means splitting only when gap > max_gap + 1
     gap = F.col(order_col) - F.lag(order_col).over(w)
     ep = (
-        f.withColumn("_new", F.when(gap.isNull() | (gap > max_gap), 1)
+        f.withColumn("_new", F.when(gap.isNull() | (gap > max_gap + 1), 1)
                      .otherwise(0))
         .withColumn("episode", F.sum("_new").over(
             w.rowsBetween(W.unboundedPreceding, 0)) - 1)
@@ -221,7 +224,10 @@ def _period_kernel(
     # candidate periods are n/k; keep those in [2, max_period or n/2]
     ks = np.arange(1, power.size)
     per = n / ks
-    valid = (per >= 2) & (per <= (max_period or n / 2))
+    # an explicit max_period TIGHTENS the n/2 fundamental cap, never
+    # replaces it — k=1 (period == series length) is always excluded
+    cap = n / 2 if max_period is None else min(max_period, n / 2)
+    valid = (per >= 2) & (per <= cap)
     if not valid.any():
         return np.nan, np.nan, np.nan
     pw = power[1:]

@@ -1053,10 +1053,11 @@ class TierPipeline:
         a continuous aggregate at calendar grain, refreshed from the ~30×
         smaller 1d state, never from raw points. Re-run after new batches
         land (the fold is a full re-cascade of bin-grain rows — cheap).
-        ``read_tier(unit)`` then serves it like any other tier. Weeks
-        straddle month boundaries, so ``from_tier`` must be a fixed tier
-        (≤ 1d) — enforced by cascade_calendar's nesting rules being
-        trivially satisfied for every fixed tier. Returns the row count.
+        ``read_tier(unit)`` then serves it like any other tier. The
+        nesting rule is ENFORCED (cascade_calendar's ``finer_unit``
+        check): month→week, week→anything, or a fixed tier that straddles
+        day boundaries all raise instead of folding wrong. Returns the
+        row count.
         """
         from gensor_spark.operators.rollup import CALENDAR_UNITS, cascade_calendar
 
@@ -1067,7 +1068,7 @@ class TierPipeline:
         if self.backend != "parquet":
             raise ValueError("refresh_calendar requires the parquet backend")
         cal = cascade_calendar(self._read_merged_storage(from_tier), unit,
-                               keys=self.keys)
+                               keys=self.keys, finer_unit=from_tier)
         final, tmp, old = self._compact_paths(unit)
         if final.exists():
             self._rewrite_tier(unit, cal)

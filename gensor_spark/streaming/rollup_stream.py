@@ -63,29 +63,18 @@ def streaming_rollup(
     partial like the batch producers; the read-side ``_merge_partials`` is
     sumsq-aware, so streamed var/std finalize identically to batch.
     """
+    from gensor_spark.operators.rollup import partial_aggs
+
     step = TIER_SECONDS[tier]
     v = F.col("value")
     win = F.window("ts", f"{step} seconds")
-    aggs = [
-        F.count(v).alias("cnt"),
-        F.min(v).alias("vmin"),
-        F.max(v).alias("vmax"),
-        F.sum(v).alias("vsum"),
-        F.max_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("last"),
-        F.max(F.when(v.isNotNull(), F.col("ts"))).alias("last_ts"),
-    ]
+    aggs = partial_aggs(v, F.col("ts"), with_sumsq, with_first, with_moments)
     out = ["cnt", "vmin", "vmax", "vsum", "last", "last_ts"]
     if with_first:
-        aggs.append(F.min_by(v, F.when(v.isNotNull(), F.col("ts"))).alias("first"))
-        aggs.append(F.min(F.when(v.isNotNull(), F.col("ts"))).alias("first_ts"))
         out += ["first", "first_ts"]
     if with_sumsq or with_moments:
-        aggs.append(F.sum(v * v).alias("vsumsq"))
         out.append("vsumsq")
     if with_moments:
-        d = v.cast("double")
-        aggs.append(F.sum(d * d * d).alias("vsumcu"))
-        aggs.append(F.sum(d * d * (d * d)).alias("vsumqu"))
         out += ["vsumcu", "vsumqu"]
     agged = points.withWatermark("ts", watermark).groupBy(*keys, win).agg(*aggs)
     return agged.select(

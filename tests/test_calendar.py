@@ -191,3 +191,29 @@ def test_ohlc_facade_matches_pandas(spark, long_sdf, long_pdf):
         np.testing.assert_allclose(got[col].to_numpy(float),
                                    exp[col].to_numpy(float),
                                    rtol=0, atol=0, err_msg=col)
+
+
+def test_cascade_nesting_enforced(spark, long_sdf):
+    """Declared finer units make the nesting rule a hard error: month→week
+    (straddles), week→month, and a >1d fixed tier all raise; legal pairs
+    pass through."""
+    d1 = rollup_tier(long_sdf, "1d")
+    # legal: fixed tier into any unit; month into quarter/year
+    cascade_calendar(d1, "week", finer_unit="1d")
+    m = rollup_calendar(long_sdf, "month")
+    cascade_calendar(m, "year", finer_unit="month")
+    with pytest.raises(ValueError, match="nest"):
+        cascade_calendar(m, "week", finer_unit="month")
+    with pytest.raises(ValueError, match="nest"):
+        cascade_calendar(rollup_calendar(long_sdf, "week"), "month",
+                         finer_unit="week")
+    with pytest.raises(ValueError, match="divide"):
+        cascade_calendar(d1, "month", finer_unit="25h")
+    from gensor_spark.plans.incremental import TierPipeline
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        pipe = TierPipeline(spark, td, n_batches=1)
+        pipe.ingest_points_wave(long_sdf, wave=1)
+        pipe.refresh_calendar("month")
+        with pytest.raises(ValueError, match="nest"):
+            pipe.refresh_calendar("week", from_tier="month")

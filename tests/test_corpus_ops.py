@@ -770,3 +770,14 @@ def test_temperature_mix_matches_duckdb(spark):
     # tail keeps a larger fraction than head
     sizes = kept.groupby("source").size()
     assert sizes["small"] / counts["small"] > sizes["big"] / counts["big"]
+
+
+def test_temperature_mix_null_source_rows_drop_not_crash(spark):
+    from gensor_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else None) for i in range(200)],
+        "doc_id long, source string")
+    kept = temperature_mix(df, alpha=0.5).toPandas()
+    assert len(kept) > 0
+    assert kept["source"].notna().all()  # null-stratum rows dropped

@@ -83,3 +83,19 @@ def test_temperature_mode_and_validation(spark, docs):
     assert 0 < rep["mix"] <= rep["exact_dedup"]
     with pytest.raises(ValueError, match="not both"):
         corpus_prep(docs, rates={"a": 1.0}, temperature=0.5)
+
+
+def test_custom_column_names_supported(spark, docs):
+    renamed = docs.withColumnRenamed("text", "content") \
+                  .withColumnRenamed("doc_id", "id")
+    out, rep = corpus_prep(renamed, text_col="content", id_col="id",
+                           near_dedup=True, minhash_threshold=0.6,
+                           report=True)
+    std, rep_std = corpus_prep(docs, near_dedup=True, minhash_threshold=0.6,
+                               report=True)
+    assert rep["near_dedup"] == rep_std["near_dedup"] > 0
+    assert sorted(out.columns) == sorted(renamed.columns)
+    # a clashing leftover canonical column is rejected loudly
+    clash = renamed.withColumn("text", F.lit("x"))
+    with pytest.raises(ValueError, match="canonical"):
+        corpus_prep(clash, text_col="content", id_col="id", near_dedup=True)

@@ -127,11 +127,21 @@ def test_anomaly_episodes_coalesce(spark):
         "doc_id string, source string, seq long, value double, "
         "sr_score double, is_anomaly boolean")
     eps = anomaly_episodes(flagged, max_gap=2).orderBy("episode").toPandas()
-    # flags at 1,2,4 merge (gap 2 allowed); 8,9 separate (gap 4)
+    # flags at 1,2,4 merge; 8,9 separate (3 unflagged between 4 and 8 > 2)
     assert len(eps) == 2
     assert (eps.loc[0, "start_seq"], eps.loc[0, "end_seq"],
             eps.loc[0, "n_points"], eps.loc[0, "peak_score"]) == (1, 4, 3, 4.0)
     assert (eps.loc[1, "start_seq"], eps.loc[1, "end_seq"]) == (8, 9)
+    # boundary: EXACTLY max_gap unflagged ordinals between flags merges,
+    # one more splits (the documented contract)
+    pair = spark.createDataFrame(
+        [("b", "s", 0, 1.0, 9.0, True), ("b", "s", 3, 1.0, 9.0, True),
+         ("c", "s", 0, 1.0, 9.0, True), ("c", "s", 4, 1.0, 9.0, True)],
+        "doc_id string, source string, seq long, value double, "
+        "sr_score double, is_anomaly boolean")
+    got = anomaly_episodes(pair, max_gap=2).groupBy("doc_id").count().collect()
+    n = {r["doc_id"]: r["count"] for r in got}
+    assert n == {"b": 1, "c": 2}
 
 
 def test_validation():
@@ -236,3 +246,20 @@ def test_period_feeds_seasonal_verbs(spark):
     dec = seasonal_decompose(pts, period=int(per)).toPandas()
     mid = dec[(dec["seq"] > 24) & (dec["seq"] < n - 24)]
     np.testing.assert_allclose(mid["resid"].to_numpy(float), 0.0, atol=1e-9)
+
+
+def test_period_max_cap_never_exceeds_half_series():
+    """max_period larger than n/2 must TIGHTEN nothing (the n/2 cap rules):
+    the k=1 whole-series bin is never a candidate, so a noise series stays
+    NULL no matter the caller's cap."""
+    from gensor_spark.operators.spectral import _period_kernel
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, 200)
+    p_default, _, _ = _period_kernel(x, None, 0.2)
+    p_big_cap, _, _ = _period_kernel(x, 400, 0.2)
+    assert np.isnan(p_default) and np.isnan(p_big_cap)
+    # and a real season is still found under the oversized cap
+    t = np.arange(240)
+    p, _, _ = _period_kernel(10 * np.sin(2 * np.pi * t / 24), 10_000, 0.2)
+    assert p == 24.0
