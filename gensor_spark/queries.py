@@ -2145,9 +2145,36 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (operators/slo.py — the SRE
+    workbook two-window rule) per user over the events stream: error
+    budget burn across 1d/1h trailing RANGE frames, alert only when both
+    exceed the threshold. Registry tail; the DuckDB RANGE-window oracle +
+    incident page/clear behavior are pinned in tests/test_slo.py."""
+    from gensor_spark.operators.slo import multiwindow_burn_alerts
+    from gensor_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.lit("events").alias("source"),
+        "ts",
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    out = multiwindow_burn_alerts(ev, "is_error", slo_target=0.8,
+                                  long_seconds=86_400, short_seconds=3_600,
+                                  threshold=2.0)
+    return out.select(
+        "doc_id", F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        _r6(F.col("burn_long")).alias("burn_long"),
+        _r6(F.col("burn_short")).alias("burn_short"),
+        "alerting",
+    )
+
+
 QUERIES["spectral_anomaly"] = q_spectral_anomaly
 QUERIES["rollup_month"] = q_rollup_month
 QUERIES["corpus_prep"] = q_corpus_prep
+QUERIES["slo_burn"] = q_slo_burn
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

@@ -99,3 +99,17 @@ def test_custom_column_names_supported(spark, docs):
     clash = renamed.withColumn("text", F.lit("x"))
     with pytest.raises(ValueError, match="canonical"):
         corpus_prep(clash, text_col="content", id_col="id", near_dedup=True)
+
+
+def test_gopher_stage(spark, docs):
+    """gopher=True applies the full rule preset between gate and scrub —
+    equals filtering by gopher_quality_flags().keep by hand."""
+    from gensor_spark.operators.qualityfilter import gopher_quality_flags
+    from gensor_spark.streaming.ingest_stream import quality_gate
+
+    out, rep = corpus_prep(docs, gopher=True, report=True)
+    gated = docs.filter(quality_gate())
+    want_n = gopher_quality_flags(gated).filter("keep").count()
+    assert rep["gopher"] == want_n
+    assert rep["gopher"] <= rep["gate"]
+    assert "gopher" in rep and list(rep)[:3] == ["input", "gate", "gopher"]
