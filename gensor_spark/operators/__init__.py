@@ -33,6 +33,8 @@ from gensor_spark.operators.esd import (
     seasonal_esd,
     t_ppf,
 )
+from gensor_spark.operators.corpusprep import corpus_prep
+from gensor_spark.operators.slo import burn_rate, multiwindow_burn_alerts
 from gensor_spark.operators.spectral import (
     anomaly_episodes,
     dominant_period,

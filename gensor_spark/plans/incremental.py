@@ -819,16 +819,40 @@ class TierPipeline:
 
     # ------------------------------------------------------------------- read
 
-    def read_tier(self, tier: str, finalize: bool = True) -> DataFrame:
-        """Merged view of a tier across all batch contributions."""
+    def read_tier(self, tier: str, finalize: bool = True,
+                  as_of_batch: int | None = None) -> DataFrame:
+        """Merged view of a tier across all batch contributions.
+
+        ``as_of_batch=b`` TIME-TRAVELS: merge only the contributions of
+        batches ``<= b`` — the tier exactly as it stood after batch ``b``
+        committed (reproduce a historical training run, bisect a data
+        regression). Requires the per-batch layout: a compacted tier
+        (``batch=-1``) has folded its history away, so as-of reads raise
+        there instead of silently answering from the folded state.
+        Parquet backend (Iceberg's own snapshot time travel covers it
+        there).
+        """
         if self.backend == "iceberg":
+            if as_of_batch is not None:
+                raise ValueError(
+                    "as_of_batch is parquet-backend only — use Iceberg "
+                    "snapshot time travel (VERSION AS OF) instead")
             df = self.iceberg.read(tier)
         else:
             self._recover_compact(tier)
-            df = self._bucketed_scan(tier)
+            df = self._bucketed_scan(tier) if as_of_batch is None else None
             if df is None:
                 base = self.store / f"tier_{tier}"
                 parts = sorted(base.glob("batch=*"))
+                if as_of_batch is not None:
+                    ids = [int(p.name.split("=", 1)[1]) for p in parts]
+                    if -1 in ids:
+                        raise ValueError(
+                            f"tier {tier!r} is compacted (batch=-1): its "
+                            "per-batch history is folded — as-of reads need "
+                            "the uncompacted layout")
+                    parts = [p for p, i in zip(parts, ids)
+                             if i <= as_of_batch]
                 if not parts:
                     raise FileNotFoundError(
                         f"tier {tier!r} has no data under {base} — run() it "

@@ -464,3 +464,26 @@ def test_read_range_resolution_router(spark, docs, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="empty range"):
         read_range(pipe, "2024-01-02", "2024-01-01")
+
+
+def test_read_tier_as_of_batch_time_travel(spark, docs, tmp_path):
+    """as_of_batch=b reproduces the tier exactly as it stood after batch b:
+    equal to a fresh store run over batches 0..b; compacted stores refuse."""
+    store = str(tmp_path / "tt")
+    pipe = TierPipeline(spark, store, n_batches=3)
+    pipe.run(docs)
+
+    ref = TierPipeline(spark, str(tmp_path / "tt_ref"), n_batches=3)
+    ref.run(docs, batches=[0, 1])
+
+    got = _tier_pdf(pipe.read_tier("1h", as_of_batch=1))
+    want = _tier_pdf(ref.read_tier("1h"))
+    _assert_tiers_equal(want, got)
+    # full read unchanged
+    assert pipe.read_tier("1h").count() >= got.shape[0] > 0
+
+    pipe.compact("1h")
+    with pytest.raises(ValueError, match="compacted"):
+        pipe.read_tier("1h", as_of_batch=1)
+    # other tiers still time-travel
+    assert pipe.read_tier("1d", as_of_batch=0).count() > 0
