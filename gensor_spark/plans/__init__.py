@@ -1,4 +1,4 @@
 from gensor_spark.plans.bucketing import read_bucketed, write_bucketed
-from gensor_spark.plans.incremental import TierPipeline
+from gensor_spark.plans.incremental import TierPipeline, read_range
 
-__all__ = ["TierPipeline", "read_bucketed", "write_bucketed"]
+__all__ = ["TierPipeline", "read_range", "read_bucketed", "write_bucketed"]
