@@ -191,3 +191,52 @@ def segmented_trend(
             F.avg(value_col).alias("mean"),
         )
     )
+
+
+def forecast_segmented(
+    points: DataFrame,
+    horizon: int,
+    penalty: float = 10.0,
+    keys: tuple[str, ...] = KEYS,
+    value_col: str = "value",
+    order_col: str = "seq",
+    min_points: int = 2,
+) -> DataFrame:
+    """h-step forecasts by EXTENDING THE CURRENT REGIME: the last PELT
+    segment's OLS line, evaluated ``horizon`` steps past the series end.
+
+    The broken-trend counterpart of the exponential family: after a level
+    shift, Holt/EWMA drag history from the old regime into the forecast
+    for ~1/alpha steps, while the segmented forecast uses ONLY the points
+    since the last changepoint (on a clean post-break ramp it is exact —
+    tested). Falls back per series: a single-point final segment (NULL
+    ``regr_slope``) forecasts flat at that point's value.
+
+    Output: one row per (series, step 1..horizon) — ``step``, ``yhat``,
+    ``segment`` (the regime extended), ``n`` (its size). Shape at scale:
+    ``segmented_trend``'s plan + a max_by aggregate at the series grain +
+    a ``sequence`` explode of h rows per series — nothing corpus-scale
+    beyond the PELT pass itself.
+    """
+    from pyspark.sql import functions as F
+
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    segs = segmented_trend(points, penalty=penalty, keys=keys,
+                           value_col=value_col, order_col=order_col,
+                           min_points=min_points)
+    end_col = f"end_{order_col}"
+    last = segs.groupBy(*keys).agg(
+        F.max_by(
+            F.struct("segment", "n", "slope", "intercept", "mean", end_col),
+            F.col("segment"),
+        ).alias("_s")
+    ).select(*keys, "_s.*")
+    step = F.explode(F.sequence(F.lit(1), F.lit(horizon))).alias("step")
+    stepped = last.select(*keys, "segment", "n", "slope", "intercept",
+                          "mean", end_col, step)
+    t = (F.col(end_col).cast("double") + F.col("step"))
+    yhat = F.when(F.col("slope").isNotNull(),
+                  F.col("intercept") + F.col("slope") * t) \
+            .otherwise(F.col("mean"))
+    return stepped.select(*keys, "step", yhat.alias("yhat"), "segment", "n")

@@ -61,6 +61,7 @@ ADDED_WORK = {
     "rollup_1h": "+ OHLC open partial + Σx³/Σx⁴ skew/kurt moments",
     "rollup_1d": "+ OHLC open partial + Σx³/Σx⁴ skew/kurt moments",
     "rollup_tiers": "+ OHLC open partial + Σx³/Σx⁴ skew/kurt moments",
+    "smoother_backtest": "+ seasonal-naive baseline (5th method row)",
 }
 
 

@@ -195,3 +195,42 @@ def test_segmented_trend_nulls_and_short_series(spark):
     assert t.segment == 0 and t.n == 2 and abs(t.slope - 1.0) < 1e-12
     one = out["one"]
     assert one.segment == 0 and one.n == 1 and one.slope is None
+
+
+def test_forecast_segmented_extends_current_regime(spark):
+    """A level-shifted ramp: the forecast extends ONLY the post-break
+    regime (exact on its clean ramp), where Holt would still carry
+    pre-break history."""
+    import numpy as np
+
+    from gensor_spark.operators.pelt import forecast_segmented
+
+    xs = [float(v) for v in list(np.zeros(40)) + [100 + 2.0 * i
+                                                  for i in range(40)]]
+    df = spark.createDataFrame(
+        [("d", "s", int(i), v) for i, v in enumerate(xs)],
+        "doc_id string, source string, seq long, value double")
+    fc = forecast_segmented(df, horizon=3, penalty=50.0).orderBy("step") \
+        .toPandas()
+    assert len(fc) == 3
+    # post-break regime: y = 100 + 2*(seq-40) = 2*seq + 20
+    for _, r in fc.iterrows():
+        want = 2.0 * (79 + r["step"]) + 20.0
+        assert abs(r["yhat"] - want) < 1e-9, (r["step"], r["yhat"], want)
+    # the constant-mean PELT cost may sub-split the ramp itself; the
+    # forecast stays exact because every sub-segment of a clean line
+    # carries the same OLS line — assert only that a post-break suffix
+    # (never the pre-break zeros) is what got extended
+    assert (fc["segment"] >= 1).all() and (fc["n"] <= 40).all()
+
+    # single-point terminal segment forecasts flat at its value
+    xs2 = [0.0] * 30 + [50.0]
+    df2 = spark.createDataFrame(
+        [("d", "s", int(i), v) for i, v in enumerate(xs2)],
+        "doc_id string, source string, seq long, value double")
+    fc2 = forecast_segmented(df2, horizon=2, penalty=20.0).toPandas()
+    if (fc2["n"] == 1).all():  # PELT isolated the jump point
+        assert (fc2["yhat"] == 50.0).all()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="horizon"):
+        forecast_segmented(df, horizon=0)
