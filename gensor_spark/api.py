@@ -556,6 +556,16 @@ class Dataset:
 
         return segmented_trend(self.df, penalty=penalty, keys=self.keys)
 
+    def forecast_segmented(self, horizon: int,
+                           penalty: float = 10.0) -> DataFrame:
+        """Broken-trend forecast: extend the CURRENT regime's OLS line
+        ``horizon`` steps — immune to the pre-changepoint history the
+        exponential smoothers drag across a level shift."""
+        from gensor_spark.operators.pelt import forecast_segmented
+
+        return forecast_segmented(self.df, horizon=horizon, penalty=penalty,
+                                  keys=self.keys)
+
     def ohlc(self, freq: str = "1h") -> DataFrame:
         """pandas ``resample(freq).ohlc()`` parity per series: open/high/
         low/close (+ count) bars from one partial-agg pass."""

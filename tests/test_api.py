@@ -303,3 +303,11 @@ def test_resample_calendar_facade(spark, ds):
     out = ds.resample_calendar("week", ohlc=True)
     assert {"count", "min", "max", "mean", "last", "open"} <= set(out.columns)
     assert out.count() > 0
+
+
+def test_forecast_segmented_facade(spark, ds):
+    n_series = ds.df.select("doc_id", "source").distinct().count()
+    fc = ds.forecast_segmented(horizon=2, penalty=100.0)
+    assert set(fc.columns) == {"doc_id", "source", "step", "yhat",
+                               "segment", "n"}
+    assert fc.count() == 2 * n_series
