@@ -141,3 +141,80 @@ def time_weighted_avg(
             (F.col("_sn") / F.col("_cov")).alias("twa_linear"),
         )
     )
+
+
+def time_in_state(
+    points: DataFrame,
+    freq: str = "1h",
+    keys: tuple[str, ...] = ("doc_id", "source"),
+    ts_col: str = "ts",
+    state_col: str = "value",
+    max_bins_per_segment: int = 100_000,
+) -> DataFrame:
+    """Duration per (key, bin, STATE): how long each discrete state held
+    within each bin, LOCF semantics (a state holds from its observation
+    until the next one) — TimescaleDB ``state_agg``'s question ("uptime
+    per hour", "seconds in each severity level") answered at the tier
+    grain. NULL states are dropped (unknown ≠ a state).
+
+    Output: ``(*keys, bin_ts, state, seconds, frac)`` — ``frac`` is the
+    state's share of the bin's COVERED time (uncovered leading/trailing
+    time does not dilute, same stance as ``time_weighted_avg``). The last
+    observation of a key carries no span (no extrapolation), matching the
+    TWA contract.
+
+    Physical shape: the exact ``time_weighted_avg`` plan — one lead
+    window, guarded bin explode, one partial-agged groupBy — with the
+    state in the grouping key, plus one bin-grain window for the share.
+    """
+    from pyspark.sql import Window
+
+    from gensor_spark.operators.rollup import TIER_SECONDS
+
+    step_us = (TIER_SECONDS.get(freq) or freq_to_seconds(freq)) * US
+    win = Window.partitionBy(*keys).orderBy("_e0")
+    seg = (
+        points.filter(F.col(state_col).isNotNull())
+        .select(
+            *keys,
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_e0"),
+            F.col(state_col).cast("string").alias("_st"),
+        )
+        .withColumn("_e1", F.lead("_e0").over(win))
+        .filter(F.col("_e1").isNotNull() & (F.col("_e1") > F.col("_e0")))
+    )
+    b0 = (F.col("_e0") / step_us).cast("long")
+    b1 = ((F.col("_e1") - 1) / step_us).cast("long")
+    n_bins = b1 - b0 + 1
+    guarded = seg.withColumn(
+        "_nb",
+        F.when(n_bins <= F.lit(max_bins_per_segment), n_bins).otherwise(
+            F.raise_error(F.concat(
+                F.lit("time_in_state: segment spans "),
+                n_bins.cast("string"),
+                F.lit(f" bins > max_bins_per_segment={max_bins_per_segment}; "
+                      "coarsen freq or raise the guard"),
+            ))
+        ),
+    )
+    b = F.col("_b")
+    lo = F.greatest(F.col("_e0"), b * step_us)
+    hi = F.least(F.col("_e1"), (b + 1) * step_us)
+    per_state = (
+        guarded.select(
+            *keys, "_st",
+            F.explode(F.sequence(b0, b0 + F.col("_nb") - 1)).alias("_b"),
+            "_e0", "_e1",
+        )
+        .select(*keys, "_st", "_b", (hi - lo).cast("double").alias("_dur"))
+        .groupBy(*keys, "_b", "_st")
+        .agg(F.sum("_dur").alias("_us"))
+    )
+    wbin = Window.partitionBy(*keys, "_b")
+    return per_state.select(
+        *keys,
+        F.timestamp_micros(F.col("_b") * step_us).alias("bin_ts"),
+        F.col("_st").alias("state"),
+        (F.col("_us") / US).alias("seconds"),
+        (F.col("_us") / F.sum("_us").over(wbin)).alias("frac"),
+    )

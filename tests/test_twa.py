@@ -202,3 +202,80 @@ def test_plan_no_python_and_two_shuffles(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # one Exchange for the lead window, partial agg before the final one
     assert plan.count("Exchange") <= 2
+
+
+# ------------------------------------------------------------ time_in_state
+
+def test_time_in_state_hand_fixture(spark):
+    """States A(0s)→B(90s)→A(150s)→end(240s), 60s bins: clip arithmetic by
+    hand. Bin0: A 60s. Bin1: A 30s + B 30s. Bin2: B 30s + A 30s.
+    Bin3: A 60s (span ends exactly on the 240s boundary)."""
+    from datetime import datetime, timedelta
+
+    from gensor_spark.operators.twa import time_in_state
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("d", "s", t0 + timedelta(seconds=sec), st)
+            for sec, st in ((0, "A"), (90, "B"), (150, "A"), (240, "END"))]
+    pts = spark.createDataFrame(
+        rows, "doc_id string, source string, ts timestamp, value string")
+    out = time_in_state(pts, "1m", state_col="value").toPandas()
+    got = {(r["bin_ts"].second + r["bin_ts"].minute * 60, r["state"]):
+           (r["seconds"], r["frac"]) for _, r in out.iterrows()}
+    assert got[(0, "A")] == (60.0, 1.0)
+    assert got[(60, "A")] == (30.0, 0.5) and got[(60, "B")] == (30.0, 0.5)
+    assert got[(120, "B")] == (30.0, 0.5) and got[(120, "A")] == (30.0, 0.5)
+    assert got[(180, "A")] == (60.0, 1.0)
+    # END has no following observation: never a state row
+    assert not any(s == "END" for (_, s) in got)
+    assert len(got) == 6
+
+
+def test_time_in_state_matches_duckdb(spark, points_sdf, points_pdf):
+    """Quantized states over the conftest series vs a DuckDB lead+clip
+    oracle at 1h bins."""
+    import duckdb
+
+    from gensor_spark.operators.twa import time_in_state
+    from pyspark.sql import functions as F
+
+    pts = points_sdf.filter("value IS NOT NULL").withColumn(
+        "state", F.when(F.col("value") > 100, "hi").otherwise("lo"))
+    got = (time_in_state(pts, "1h", state_col="state")
+           .orderBy("doc_id", "source", "bin_ts", "state").toPandas())
+    con = duckdb.connect()
+    pdf = points_pdf.copy()
+    pdf["state"] = np.where(pdf["value"] > 100, "hi", "lo")
+    con.register("pts", pdf.dropna(subset=["value"]))
+    exp = con.execute("""
+        WITH seg AS (
+          SELECT doc_id, source, state,
+                 epoch_us(ts) AS e0,
+                 lead(epoch_us(ts)) OVER (PARTITION BY doc_id, source
+                                          ORDER BY epoch_us(ts)) AS e1
+          FROM pts
+        ), g AS (
+          SELECT doc_id, source, state, e0, e1,
+                 unnest(generate_series(e0 // 3600000000,
+                                        (e1 - 1) // 3600000000)) AS b
+          FROM seg WHERE e1 IS NOT NULL AND e1 > e0
+        ), clipped AS (
+          SELECT doc_id, source, b, state,
+                 (least(e1, (b + 1) * 3600000000)
+                  - greatest(e0, b * 3600000000)) AS us
+          FROM g
+        ), s AS (
+          SELECT doc_id, source, b, state, SUM(us) AS us
+          FROM clipped GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_id, source, make_timestamp(b * 3600000000) AS bin_ts,
+               state, us / 1e6 AS seconds,
+               us * 1.0 / SUM(us) OVER (PARTITION BY doc_id, source, b)
+                 AS frac
+        FROM s ORDER BY doc_id, source, bin_ts, state
+    """).df()
+    assert len(got) == len(exp) > 0
+    np.testing.assert_allclose(got["seconds"].to_numpy(float),
+                               exp["seconds"].to_numpy(float), rtol=1e-12)
+    np.testing.assert_allclose(got["frac"].to_numpy(float),
+                               exp["frac"].to_numpy(float), rtol=1e-12)
