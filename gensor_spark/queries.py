@@ -2175,6 +2175,8 @@ QUERIES["spectral_anomaly"] = q_spectral_anomaly
 QUERIES["rollup_month"] = q_rollup_month
 QUERIES["corpus_prep"] = q_corpus_prep
 QUERIES["slo_burn"] = q_slo_burn
+from gensor_spark.queries_text import q_shard_plan  # noqa: E402 - tail entry
+QUERIES["shard_plan"] = q_shard_plan
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

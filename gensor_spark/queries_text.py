@@ -1474,6 +1474,21 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + token-budget shard manifest
+    (operators/shards.py): the corpus in salted-md5 permutation order cut
+    into fixed-token-budget training shards, one manifest row per shard.
+    Registered in the rows-only tail (oracle window full); the full DuckDB
+    oracle — the exact permutation, prefix-sum assignments, and the
+    manifest digests — is pinned in tests/test_shards.py.
+    """
+    from gensor_spark.operators.shards import assign_shards, shard_manifest
+
+    docs = _docs_with_ntok(spark, sf_dir)
+    assigned = assign_shards(docs, tokens_per_shard=20_000, seed="r4")
+    return shard_manifest(assigned).orderBy("shard")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
