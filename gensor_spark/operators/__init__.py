@@ -93,6 +93,12 @@ from gensor_spark.operators.sax import sax_motif_candidates, sax_words
 from gensor_spark.operators.cvsplit import purged_time_folds
 from gensor_spark.operators.pelt import pelt_changepoints, segmented_trend
 from gensor_spark.operators.spandedup import trim_duplicate_spans
+from gensor_spark.operators.shards import (
+    assign_shards,
+    shard_manifest,
+    write_shards,
+)
+from gensor_spark.operators.overlap import source_ngram_sketches, source_overlap
 from gensor_spark.operators.funnel import window_funnel
 from gensor_spark.operators.twa import time_weighted_avg
 from gensor_spark.operators.bpe import bpe_encode, bpe_train
@@ -143,6 +149,11 @@ __all__ = [
     "pelt_changepoints",
     "segmented_trend",
     "trim_duplicate_spans",
+    "assign_shards",
+    "shard_manifest",
+    "write_shards",
+    "source_ngram_sketches",
+    "source_overlap",
     "interval_join",
     "interval_union_length",
     "acf",

@@ -2175,8 +2175,12 @@ QUERIES["spectral_anomaly"] = q_spectral_anomaly
 QUERIES["rollup_month"] = q_rollup_month
 QUERIES["corpus_prep"] = q_corpus_prep
 QUERIES["slo_burn"] = q_slo_burn
-from gensor_spark.queries_text import q_shard_plan  # noqa: E402 - tail entry
+from gensor_spark.queries_text import (  # noqa: E402 - tail entries
+    q_shard_plan,
+    q_source_overlap,
+)
 QUERIES["shard_plan"] = q_shard_plan
+QUERIES["source_overlap"] = q_source_overlap
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

@@ -1489,6 +1489,26 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(assigned).orderBy("shard")
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source distinct-n-gram overlap audit (operators/overlap.py),
+    method-tagged union of the exact two-shuffle plan and the single-scan
+    theta-sketch plan — at test scale every source's gram set is in the
+    sketch's exact regime, so the two methods must agree row-for-row
+    (that agreement is itself part of what the row hashes). Registered in
+    the rows-only tail; the DuckDB pair-for-pair oracle is pinned in
+    tests/test_overlap.py.
+    """
+    from gensor_spark.operators.overlap import source_overlap
+
+    docs = _docs(spark, sf_dir)
+    cols = ["src_a", "src_b", "n_a", "n_b", "n_inter", "n_union"]
+    exact = source_overlap(docs, n=5, approx=False).select(
+        F.lit("exact").alias("method"), *cols)
+    sk = source_overlap(docs, n=5, approx=True, lgk=16).select(
+        F.lit("sketch").alias("method"), *cols)
+    return exact.unionByName(sk).orderBy("method", "src_a", "src_b")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
