@@ -361,6 +361,17 @@ class Dataset:
         return self._wrap(holt_smooth(self.df, alpha=alpha, beta=beta,
                                       keys=self.keys))
 
+    def kalman(self, q: float = 0.1, r: float = 1.0,
+               optimize: bool = False) -> "Dataset":
+        """Local-level Kalman filter + RTS smoother; adds ``k_filt``,
+        ``k_smooth``, ``k_var`` — model-based smoothing with uncertainty
+        bands that estimates through gaps (``optimize=True`` fits q/r per
+        series by MLE)."""
+        from gensor_spark.operators.kalman import kalman_smooth
+
+        return self._wrap(kalman_smooth(self.df, q=q, r=r,
+                                        optimize=optimize, keys=self.keys))
+
     def acf(self, lags: tuple = (1, 2, 3, 4, 5)) -> DataFrame:
         """Per-series autocorrelation at the given positional lags
         (pandas ``Series.autocorr`` pair semantics)."""

@@ -99,6 +99,7 @@ from gensor_spark.operators.shards import (
     write_shards,
 )
 from gensor_spark.operators.overlap import source_ngram_sketches, source_overlap
+from gensor_spark.operators.kalman import kalman_smooth
 from gensor_spark.operators.funnel import window_funnel
 from gensor_spark.operators.twa import time_weighted_avg
 from gensor_spark.operators.bpe import bpe_encode, bpe_train
@@ -154,6 +155,7 @@ __all__ = [
     "write_shards",
     "source_ngram_sketches",
     "source_overlap",
+    "kalman_smooth",
     "interval_join",
     "interval_union_length",
     "acf",

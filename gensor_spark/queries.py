@@ -903,6 +903,23 @@ def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kalman_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter + RTS smoother per series — registry entry
+    outside the driver window (sequential recurrence, not SQL-expressible);
+    pinned instead by an independent linear-algebra posterior oracle at
+    1e-9 (the tridiagonal-precision solve shares no code with the
+    recursion) in tests/test_kalman.py."""
+    from gensor_spark.operators.kalman import kalman_smooth
+
+    out = kalman_smooth(_points(spark, sf_dir), q=0.25, r=1.0)
+    return out.select(
+        "doc_id", "source", "seq",
+        _r6(F.col("k_filt")).alias("kf"),
+        _r6(F.col("k_smooth")).alias("ks"),
+        _r6(F.col("k_var")).alias("kv"),
+    )
+
+
 def q_hw_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt-Winters additive (triple exponential) smoothing per series,
     24-hour season over the hourly point view — registry entry outside the
@@ -2181,6 +2198,7 @@ from gensor_spark.queries_text import (  # noqa: E402 - tail entries
 )
 QUERIES["shard_plan"] = q_shard_plan
 QUERIES["source_overlap"] = q_source_overlap
+QUERIES["kalman_smooth"] = q_kalman_smooth
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

@@ -188,6 +188,10 @@ def test_analysis_verbs(spark, ds):
     sim = ds.similar_series(eps=1e9, length=8, band=2)
     assert set(sim.columns) == {"sid_a", "sid_b", "lb", "dtw"}
     assert sim.count() > 0
+    ka = ds.kalman(q=0.3)
+    assert {"k_filt", "k_smooth", "k_var"} <= set(ka.df.columns)
+    assert ka.df.count() == ds.df.count()
+    assert ka.df.filter("k_smooth IS NOT NULL").count() > 0
 
 
 def test_plot_data_methods(spark, ds):
