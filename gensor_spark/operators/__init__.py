@@ -100,6 +100,7 @@ from gensor_spark.operators.shards import (
 )
 from gensor_spark.operators.overlap import source_ngram_sketches, source_overlap
 from gensor_spark.operators.kalman import kalman_smooth
+from gensor_spark.operators.unigramlm import unigram_encode, unigram_train
 from gensor_spark.operators.funnel import window_funnel
 from gensor_spark.operators.twa import time_weighted_avg
 from gensor_spark.operators.bpe import bpe_encode, bpe_train
@@ -156,6 +157,8 @@ __all__ = [
     "source_ngram_sketches",
     "source_overlap",
     "kalman_smooth",
+    "unigram_encode",
+    "unigram_train",
     "interval_join",
     "interval_union_length",
     "acf",

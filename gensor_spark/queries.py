@@ -2195,10 +2195,12 @@ QUERIES["slo_burn"] = q_slo_burn
 from gensor_spark.queries_text import (  # noqa: E402 - tail entries
     q_shard_plan,
     q_source_overlap,
+    q_unigram_tokenizer,
 )
 QUERIES["shard_plan"] = q_shard_plan
 QUERIES["source_overlap"] = q_source_overlap
 QUERIES["kalman_smooth"] = q_kalman_smooth
+QUERIES["unigram_tokenizer"] = q_unigram_tokenizer
 
 ORACLES: dict[str, str] = {
     "rollup_tiers": SQL_ROLLUP_TIERS,

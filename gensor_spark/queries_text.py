@@ -1509,6 +1509,28 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(sk).orderBy("method", "src_a", "src_b")
 
 
+def q_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer learned from the corpus
+    (operators/unigramlm.py): seed substrings → distributed EM over each
+    word's segmentation lattice → Kudo pruning → the fitted piece table
+    (rank, piece, logp@6dp). Registered in the rows-only tail (iterative
+    EM is not SQL-expressible); the enumeration oracle for the lattice
+    posteriors, Viterbi optimality, coverage/totality and partitioning
+    invariance are pinned in tests/test_unigramlm.py.
+    """
+    from gensor_spark.operators.unigramlm import unigram_train
+
+    docs = _docs(spark, sf_dir)
+    logp = unigram_train(docs, vocab_size=200, max_piece_len=6,
+                         seed_factor=3, em_iters=1, max_rounds=4)
+    rows = sorted(((round(lp, 6), p) for p, lp in logp.items()),
+                  key=lambda t: (-t[0], t[1]))
+    return spark.createDataFrame(
+        [(i, p, lp) for i, (lp, p) in enumerate(rows)],
+        "rank int, piece string, logp double",
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
