@@ -145,8 +145,8 @@ def kalman_smooth(
 
     Adds ``k_filt`` (filtered level — causal, what a streaming consumer
     would see), ``k_smooth`` (RTS-smoothed level — uses the whole series),
-    and ``k_var`` (smoothed state variance, the ±2σ band half-width
-    squared). NaN observations and internal gaps get model-based estimates
+    and ``k_var`` (smoothed state variance; the ±2σ band half-width is
+    ``2*sqrt(k_var)``). NaN observations and internal gaps get model-based estimates
     with inflated variance; rows before a series' first observation stay
     NaN (mask-don't-crash).
 

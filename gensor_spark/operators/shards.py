@@ -143,14 +143,23 @@ def write_shards(assigned: DataFrame, out_dir: str,
     idempotency anchor: a re-run with the same seed produces byte-equal
     assignments, so overwrite is safe-by-determinism.
     """
-    (
-        assigned
-        .repartition(F.col("shard"))
-        .sortWithinPartitions("shard", "_ord")
-        .write.mode(mode)
-        .partitionBy("shard")
-        .parquet(f"{out_dir}/data")
-    )
-    manifest = shard_manifest(assigned, length_col=length_col)
-    manifest.coalesce(1).write.mode(mode).parquet(f"{out_dir}/manifest")
-    return manifest
+    # two actions (data write + manifest) — pin the assignment DAG once so
+    # the md5 projection / boundary sampling / prefix-sum shuffles don't
+    # re-execute from the source for the manifest
+    assigned = assigned.persist()
+    try:
+        (
+            assigned
+            .repartition(F.col("shard"))
+            .sortWithinPartitions("shard", "_ord")
+            .write.mode(mode)
+            .partitionBy("shard")
+            .parquet(f"{out_dir}/data")
+        )
+        manifest = shard_manifest(assigned, length_col=length_col)
+        manifest.coalesce(1).write.mode(mode).parquet(f"{out_dir}/manifest")
+    finally:
+        assigned.unpersist()
+    # hand back the STORED manifest — its lineage is the written file, not
+    # the (now unpersisted) assignment DAG
+    return assigned.sparkSession.read.parquet(f"{out_dir}/manifest")

@@ -184,15 +184,21 @@ def _seed_vocab(words: DataFrame, n_seed: int, max_piece_len: int):
         )).alias("p"),
         "cnt",
     )
-    counted = subs.groupBy("p").agg(F.sum("cnt").alias("c"))
-    top = (
-        counted.orderBy(F.desc("c"), F.asc("p")).limit(n_seed)
-        .collect()
-    )
-    chars = (
-        counted.filter(F.length("p") == 1)
-        .collect()
-    )
+    # two collects (top-n + all chars) — persist the piece-grain counts so
+    # the substring explode + shuffle runs once (the packing try/finally
+    # convention)
+    counted = subs.groupBy("p").agg(F.sum("cnt").alias("c")).persist()
+    try:
+        top = (
+            counted.orderBy(F.desc("c"), F.asc("p")).limit(n_seed)
+            .collect()
+        )
+        chars = (
+            counted.filter(F.length("p") == 1)
+            .collect()
+        )
+    finally:
+        counted.unpersist()
     vocab = {r["p"]: float(r["c"]) for r in top}
     for r in chars:
         vocab.setdefault(r["p"], float(r["c"]))
@@ -287,6 +293,9 @@ def unigram_train(
     """
     if vocab_size < 2:
         raise ValueError("vocab_size must be >= 2")
+    if em_iters < 1:
+        raise ValueError("em_iters must be >= 1 (pruning needs expected "
+                         "counts from at least one E-step)")
     words = _words(docs, text_col).localCheckpoint()
     vocab_counts = _seed_vocab(words, vocab_size * seed_factor, max_piece_len)
     alphabet = frozenset(p for p in vocab_counts if len(p) == 1)

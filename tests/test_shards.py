@@ -25,8 +25,8 @@ SEED, T, D = "s1", 700, 16
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    rows = [(i, ((i * 37) % 113) + (0 if i % 29 else 0), f"src{i % 3}")
-            for i in range(200)]
+    rows = [(i, ((i * 37) % 113) + (250 if i % 29 == 0 else 0), f"src{i % 3}")
+            for i in range(200)]  # every 29th doc oversized (budget straddle)
     # a few zero-length docs exercise the "empty doc still owns a slot at
     # its offset" contract
     rows = [(i, 0 if i % 41 == 0 else n, s) for (i, n, s) in rows]
