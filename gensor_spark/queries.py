@@ -2193,11 +2193,11 @@ QUERIES["rollup_month"] = q_rollup_month
 QUERIES["corpus_prep"] = q_corpus_prep
 QUERIES["slo_burn"] = q_slo_burn
 from gensor_spark.queries_text import (  # noqa: E402 - tail entries
-    q_shard_plan,
     q_source_overlap,
     q_unigram_tokenizer,
 )
-QUERIES["shard_plan"] = q_shard_plan
+# shard_plan: promoted INTO the oracle window as the method='shard' rows of
+# pack_chunk_stats (full driver-hash verification); no separate tail entry
 QUERIES["source_overlap"] = q_source_overlap
 QUERIES["kalman_smooth"] = q_kalman_smooth
 QUERIES["unigram_tokenizer"] = q_unigram_tokenizer

@@ -761,17 +761,62 @@ FROM o, LATERAL (SELECT unnest(range(off // {_SEQ_LEN},
 
 
 def q_pack_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-tagged union (r4 slot economy, the stratified_sample
+    pattern): ``method='chunk'`` — per-chunk fill stats of the packed
+    token stream; ``method='shard'`` — the deterministic-global-shuffle
+    shard MANIFEST (operators/shards.py, token budget): per-shard doc and
+    token totals + the permutation span keys. Both are "stats per bucket
+    of the token stream"; the shard rows promote the salted-md5
+    permutation, distributed prefix sum, and budget cuts to full
+    driver-hash verification (content_sum digests stay DuckDB-pinned in
+    tests/test_shards.py)."""
     from gensor_spark.operators.packing import chunk_stats, pack_chunks
+    from gensor_spark.operators.shards import assign_shards, shard_manifest
 
-    return chunk_stats(pack_chunks(_docs_with_ntok(spark, sf_dir),
-                                   seq_len=_SEQ_LEN))
+    docs = _docs_with_ntok(spark, sf_dir)
+    cs = chunk_stats(pack_chunks(docs, seq_len=_SEQ_LEN)).select(
+        F.lit("chunk").alias("method"),
+        F.col("chunk_id").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("fill").cast("long").alias("n_tokens"),
+        F.col("first_doc").cast("string").alias("first_k"),
+        F.col("last_doc").cast("string").alias("last_k"),
+    )
+    sm = shard_manifest(
+        assign_shards(docs, tokens_per_shard=20_000, seed="r4")
+    ).select(
+        F.lit("shard").alias("method"),
+        F.col("shard").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("first_key").alias("first_k"),
+        F.col("last_key").alias("last_k"),
+    )
+    return cs.unionByName(sm)
 
 
 SQL_PACK_CHUNK_STATS = f"""
-WITH pc AS ({SQL_PACK_CHUNKS})
-SELECT chunk_id, count(*) AS n_docs, sum(n_in_chunk)::BIGINT AS fill,
-       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM pc GROUP BY 1
+WITH pc AS ({SQL_PACK_CHUNKS}),
+sh_t AS (SELECT doc_id, {_N_TOK_SQL} AS n_tok FROM documents),
+sh_d AS (SELECT doc_id, n_tok,
+                md5('r4:' || CAST(doc_id AS VARCHAR)) AS k
+         FROM sh_t),
+sh_o AS (SELECT *, k || ':' || CAST(doc_id AS VARCHAR) AS ord FROM sh_d),
+sh_p AS (SELECT *,
+                COALESCE(SUM(n_tok) OVER (
+                  ORDER BY ord
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS goff
+         FROM sh_o)
+SELECT 'chunk' AS method, chunk_id::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs, sum(n_in_chunk)::BIGINT AS n_tokens,
+       min(doc_id)::VARCHAR AS first_k, max(doc_id)::VARCHAR AS last_k
+FROM pc GROUP BY 2
+UNION ALL
+SELECT 'shard' AS method, (goff // 20000)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       min(ord) AS first_k, max(ord) AS last_k
+FROM sh_p GROUP BY 2
 """
 
 
@@ -1472,21 +1517,6 @@ def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean_text").alias("clean_len"),
         F.md5(F.col("clean_text")).alias("clean_md5"),
     )
-
-
-def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global shuffle + token-budget shard manifest
-    (operators/shards.py): the corpus in salted-md5 permutation order cut
-    into fixed-token-budget training shards, one manifest row per shard.
-    Registered in the rows-only tail (oracle window full); the full DuckDB
-    oracle — the exact permutation, prefix-sum assignments, and the
-    manifest digests — is pinned in tests/test_shards.py.
-    """
-    from gensor_spark.operators.shards import assign_shards, shard_manifest
-
-    docs = _docs_with_ntok(spark, sf_dir)
-    assigned = assign_shards(docs, tokens_per_shard=20_000, seed="r4")
-    return shard_manifest(assigned).orderBy("shard")
 
 
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
