@@ -316,12 +316,22 @@ def unigram_train(
     return _normalize(counts, alphabet)
 
 
+def vocab_ids(logp: dict) -> dict:
+    """Deterministic piece → integer-id table for a fitted vocabulary:
+    id 0 is reserved for UNK, ids 1.. rank pieces by (logprob DESC, piece
+    ASC) — frequent pieces get small ids, and two engines/runs assign
+    identical ids."""
+    ranked = sorted(logp, key=lambda p: (-logp[p], p))
+    return {p: i + 1 for i, p in enumerate(ranked)}
+
+
 def unigram_encode(
     docs: DataFrame,
     logp: dict,
     text_col: str = "text",
     max_piece_len: int = 8,
     id_col: str = "doc_id",
+    emit_ids: bool = False,
 ) -> DataFrame:
     """Viterbi-segment every document with a learned vocabulary.
 
@@ -329,11 +339,17 @@ def unigram_encode(
     concatenate back to the tokenized text (round-trip totality; unknown
     characters ride through as UNK-penalized single-char pieces). Word
     results are memoized per distinct word per batch.
+
+    ``emit_ids=True`` adds ``token_ids array<int>`` via the
+    ``vocab_ids`` table (UNK pieces → 0) — the north-star
+    ``tokens array<int>`` shape, i.e. this call turns raw text into the
+    engine's own input schema with a corpus-learned tokenizer.
     """
     from gensor_spark.functions.text import tokens
 
     spark = docs.sparkSession
     b_logp = spark.sparkContext.broadcast(logp)
+    b_ids = spark.sparkContext.broadcast(vocab_ids(logp) if emit_ids else None)
     unk_lp = min(logp.values()) - 10.0 if logp else -100.0
     toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("ws"))
 
@@ -341,9 +357,10 @@ def unigram_encode(
 
     def run(batches):
         lp = b_logp.value
+        pid = b_ids.value
         memo: dict = {}
         for pdf in batches:
-            ids, pieces, nps, scores = [], [], [], []
+            ids, pieces, nps, scores, tids = [], [], [], [], []
             for did, ws in zip(pdf[id_name], pdf["ws"]):
                 allp: list = []
                 sc = 0.0
@@ -358,13 +375,17 @@ def unigram_encode(
                 pieces.append(allp)
                 nps.append(len(allp))
                 scores.append(sc)
-            yield pd.DataFrame({
-                id_name: ids, "pieces": pieces, "n_pieces": nps,
-                "score": scores,
-            })
+                if pid is not None:
+                    tids.append([pid.get(p, 0) for p in allp])
+            out = {id_name: ids, "pieces": pieces, "n_pieces": nps,
+                   "score": scores}
+            if pid is not None:
+                out["token_ids"] = tids
+            yield pd.DataFrame(out)
 
     id_type = dict(docs.dtypes)[id_col]
-    return toks.mapInPandas(
-        run,
-        f"{id_col} {id_type}, pieces array<string>, n_pieces int, score double",
-    )
+    schema = (f"{id_col} {id_type}, pieces array<string>, n_pieces int, "
+              "score double")
+    if emit_ids:
+        schema += ", token_ids array<int>"
+    return toks.mapInPandas(run, schema)

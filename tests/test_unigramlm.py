@@ -169,6 +169,28 @@ def test_encode_totality_and_compression(spark, docs):
     assert "".join(zr["pieces"]) == "sunshinezebraz"
 
 
+def test_encode_token_ids(spark, docs):
+    from gensor_spark.operators.unigramlm import unigram_encode as enc
+    from gensor_spark.operators.unigramlm import vocab_ids
+
+    logp = unigram_train(docs, vocab_size=30, max_piece_len=6,
+                         seed_factor=2, em_iters=1, max_rounds=3)
+    ids = vocab_ids(logp)
+    # deterministic, dense from 1, UNK reserved at 0
+    assert sorted(ids.values()) == list(range(1, len(logp) + 1))
+    out = enc(docs.limit(3), logp, max_piece_len=6, emit_ids=True).collect()
+    inv = {v: k for k, v in ids.items()}
+    for r in out:
+        assert len(r["token_ids"]) == r["n_pieces"]
+        # ids decode back to the pieces (no UNK expected on training text)
+        assert [inv[t] for t in r["token_ids"]] == r["pieces"]
+    # unseen char → id 0
+    z = spark.createDataFrame([("z", "qqq@")],
+                              "doc_id string, text string")
+    zr = enc(z, logp, max_piece_len=6, emit_ids=True).collect()[0]
+    assert 0 in zr["token_ids"] or all(p in ids for p in zr["pieces"])
+
+
 def test_train_partitioning_invariance(spark, docs):
     a = unigram_train(docs, vocab_size=30, max_piece_len=6,
                       seed_factor=2, em_iters=1, max_rounds=3)
