@@ -1405,11 +1405,14 @@ def smoother_backtest(
     alpha: float = 0.5,
     beta: float = 0.3,
     gamma: float = 0.3,
+    kq: float = 0.1,
+    kr: float = 1.0,
     keys: tuple[str, ...] = KEYS,
     value_col: str = "value",
 ) -> DataFrame:
     """Which smoother fits each series? One-step-ahead backtest of the
-    exponential family (EWMA / Holt / Theta / Holt-Winters) plus the
+    exponential family (EWMA / Holt / Theta / Holt-Winters), the
+    Kalman local-level filter (fixed kq/kr noise ratio), plus the
     SEASONAL-NAIVE baseline (ŷ_t = y_{t-period} — the no-parameter floor
     every forecast claim must beat, and the MASE denominator) on the tail
     of every series — the model-selection verb that turns the family from
@@ -1436,6 +1439,7 @@ def smoother_backtest(
         raise ValueError(f"eval_fraction must be in (0,1), got {eval_fraction}")
     if period < 2:
         raise ValueError(f"period must be >= 2, got {period}")
+    from gensor_spark.operators.kalman import _kalman_kernel
     from gensor_spark.operators.udfkernel import per_series_map
 
     schema = T.StructType(
@@ -1445,7 +1449,7 @@ def smoother_backtest(
            T.StructField("mae", T.DoubleType()),
            T.StructField("best", T.BooleanType())]
     )
-    order = ["snaive", "ewma", "holt", "theta", "hw"]
+    order = ["snaive", "ewma", "holt", "theta", "hw", "kalman"]
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].to_numpy(dtype=float)
@@ -1480,6 +1484,7 @@ def smoother_backtest(
                 slp = (m1 * ctv - ct * cv) / (m1 * ctt - ct * ct)
             carry = (1.0 - (1.0 - alpha) ** m1) / alpha
             theta_fit = lev + 0.5 * np.where(m1 >= 2, slp, np.nan) * carry
+            kf = _kalman_kernel(x, kq, kr)[0]
             preds = {
                 # seasonal naive — ŷ_t = y_{t-period} on the observation
                 # ordinal: the no-parameter baseline every forecast claim
@@ -1495,6 +1500,11 @@ def smoother_backtest(
                 "theta": np.array([theta_fit[pos[int(i)] - 1]
                                    for i in eval_idx]),
                 "hw": hw_fit[eval_idx],
+                # Kalman local level (fixed kq/kr — leakage-free like the
+                # fixed-alpha methods): the one-step-ahead forecast of a
+                # random walk is the filtered mean at the previous obs
+                "kalman": np.array([kf[obs[pos[int(i)] - 1]]
+                                    for i in eval_idx]),
             }
             for m in order:
                 err = np.abs(preds[m] - actual)

@@ -1249,7 +1249,7 @@ def test_backtest_model_selection_on_planted_series(spark):
     df = spark.createDataFrame(
         rows, "doc_id string, source string, seq int, value double")
     out = smoother_backtest(df, period=m).toPandas()
-    assert len(out) == 15  # 3 series x 5 methods (incl. the snaive baseline)
+    assert len(out) == 18  # 3 series x 6 methods (snaive + kalman incl.)
     best = {d: g.loc[g.best, "method"].iloc[0]
             for d, g in out.groupby("doc_id")}
     assert best["seasonal"] == "hw"
@@ -1299,6 +1299,23 @@ def test_backtest_matches_hand_rolled_mae(spark):
     # seasonal-naive: y[t-4] predicts y[t]
     want_sn = np.abs(x[-n_eval - 4:-4] - x[-n_eval:]).mean()
     np.testing.assert_allclose(got.loc["snaive", "mae"], want_sn, rtol=1e-12)
+    # kalman local level: independent filter loop, prediction = previous
+    # filtered mean (defaults kq=0.1, kr=1.0)
+    a = p = None
+    kf = []
+    for v in x:
+        if a is None:
+            a, p = v, 1.0
+        else:
+            pp = p + 0.1
+            s = pp + 1.0
+            g = pp / s
+            a = a + g * (v - a)
+            p = (1 - g) * pp
+        kf.append(a)
+    pred_k = np.array(kf[-n_eval - 1:-1])
+    want_k = np.abs(pred_k - x[-n_eval:]).mean()
+    np.testing.assert_allclose(got.loc["kalman", "mae"], want_k, rtol=1e-12)
 
 
 def test_backtest_short_series_hw_masks(spark):
