@@ -39,6 +39,21 @@ def difference(points: DataFrame, periods: int = 1, keys=KEYS) -> DataFrame:
     return out.filter(F.col("value").isNotNull())
 
 
+def pct_change(points: DataFrame, periods: int = 1, keys=KEYS) -> DataFrame:
+    """(value - lag) / lag per series — pandas ``Series.pct_change``
+    parity except at a zero base: pandas emits ±inf there, this engine's
+    mask-don't-crash convention emits NULL (engine-portable: Spark and
+    DuckDB disagree on float division by zero, ±inf vs NULL, so the guard
+    is also what makes the oracle exact). Head rows (no lag) are NULL and
+    kept — same grain as the input, unlike ``difference``'s drop."""
+    w = W.partitionBy(*keys).orderBy("seq")
+    prev = F.lag("value", periods).over(w)
+    return points.withColumn(
+        "pct",
+        F.when(prev != 0, (F.col("value") - prev) / prev)
+    )
+
+
 def log_transform(col: Column) -> Column:
     """gensor quirk: x if x <= 0 else ln(x) (transform.py:68-75)."""
     return F.when(col <= 0, col).otherwise(F.log(col))

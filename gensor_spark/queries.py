@@ -275,13 +275,16 @@ GROUP BY 1, 2, 3
 # --------------------------------------------------------------------------
 
 def q_transforms_pointwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``difference`` + ``log``/``sqrt`` (≤0 pass-through quirk) in one
-    driver entry over the same ``(doc_id, source, seq)`` grain. ``diff`` is
-    NULL on each series' first row (the operator itself drops those rows —
-    gensor's ``.diff().dropna()``; the left join restores the grain)."""
+    """``difference`` + ``log``/``sqrt`` (≤0 pass-through quirk) +
+    ``pct_change`` (r4 in-slot addition) in one driver entry over the same
+    ``(doc_id, source, seq)`` grain. ``diff`` is NULL on each series' first
+    row (the operator itself drops those rows — gensor's
+    ``.diff().dropna()``; the left join restores the grain); ``pct`` is
+    NULL at head rows AND zero bases (mask-don't-crash)."""
     from gensor_spark.operators.transforms import (
         difference,
         log_transform,
+        pct_change,
         sqrt_transform,
     )
 
@@ -289,13 +292,17 @@ def q_transforms_pointwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = difference(pts, periods=1).select(
         "doc_id", "source", "seq", _r6(F.col("value")).alias("diff")
     )
+    p = pct_change(pts, periods=1).select(
+        "doc_id", "source", "seq", _r6(F.col("pct")).alias("pct")
+    )
     # exercise both branches of the <=0 pass-through quirk: shift values down
     ls = pts.select(
         "doc_id", "source", "seq",
         _r6(log_transform(F.col("value") - F.lit(5.0))).alias("logv"),
         _r6(sqrt_transform(F.col("value") - F.lit(5.0))).alias("sqrtv"),
     )
-    return ls.join(d, ["doc_id", "source", "seq"], "left")
+    return (ls.join(d, ["doc_id", "source", "seq"], "left")
+              .join(p, ["doc_id", "source", "seq"], "left"))
 
 
 SQL_TRANSFORMS_POINTWISE = f"""
@@ -304,7 +311,11 @@ SELECT doc_id, source, seq,
        ROUND(value - lag(value) OVER (PARTITION BY doc_id, source ORDER BY seq)
              + 1e-9, 6) AS diff,
        ROUND(CASE WHEN value - 5.0 <= 0 THEN value - 5.0 ELSE ln(value - 5.0) END + 1e-9, 6) AS logv,
-       ROUND(CASE WHEN value - 5.0 <= 0 THEN value - 5.0 ELSE sqrt(value - 5.0) END + 1e-9, 6) AS sqrtv
+       ROUND(CASE WHEN value - 5.0 <= 0 THEN value - 5.0 ELSE sqrt(value - 5.0) END + 1e-9, 6) AS sqrtv,
+       ROUND(CASE WHEN lag(value) OVER (PARTITION BY doc_id, source ORDER BY seq) != 0
+                  THEN (value - lag(value) OVER (PARTITION BY doc_id, source ORDER BY seq))
+                       / lag(value) OVER (PARTITION BY doc_id, source ORDER BY seq)
+             END + 1e-9, 6) AS pct
 FROM pts
 """
 

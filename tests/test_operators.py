@@ -41,6 +41,32 @@ def test_difference_matches_pandas(spark, points_pdf, points_sdf):
         np.testing.assert_allclose(got.to_numpy(), want.to_numpy(), rtol=1e-12)
 
 
+def test_pct_change_matches_pandas(spark, points_pdf, points_sdf):
+    out = transforms.pct_change(points_sdf, periods=1).toPandas()
+    for (d, s), g in points_pdf.groupby(["doc_id", "source"]):
+        # fill_method=None = the non-deprecated semantics the engine
+        # mirrors: NaN observations propagate, never pad
+        want = (g.sort_values("seq")["value"]
+                .pct_change(1, fill_method=None).to_numpy())
+        got = (out[(out.doc_id == d) & (out.source == s)]
+               .sort_values("seq")["pct"].to_numpy(dtype=float))
+        # engine contract: NULL (not ±inf) at zero bases — mask them on
+        # the pandas side before comparing
+        inf = np.isinf(want)
+        assert np.all(np.isnan(got[inf]))
+        ok = ~inf
+        np.testing.assert_allclose(got[ok], want[ok], rtol=1e-12,
+                                   equal_nan=True)
+
+
+def test_pct_change_zero_base_and_head(spark):
+    sdf, _ = _one_series(spark, [2.0, 0.0, 3.0, 6.0])
+    got = _collect_values(transforms.pct_change(sdf), col="pct")
+    # head NULL, -100% into the zero, NULL on the zero base, then +100%
+    np.testing.assert_allclose(got, [np.nan, -1.0, np.nan, 1.0],
+                               equal_nan=True)
+
+
 def test_log_sqrt_quirk(spark):
     sdf, pdf = _one_series(spark, [-4.0, 0.0, 4.0, 9.0])
     logv = _collect_values(sdf.withColumn("value", transforms.log_transform(F.col("value"))))
