@@ -1191,6 +1191,7 @@ FROM b
 # token-native repetition (operators/quality.py, operators/decontaminate.py)
 # --------------------------------------------------------------------------
 
+_KN_D = 0.75     # KN absolute discount
 _BIGRAM_LAM = 0.7  # Jelinek-Mercer weight on the bigram ML term
 
 
@@ -1198,10 +1199,13 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM perplexity quality filters, method-tagged union (r4 merged form):
     ``method='uni'`` — unigram add-1 mean token log-prob (KenLM proxy);
     ``method='bi'`` — Jelinek-Mercer interpolated bigram over the doc's
-    transitions (``n`` = scored positions: tokens for uni, pairs for bi).
-    Both trained on the corpus itself in the same lazy plan."""
+    transitions; ``method='kn'`` — interpolated Kneser-Ney bigram
+    (continuation-count backoff; r4 in-slot addition). ``n`` = scored
+    positions: tokens for uni, pairs for bi/kn. All trained on the corpus
+    itself in the same lazy plan."""
     from gensor_spark.operators.quality import (
         bigram_logprob_scores,
+        kn_bigram_logprob_scores,
         unigram_logprob_scores,
     )
 
@@ -1216,7 +1220,12 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_pairs").alias("n"),
         _r6(F.col("avg_logprob")).alias("avg_logprob"),
     )
-    return uni.unionByName(bi)
+    kn = kn_bigram_logprob_scores(docs, discount=_KN_D).select(
+        F.lit("kn").alias("method"),
+        "doc_id", F.col("n_pairs").alias("n"),
+        _r6(F.col("avg_logprob")).alias("avg_logprob"),
+    )
+    return uni.unionByName(bi).unionByName(kn)
 
 
 SQL_PERPLEXITY = f"""
@@ -1240,7 +1249,20 @@ blp AS (SELECT p.doc_id,
         JOIN ctx USING (w1)
         JOIN counts u ON u.tok = p.w2, norm),
 bscored AS (SELECT doc_id, count(*) AS n, avg(lp) AS avg_logprob
-            FROM blp GROUP BY 1)
+            FROM blp GROUP BY 1),
+nfwd AS (SELECT w1, count(*) AS nf FROM big GROUP BY 1),
+nbwd AS (SELECT w2, count(*) AS nb FROM big GROUP BY 1),
+btypes AS (SELECT count(*)::DOUBLE AS b FROM big),
+klp AS (SELECT p.doc_id,
+               ln(greatest(big.c12 - {_KN_D}, 0) / ctx.c1
+                  + {_KN_D} * nf / ctx.c1 * nb / btypes.b) AS lp
+        FROM pairs p
+        JOIN big USING (w1, w2)
+        JOIN ctx USING (w1)
+        JOIN nfwd USING (w1)
+        JOIN nbwd USING (w2), btypes),
+kscored AS (SELECT doc_id, count(*) AS n, avg(lp) AS avg_logprob
+            FROM klp GROUP BY 1)
 SELECT 'uni' AS method, d.doc_id, coalesce(s.n_tok, 0) AS n,
        ROUND(s.avg_logprob + 1e-9, 6) AS avg_logprob
 FROM documents d LEFT JOIN scored s USING (doc_id)
@@ -1248,6 +1270,10 @@ UNION ALL
 SELECT 'bi' AS method, d.doc_id, coalesce(b.n, 0) AS n,
        ROUND(b.avg_logprob + 1e-9, 6) AS avg_logprob
 FROM documents d LEFT JOIN bscored b USING (doc_id)
+UNION ALL
+SELECT 'kn' AS method, d.doc_id, coalesce(k.n, 0) AS n,
+       ROUND(k.avg_logprob + 1e-9, 6) AS avg_logprob
+FROM documents d LEFT JOIN kscored k USING (doc_id)
 """
 
 

@@ -450,6 +450,79 @@ def test_bigram_logprob_scores_vs_python_reference(spark):
     assert got[4][1] < got[1][1] - 0.1
 
 
+def _ref_kn_scores(texts: dict, d: float = 0.75):
+    """Independent pure-Python interpolated Kneser-Ney bigram reference."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+    seqs = {k: tok(t) for k, t in texts.items()}
+    big = Counter(
+        (s[i], s[i + 1]) for s in seqs.values() for i in range(len(s) - 1)
+    )
+    ctx, nfwd, nbwd = Counter(), Counter(), Counter()
+    for (w1, w2), c in big.items():
+        ctx[w1] += c
+        nfwd[w1] += 1
+        nbwd[w2] += 1
+    B = len(big)
+
+    def p(w1, w2):
+        return (max(big[(w1, w2)] - d, 0.0) / ctx[w1]
+                + d * nfwd[w1] / ctx[w1] * nbwd[w2] / B)
+
+    out = {}
+    for k, s in seqs.items():
+        lps = [math.log(p(s[i], s[i + 1])) for i in range(len(s) - 1)]
+        out[k] = (len(lps), sum(lps) / len(lps) if lps else None)
+    # model validity: for every context, p sums to exactly 1 over the
+    # vocab (the KN interpolation identity)
+    vocab = set(nbwd) | {w for s in seqs.values() for w in s}
+    for w1 in ctx:
+        total = sum(p(w1, w2) for w2 in vocab)
+        tail = sum(nbwd[w2] for w2 in vocab) / B  # == 1 by construction
+        assert abs(tail - 1.0) < 1e-12
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+    return out
+
+
+def test_kn_bigram_scores_vs_python_reference(spark):
+    """Interpolated Kneser-Ney scorer vs an independent pure-Python model
+    (which also self-checks the sums-to-one identity per context)."""
+    from gensor_spark.operators.quality import kn_bigram_logprob_scores
+    from gensor_spark.plans.caching import release_caches
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the hat",
+        3: "a dog ran over the mat",
+        4: "mat the on sat cat the",
+        5: "zzz",
+        6: "",
+    }
+    docs = spark.createDataFrame(
+        [(k, t) for k, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_pairs, r.avg_logprob)
+        for r in kn_bigram_logprob_scores(docs).collect()
+    }
+    release_caches()
+    want = _ref_kn_scores(texts)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        if want[k][1] is None:
+            assert got[k][1] is None
+        else:
+            assert abs(got[k][1] - want[k][1]) < 1e-12, k
+    # same discrimination property as JM: shuffled doc scores worse
+    assert got[4][1] < got[1][1] - 0.1
+    with pytest.raises(ValueError):
+        kn_bigram_logprob_scores(docs, discount=1.5)
+
+
 def test_bigram_logprob_rejects_bad_lam(spark):
     from gensor_spark.operators.quality import bigram_logprob_scores
 
