@@ -644,3 +644,255 @@ class Dataset:
         if method == "lttb":
             return lttb_downsample(self.df, k=bins, keys=self.keys)
         raise ValueError(f"unknown plot method: {method!r}")
+
+
+class Corpus:
+    """The documents-side sibling of ``Dataset``: every document in one
+    frame (``doc_id, text, source``), with the training-data-pipeline
+    verbs as one-liners. Each verb delegates to the corresponding audited
+    operator (COVERAGE.md maps each to its driver row / oracle); verbs
+    that select or rewrite documents return a NEW ``Corpus`` over a lazy
+    plan, report/score verbs return DataFrames, trainers return their
+    fitted artifacts. gensor itself has no corpus surface — this facade
+    exists so the pipeline composes the way ``Dataset`` does for series:
+
+        kept, report = (Corpus.from_parquet(spark, sf)
+                        .scrub()
+                        .gate(gopher=True)
+                        .dedup_exact()
+                        .dedup_near(threshold=0.8)
+                        .mix(temperature=0.7)
+                        .prepare_report())
+        vocab = kept.train_unigram(vocab_size=32_000)
+        kept.tokenize(vocab).pipe_to_shards(...)
+    """
+
+    def __init__(self, docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", source_col: str = "source") -> None:
+        self.df = docs
+        self.text_col = text_col
+        self.id_col = id_col
+        self.source_col = source_col
+
+    @classmethod
+    def from_parquet(cls, spark, sf_dir: str) -> "Corpus":
+        """The driver-testdata documents table as a Corpus."""
+        return cls(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    def _wrap(self, df: DataFrame) -> "Corpus":
+        return Corpus(df, self.text_col, self.id_col, self.source_col)
+
+    def _kw(self) -> dict:
+        return {"text_col": self.text_col, "id_col": self.id_col}
+
+    # ------------------------------------------------------------- hygiene
+
+    def scrub(self, patterns: dict | None = None) -> "Corpus":
+        """PII redaction in place (email/IPv4/SSN/phone + per-kind
+        counts ride along as ``n_<kind>`` columns)."""
+        from gensor_spark.operators.pii import scrub_pii
+
+        return self._wrap(scrub_pii(self.df, patterns=patterns, **self._kw()))
+
+    def gate(self, min_chars: int = 20, min_alnum_ratio: float = 0.5,
+             gopher: bool = False) -> "Corpus":
+        """Cheap length/alnum gate, optionally + the Gopher rule preset."""
+        from gensor_spark.streaming.ingest_stream import quality_gate
+
+        out = self.df.filter(quality_gate(
+            min_chars=min_chars, min_alnum_ratio=min_alnum_ratio,
+            text_col=self.text_col))
+        if gopher:
+            from gensor_spark.operators.qualityfilter import (
+                gopher_quality_flags,
+            )
+
+            flagged = gopher_quality_flags(out, text_col=self.text_col)
+            out = flagged.filter(F.col("keep")).select(*self.df.columns)
+        return self._wrap(out)
+
+    def c4_clean(self) -> "Corpus":
+        """C4 line filter: docs kept, text rewritten to surviving lines."""
+        from gensor_spark.operators.qualityfilter import c4_line_filter
+
+        out = c4_line_filter(self.df, text_col=self.text_col)
+        kept = out.filter(F.col("c4_keep")).withColumn(
+            self.text_col, F.col("clean_text")
+        ).select(*self.df.columns)
+        return self._wrap(kept)
+
+    def perplexity(self, model: str = "kn") -> DataFrame:
+        """Per-doc LM perplexity: ``uni`` (add-1), ``bi`` (Jelinek-Mercer)
+        or ``kn`` (interpolated Kneser-Ney), self-trained on this corpus."""
+        from gensor_spark.operators import quality as Q
+
+        fn = {"uni": Q.unigram_logprob_scores,
+              "bi": Q.bigram_logprob_scores,
+              "kn": Q.kn_bigram_logprob_scores}.get(model)
+        if fn is None:
+            raise ValueError(f"model must be uni|bi|kn, got {model!r}")
+        return fn(self.df, **self._kw())
+
+    # --------------------------------------------------------------- dedup
+
+    def dedup_exact(self) -> "Corpus":
+        """Drop exact duplicates (md5 digest), min-id keeper."""
+        from gensor_spark.operators.dedup import exact_dedup
+
+        dups = exact_dedup(self.df, **self._kw())
+        return self._wrap(self.df.join(
+            dups.select(F.col("dup_id").alias(self.id_col)),
+            self.id_col, "left_anti"))
+
+    def dedup_near(self, threshold: float = 0.7, score_col: str | None = None,
+                   num_perm: int = 32) -> "Corpus":
+        """MinHash-LSH near-dedup: keep one doc per duplicate cluster —
+        the min-id member, or the best by ``score_col`` when given."""
+        from gensor_spark.operators.dedup import (
+            cluster_representatives,
+            dup_clusters,
+            minhash_dedup_pairs,
+        )
+
+        # the dedup family speaks the canonical (doc_id, text) schema
+        canon = self.df.select(F.col(self.id_col).alias("doc_id"),
+                               F.col(self.text_col).alias("text"))
+        pairs = minhash_dedup_pairs(canon, threshold=threshold,
+                                    num_perm=num_perm)
+        clusters = dup_clusters(pairs)
+        if score_col is None:
+            drop = clusters.filter(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select(F.col("doc_id").alias(self.id_col))
+            return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
+        kept = cluster_representatives(self.df, clusters, score_col,
+                                       id_col=self.id_col)
+        return self._wrap(kept.select(*self.df.columns))
+
+    def decontaminate(self, benchmark: DataFrame, n: int = 8,
+                      min_overlap: int = 1,
+                      broadcast: bool = True) -> "Corpus":
+        """Drop docs leaking benchmark n-grams."""
+        from gensor_spark.operators.decontaminate import contamination_stats
+
+        stats = contamination_stats(self.df, benchmark, n=n,
+                                    min_overlap=min_overlap,
+                                    broadcast=broadcast, **self._kw())
+        bad = stats.filter(F.col("contaminated")).select(
+            F.col("doc_id").alias(self.id_col))
+        return self._wrap(self.df.join(bad, self.id_col, "left_anti"))
+
+    def overlap(self, n: int = 5, approx: bool = False) -> DataFrame:
+        """Pairwise cross-source distinct-n-gram overlap audit."""
+        from gensor_spark.operators.overlap import source_overlap
+
+        return source_overlap(self.df, n=n, text_col=self.text_col,
+                              source_col=self.source_col, approx=approx)
+
+    # ----------------------------------------------------- selection / mix
+
+    def mix(self, rates: dict | None = None, temperature: float | None = None,
+            budget: int | None = None, salt: str = "mix1") -> "Corpus":
+        """Deterministic source mixing: explicit per-source ``rates`` or
+        mC4-style ``temperature`` (p^alpha) quotas."""
+        from gensor_spark.operators import sampling as S
+
+        if (rates is None) == (temperature is None):
+            raise ValueError("pass exactly one of rates= / temperature=")
+        if rates is not None:
+            out = S.stratified_sample(self.df, rates,
+                                      strata_col=self.source_col,
+                                      id_col=self.id_col, salt=salt)
+        else:
+            out = S.temperature_mix(self.df, alpha=temperature,
+                                    budget=budget, strata_col=self.source_col,
+                                    id_col=self.id_col, salt=salt)
+        return self._wrap(out)
+
+    def select_like(self, target: "Corpus | DataFrame", k: int,
+                    seed: int = 0) -> "Corpus":
+        """DSIR importance resampling toward a target corpus."""
+        from gensor_spark.operators.dsir import dsir_select
+
+        tgt = target.df if isinstance(target, Corpus) else target
+        picked = dsir_select(self.df, tgt, k, seed=seed, **self._kw())
+        return self._wrap(self.df.join(
+            picked.select(self.id_col), self.id_col, "leftsemi"))
+
+    # ------------------------------------------------- tokenize/pack/shard
+
+    def train_unigram(self, vocab_size: int = 8000, **kw) -> dict:
+        """SentencePiece-style unigram-LM tokenizer → {piece: logprob}."""
+        from gensor_spark.operators.unigramlm import unigram_train
+
+        return unigram_train(self.df, vocab_size=vocab_size,
+                             text_col=self.text_col, **kw)
+
+    def train_bpe(self, n_merges: int = 1000, **kw) -> list:
+        """BPE tokenizer → ranked merge list."""
+        from gensor_spark.operators.bpe import bpe_train
+
+        return bpe_train(self.df, n_merges, text_col=self.text_col, **kw)
+
+    def tokenize(self, vocab: dict, emit_ids: bool = True) -> DataFrame:
+        """Viterbi-encode with a unigram vocab → pieces (+ ``token_ids``,
+        the engine's native tokens schema)."""
+        from gensor_spark.operators.unigramlm import unigram_encode
+
+        return unigram_encode(self.df, vocab, text_col=self.text_col,
+                              id_col=self.id_col, emit_ids=emit_ids)
+
+    def _with_ntok(self) -> DataFrame:
+        from gensor_spark.functions.text import bpeish_token_count
+
+        return self.df.withColumn(
+            "n_tok", bpeish_token_count(F.col(self.text_col)))
+
+    def pack(self, seq_len: int) -> DataFrame:
+        """Concat-and-chunk packing plan over BPE-ish token counts."""
+        from gensor_spark.operators.packing import pack_chunks
+
+        return pack_chunks(self._with_ntok(), seq_len=seq_len,
+                           id_col=self.id_col)
+
+    def shard(self, tokens_per_shard: int | None = None,
+              docs_per_shard: int | None = None,
+              seed: str = "shuffle1") -> DataFrame:
+        """Deterministic global shuffle + shard assignment."""
+        from gensor_spark.operators.shards import assign_shards
+
+        return assign_shards(self._with_ntok(),
+                             tokens_per_shard=tokens_per_shard,
+                             docs_per_shard=docs_per_shard,
+                             id_col=self.id_col, seed=seed)
+
+    def write_shards(self, out_dir: str,
+                     tokens_per_shard: int | None = None,
+                     docs_per_shard: int | None = None,
+                     seed: str = "shuffle1") -> DataFrame:
+        """Materialize training shards + manifest under ``out_dir``."""
+        from gensor_spark.operators.shards import write_shards
+
+        return write_shards(
+            self.shard(tokens_per_shard=tokens_per_shard,
+                       docs_per_shard=docs_per_shard, seed=seed), out_dir)
+
+    # -------------------------------------------------------------- search
+
+    def search(self, queries: DataFrame, k: int = 10, **kw) -> DataFrame:
+        """BM25 top-k retrieval against this corpus."""
+        from gensor_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(self.df, queries, k=k, text_col=self.text_col,
+                         id_col=self.id_col, **kw)
+
+    # -------------------------------------------------------- composition
+
+    def prepare(self, **kwargs) -> "tuple[Corpus, dict]":
+        """The one-call composed pipeline (operators/corpusprep.py):
+        gate → gopher → scrub → dedup → decontaminate → mix → pack."""
+        from gensor_spark.operators.corpusprep import corpus_prep
+
+        out, rep = corpus_prep(self.df, text_col=self.text_col,
+                               id_col=self.id_col, **kwargs)
+        return self._wrap(out), rep
