@@ -656,15 +656,15 @@ class Corpus:
     fitted artifacts. gensor itself has no corpus surface — this facade
     exists so the pipeline composes the way ``Dataset`` does for series:
 
-        kept, report = (Corpus.from_parquet(spark, sf)
-                        .scrub()
-                        .gate(gopher=True)
-                        .dedup_exact()
-                        .dedup_near(threshold=0.8)
-                        .mix(temperature=0.7)
-                        .prepare_report())
+        kept = (Corpus.from_parquet(spark, sf)
+                .scrub()
+                .gate(gopher=True)
+                .dedup_exact()
+                .dedup_near(threshold=0.8)
+                .mix(temperature=0.7))
         vocab = kept.train_unigram(vocab_size=32_000)
-        kept.tokenize(vocab).pipe_to_shards(...)
+        tokens = kept.tokenize(vocab)          # (doc_id, token_ids, ...)
+        kept.write_shards("/data/shards", tokens_per_shard=2**22)
     """
 
     def __init__(self, docs: DataFrame, text_col: str = "text",
@@ -799,6 +799,8 @@ class Corpus:
 
         if (rates is None) == (temperature is None):
             raise ValueError("pass exactly one of rates= / temperature=")
+        if rates is not None and budget is not None:
+            raise ValueError("budget= only applies to temperature mixing")
         if rates is not None:
             out = S.stratified_sample(self.df, rates,
                                       strata_col=self.source_col,
@@ -816,8 +818,10 @@ class Corpus:
 
         tgt = target.df if isinstance(target, Corpus) else target
         picked = dsir_select(self.df, tgt, k, seed=seed, **self._kw())
+        # dsir_select's output id column is canonical 'doc_id'
         return self._wrap(self.df.join(
-            picked.select(self.id_col), self.id_col, "leftsemi"))
+            picked.select(F.col("doc_id").alias(self.id_col)),
+            self.id_col, "leftsemi"))
 
     # ------------------------------------------------- tokenize/pack/shard
 

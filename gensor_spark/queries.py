@@ -997,7 +997,8 @@ def q_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_smoother_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin one-step-ahead backtest of the exponential family
-    plus the seasonal-naive baseline (snaive/ewma/holt/theta/hw, 24h
+    plus the Kalman local-level filter and the seasonal-naive baseline
+    (snaive/ewma/holt/theta/hw/kalman, 24h
     season) — the model-selection verb: one (series,
     method) row with MAE and a ``best`` flag. Registry entry outside the
     driver window (sequential recurrences, not SQL-expressible);
