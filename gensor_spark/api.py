@@ -345,11 +345,18 @@ class Dataset:
         return time_weighted_avg(self.df, freq, keys=self.keys)
 
     def ewma(self, alpha: float = 0.3, adjust: bool = True,
-             ignore_na: bool = False) -> "Dataset":
+             ignore_na: bool = False,
+             halflife_seconds: float | None = None) -> "Dataset":
         """Exponentially-weighted smoothing (pandas ``.ewm().mean()`` exact);
-        adds an ``ewma`` column. Beyond gensor's rolling-only smoothing."""
-        from gensor_spark.operators.seriesstats import ewma
+        adds an ``ewma`` column. With ``halflife_seconds`` the decay is
+        TIME-based (pandas ``ewm(halflife=Timedelta, times=...)`` — the
+        correct form for irregular sampling; adds ``ewma_t`` instead).
+        Beyond gensor's rolling-only smoothing."""
+        from gensor_spark.operators.seriesstats import ewma, ewma_halflife
 
+        if halflife_seconds is not None:
+            return self._wrap(ewma_halflife(
+                self.df, halflife_seconds=halflife_seconds, keys=self.keys))
         return self._wrap(ewma(self.df, alpha=alpha, adjust=adjust,
                                ignore_na=ignore_na, keys=self.keys))
 

@@ -69,6 +69,7 @@ from gensor_spark.operators.seriesstats import (
     counter_rate,
     cusum_changepoint,
     ewma,
+    ewma_halflife,
     holt_smooth,
     ar_forecast,
     hw_forecast,
@@ -157,6 +158,7 @@ __all__ = [
     "source_ngram_sketches",
     "source_overlap",
     "kalman_smooth",
+    "ewma_halflife",
     "unigram_encode",
     "unigram_train",
     "interval_join",

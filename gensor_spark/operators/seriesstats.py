@@ -94,6 +94,53 @@ def ewma(
     return per_series_map(points, per_series, schema, keys=keys)
 
 
+def ewma_halflife(
+    points: DataFrame,
+    halflife_seconds: float,
+    keys: tuple[str, ...] = KEYS,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "ewma_t",
+) -> DataFrame:
+    """TIME-aware EWMA per series — pandas
+    ``ewm(halflife=Timedelta, times=...)`` parity: the decay between two
+    observations is ``0.5**(Δt/halflife)``, so irregularly-sampled series
+    weight by elapsed TIME, not sample count (the positional ``ewma``
+    over-weights burst samples and under-ages gaps). pandas supports
+    times-based decay only with ``adjust=True``; same here:
+
+        num_t = x_t + 0.5**(Δt/h) · num_{t-1}
+        den_t = 1   + 0.5**(Δt/h) · den_{t-1}
+        y_t   = num_t / den_t
+
+    NaN observations contribute nothing but DO age the state by their
+    timestamp gap (pinned against an independent recursion in tests).
+
+    Same batched Arrow-kernel shape as ``ewma``; ordering is by event
+    time, not ``seq``.
+    """
+    if halflife_seconds <= 0:
+        raise ValueError("halflife_seconds must be positive")
+    if out_col in points.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    schema = T.StructType(points.schema.fields
+                          + [T.StructField(out_col, T.DoubleType())])
+    hl = pd.Timedelta(seconds=float(halflife_seconds))
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        s = pd.Series(out[value_col].to_numpy(dtype=float))
+        out[out_col] = s.ewm(
+            halflife=hl, times=pd.DatetimeIndex(out[ts_col])
+        ).mean().to_numpy()
+        return out
+
+    return per_series_map(points, per_series, schema, keys=keys,
+                          sort_col=ts_col)
+
+
 # ---------------------------------------------------------------------------
 # Holt linear (double-exponential) smoothing
 # ---------------------------------------------------------------------------

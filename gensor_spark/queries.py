@@ -891,13 +891,19 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EWMA smoothing per series — registry entry outside the driver window
-    (the 50 oracle slots are full); pandas-``ewm`` parity is pinned in
-    tests/test_seriesstats.py at rtol 1e-12 on the same events input."""
-    from gensor_spark.operators.seriesstats import ewma
+    """EWMA smoothing per series, positional (``sm``) AND time-aware
+    half-life (``smt`` — ``ewm(halflife=Timedelta, times=...)`` semantics,
+    the irregular-sampling-correct decay; r4 in-slot addition) — registry
+    entry outside the driver window (the 50 oracle slots are full);
+    pandas-``ewm`` parity and the time-aware kernel's independent-
+    recursion oracle are pinned in tests/test_seriesstats.py."""
+    from gensor_spark.operators.seriesstats import ewma, ewma_halflife
 
     out = ewma(_points(spark, sf_dir), alpha=0.3, adjust=True)
-    return out.select("doc_id", "source", "seq", _r6(F.col("ewma")).alias("sm"))
+    out = ewma_halflife(out, halflife_seconds=1800.0)
+    return out.select("doc_id", "source", "seq",
+                      _r6(F.col("ewma")).alias("sm"),
+                      _r6(F.col("ewma_t")).alias("smt"))
 
 
 def q_holt_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:

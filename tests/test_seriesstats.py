@@ -66,6 +66,64 @@ def test_ewma_nan_semantics(spark, ignore_na):
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
+def _ewma_time_loop(vals, ts_sec, hl):
+    """Independent recursion (the operator itself delegates to pandas, so
+    the oracle must NOT): num/den decay by 0.5**(dt/hl); NaN contributes
+    nothing but ages the state by its gap."""
+    num = den = 0.0
+    prev_t = None
+    out = []
+    for v, t in zip(vals, ts_sec):
+        decay = 0.5 ** ((t - prev_t) / hl) if prev_t is not None else 1.0
+        num *= decay
+        den *= decay
+        prev_t = t
+        if not np.isnan(v):
+            num += v
+            den += 1.0
+        out.append(num / den if den > 0 else np.nan)
+    return np.array(out)
+
+
+def test_ewma_halflife_matches_independent_loop(spark, sensor_points):
+    from gensor_spark.operators.seriesstats import ewma_halflife
+
+    hl = 1800.0
+    got = (ewma_halflife(sensor_points, halflife_seconds=hl)
+           .select("doc_id", "source", "ts", "ewma_t").toPandas()
+           .sort_values(["doc_id", "source", "ts"]))
+    pdf = (sensor_points.toPandas()
+           .sort_values(["doc_id", "source", "ts"]))
+    for (d, s), g in pdf.groupby(["doc_id", "source"], sort=False):
+        want = _ewma_time_loop(
+            g["value"].to_numpy(dtype=float),
+            g["ts"].astype("int64").to_numpy() / 1e9, hl)
+        sub = got[(got.doc_id == d) & (got.source == s)]
+        np.testing.assert_allclose(sub["ewma_t"].to_numpy(), want,
+                                   rtol=1e-9, equal_nan=True)
+
+
+def test_ewma_halflife_even_spacing_equals_positional(spark):
+    # equal Δt ⇒ time-aware EWMA == positional ewm(alpha=1-0.5^(Δ/h),
+    # adjust=True): the sharp cross-check tying both kernels together
+    from gensor_spark.operators.seriesstats import ewma_halflife
+
+    rng = np.random.default_rng(5)
+    n, step, hl = 60, 600.0, 1800.0
+    v = rng.normal(0, 1, n)
+    ts = pd.date_range("2024-01-01", periods=n, freq="10min", tz="UTC")
+    pts = spark.createDataFrame(
+        pd.DataFrame({"doc_id": "a", "source": "s", "seq": range(n),
+                      "ts": ts, "value": v}))
+    got = (ewma_halflife(pts, halflife_seconds=hl)
+           .toPandas().sort_values("ts")["ewma_t"].to_numpy())
+    alpha = 1.0 - 0.5 ** (step / hl)
+    want = pd.Series(v).ewm(alpha=alpha, adjust=True).mean().to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    with pytest.raises(ValueError):
+        ewma_halflife(pts, halflife_seconds=0.0)
+
+
 def test_ewma_rejects_bad_alpha(spark, sensor_points):
     with pytest.raises(ValueError, match="alpha"):
         ewma(sensor_points, alpha=0.0)
