@@ -363,7 +363,7 @@ def test_registry_ewma_and_cusum_smoke(spark):
     from gensor_spark.queries import q_cusum_changepoint, q_ewma_smooth
 
     e = q_ewma_smooth(spark, SF)
-    assert e.columns == ["doc_id", "source", "seq", "sm"]
+    assert e.columns == ["doc_id", "source", "seq", "sm", "smt"]
     c = q_cusum_changepoint(spark, SF)
     assert c.columns == [
         "method", "doc_id", "source", "n", "stat_i", "stat_x", "stat_y"]
