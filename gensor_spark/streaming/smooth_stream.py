@@ -132,3 +132,86 @@ def streaming_ewma(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SMOOTH_T_SCHEMA = StructType([
+    StructField("doc_id", StringType()),
+    StructField("source", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+    StructField("ewma_t", DoubleType()),
+])
+
+
+def streaming_ewma_halflife(
+    points: DataFrame,
+    halflife_seconds: float,
+    watermark: str = "1 minute",
+    state_ttl_seconds: int | None = 30 * 86400,
+) -> DataFrame:
+    """TIME-aware streaming EWMA: decay by elapsed EVENT time,
+    ``0.5**(Δt/halflife)`` — the streaming form of
+    ``seriesstats.ewma_halflife`` (pandas ``ewm(halflife=Timedelta,
+    times=...)`` semantics). The carried state is the same (num, den,
+    last_event_us) triple as ``streaming_ewma``; ``last_event_us`` is
+    both the TTL anchor and the decay anchor, so a restart or an idle gap
+    ages the state by exactly the real elapsed time — time-based decay is
+    the natural streaming smoother (no per-sample cadence assumption).
+    NaN observations age the state by their gap without contributing.
+    Pinned equal to the batch operator over any epoch split in tests."""
+    if halflife_seconds <= 0:
+        raise ValueError("halflife_seconds must be positive")
+    hl_us = float(halflife_seconds) * 1e6
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+           ) -> Iterator[pd.DataFrame]:
+        doc_id, source = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        num, den, last_us = (state.get if state.exists else (0.0, 0.0, None))
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values("ts", kind="stable")
+            vals = pdf["value"].to_numpy(dtype=float)
+            ts_us = (pd.to_datetime(pdf["ts"]).astype("int64").to_numpy()
+                     / 1e3)
+            out = np.empty(len(vals))
+            for i, (v, t) in enumerate(zip(vals, ts_us)):
+                if last_us is not None:
+                    decay = 0.5 ** ((t - last_us) / hl_us)
+                    num *= decay
+                    den *= decay
+                last_us = t
+                if not np.isnan(v):
+                    num += v
+                    den += 1.0
+                out[i] = num / den if den > 0.0 else np.nan
+            yield pd.DataFrame({
+                "doc_id": doc_id,
+                "source": source,
+                "ts": pdf["ts"].to_numpy(),
+                "value": pdf["value"].to_numpy(),
+                "ewma_t": out,
+            })
+
+        if last_us is not None:
+            state.update((float(num), float(den), float(last_us)))
+            if state_ttl_seconds is not None:
+                state.setTimeoutTimestamp(
+                    int(last_us) // 1000 + state_ttl_seconds * 1000)
+
+    return (
+        points.withWatermark("ts", watermark)
+        .groupBy("doc_id", "source")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SMOOTH_T_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -123,3 +123,58 @@ def test_stream_ewma_nan_at_boundary(spark, tmp_path_factory, tmp_path):
 def test_stream_ewma_rejects_bad_alpha(spark):
     with pytest.raises(ValueError):
         streaming_ewma(None, alpha=0.0)
+
+
+def _run_stream_t(spark, in_dir, tmp_path, qname, **kwargs):
+    from gensor_spark.streaming.smooth_stream import streaming_ewma_halflife
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = streaming_ewma_halflife(stream, **kwargs)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {qname}").toPandas()
+
+
+def test_stream_ewma_halflife_equals_batch(spark, unique_ts_points,
+                                           tmp_path_factory, tmp_path):
+    """Time-aware stream == batch ewma_halflife across the epoch split —
+    the (num, den, last_event_us) carry ages the second epoch's first
+    point by the REAL cross-batch gap."""
+    from gensor_spark.operators.seriesstats import ewma_halflife
+
+    hl = 3600.0
+    in_dir = _write_split(spark, tmp_path_factory, unique_ts_points, "ewt")
+    got = _sorted(_run_stream_t(spark, in_dir, tmp_path, "ewt1",
+                                halflife_seconds=hl))
+    want = _sorted(
+        ewma_halflife(
+            unique_ts_points.withColumn("seq", F.lit(0)),
+            halflife_seconds=hl)
+        .select("doc_id", "source", "ts", "value", "ewma_t").toPandas())
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got["ewma_t"].to_numpy(),
+                               want["ewma_t"].to_numpy(),
+                               rtol=1e-9, equal_nan=True)
+
+
+def test_stream_ewma_halflife_rejects_bad_halflife(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [("a", "s", datetime.datetime(2024, 1, 1), 1.0)],
+        "doc_id string, source string, ts timestamp, value double")
+    from gensor_spark.streaming.smooth_stream import streaming_ewma_halflife
+
+    with pytest.raises(ValueError):
+        streaming_ewma_halflife(df, halflife_seconds=-1.0)
