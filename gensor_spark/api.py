@@ -344,20 +344,29 @@ class Dataset:
 
         return time_weighted_avg(self.df, freq, keys=self.keys)
 
-    def ewma(self, alpha: float = 0.3, adjust: bool = True,
+    def ewma(self, alpha: float | None = None, adjust: bool = True,
              ignore_na: bool = False,
              halflife_seconds: float | None = None) -> "Dataset":
         """Exponentially-weighted smoothing (pandas ``.ewm().mean()`` exact);
-        adds an ``ewma`` column. With ``halflife_seconds`` the decay is
-        TIME-based (pandas ``ewm(halflife=Timedelta, times=...)`` — the
-        correct form for irregular sampling; adds ``ewma_t`` instead).
-        Beyond gensor's rolling-only smoothing."""
+        adds an ``ewma`` column (default ``alpha=0.3``). With
+        ``halflife_seconds`` the decay is TIME-based (pandas
+        ``ewm(halflife=Timedelta, times=...)`` — the correct form for
+        irregular sampling; adds ``ewma_t`` instead). Passing ``alpha`` (or
+        non-default ``adjust``/``ignore_na``) together with
+        ``halflife_seconds`` raises, mirroring pandas' mutually-exclusive
+        decay specs — those knobs have no time-based meaning."""
         from gensor_spark.operators.seriesstats import ewma, ewma_halflife
 
         if halflife_seconds is not None:
+            if alpha is not None or adjust is not True or ignore_na:
+                raise ValueError(
+                    "halflife_seconds is exclusive with alpha/adjust/"
+                    "ignore_na (pandas ewm semantics)")
             return self._wrap(ewma_halflife(
                 self.df, halflife_seconds=halflife_seconds, keys=self.keys))
-        return self._wrap(ewma(self.df, alpha=alpha, adjust=adjust,
+        return self._wrap(ewma(self.df,
+                               alpha=0.3 if alpha is None else alpha,
+                               adjust=adjust,
                                ignore_na=ignore_na, keys=self.keys))
 
     def holt(self, alpha: float = 0.5, beta: float = 0.3) -> "Dataset":

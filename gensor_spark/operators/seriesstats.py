@@ -130,7 +130,8 @@ def ewma_halflife(
     hl = pd.Timedelta(seconds=float(halflife_seconds))
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        # per_series_map(sort_col=ts_col) delivers each group ts-sorted
+        out = pdf.reset_index(drop=True)
         s = pd.Series(out[value_col].to_numpy(dtype=float))
         out[out_col] = s.ewm(
             halflife=hl, times=pd.DatetimeIndex(out[ts_col])

@@ -896,11 +896,35 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the irregular-sampling-correct decay; r4 in-slot addition) — registry
     entry outside the driver window (the 50 oracle slots are full);
     pandas-``ewm`` parity and the time-aware kernel's independent-
-    recursion oracle are pinned in tests/test_seriesstats.py."""
-    from gensor_spark.operators.seriesstats import ewma, ewma_halflife
+    recursion oracle are pinned in tests/test_seriesstats.py. Both columns
+    run in ONE kernel pass (the smoother_backtest precedent — chaining the
+    two operators would pay the series-key Exchange and Arrow crossing
+    twice for identical partitioning); the per-column semantics are the
+    operators', pinned by their own parity tests."""
+    import pandas as _pd
 
-    out = ewma(_points(spark, sf_dir), alpha=0.3, adjust=True)
-    out = ewma_halflife(out, halflife_seconds=1800.0)
+    from pyspark.sql import types as _T
+
+    from gensor_spark.operators.udfkernel import per_series_map
+
+    pts = _points(spark, sf_dir)
+    hl = _pd.Timedelta(seconds=1800.0)
+    schema = _T.StructType(
+        pts.schema.fields
+        + [_T.StructField("ewma", _T.DoubleType()),
+           _T.StructField("ewma_t", _T.DoubleType())]
+    )
+
+    def per_series(pdf):
+        out = pdf.reset_index(drop=True)  # seq-sorted by per_series_map
+        s = _pd.Series(out["value"].to_numpy(dtype=float))
+        out["ewma"] = s.ewm(alpha=0.3, adjust=True).mean().to_numpy()
+        out["ewma_t"] = s.ewm(
+            halflife=hl, times=_pd.DatetimeIndex(out["ts"])
+        ).mean().to_numpy()
+        return out
+
+    out = per_series_map(pts, per_series, schema)
     return out.select("doc_id", "source", "seq",
                       _r6(F.col("ewma")).alias("sm"),
                       _r6(F.col("ewma_t")).alias("smt"))

@@ -143,6 +143,10 @@ SMOOTH_T_SCHEMA = StructType([
 ])
 
 
+# NOTE: shares streaming_ewma's stateful skeleton (timeout handling, chunk
+# concat+single-sort, TTL anchoring) with only the decay rule differing —
+# a fix to either body must be mirrored in the other; both are pinned by
+# their own epoch-split batch-parity tests.
 def streaming_ewma_halflife(
     points: DataFrame,
     halflife_seconds: float,
