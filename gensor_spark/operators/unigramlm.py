@@ -176,11 +176,17 @@ def _seed_vocab(words: DataFrame, n_seed: int, max_piece_len: int):
     # substrings generated as one SQL higher-order expression (substring
     # with column start/length isn't expressible through the python
     # F.transform lambdas)
+    # sequence(1, 0) yields DESCENDING [1, 0] in Spark, so the inner
+    # sequence must be gated, not clamped: a word shorter than L would
+    # otherwise emit the whole word twice per oversized L (substring pos 0
+    # aliases pos 1), inflating short-word seed counts
     subs = words.select(
         F.explode(F.expr(
             f"flatten(transform(sequence(1, {max_piece_len}), "
-            "L -> transform(sequence(1, greatest(length(w) - L + 1, 0)), "
-            "i -> substring(w, i, L))))"
+            "L -> CASE WHEN length(w) >= L THEN "
+            "transform(sequence(1, length(w) - L + 1), "
+            "i -> substring(w, i, L)) "
+            "ELSE cast(array() as array<string>) END))"
         )).alias("p"),
         "cnt",
     )

@@ -181,8 +181,11 @@ def streaming_ewma_halflife(
             pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values("ts", kind="stable")
             vals = pdf["value"].to_numpy(dtype=float)
+            # integer ns→us division: float `/ 1e3` loses sub-microsecond
+            # bits (ulp ~256 ns at 2026 epochs) vs the batch kernel's
+            # exact integer time arithmetic
             ts_us = (pd.to_datetime(pdf["ts"]).astype("int64").to_numpy()
-                     / 1e3)
+                     // 1000)
             out = np.empty(len(vals))
             for i, (v, t) in enumerate(zip(vals, ts_us)):
                 if last_us is not None:

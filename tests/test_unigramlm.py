@@ -98,6 +98,31 @@ def docs(spark):
     return spark.createDataFrame(rows, "doc_id string, text string")
 
 
+def test_seed_vocab_multiset_matches_enumeration(spark):
+    # pins the seed substring MULTISET against a Python enumeration —
+    # words shorter than a piece length L must contribute each substring
+    # exactly once per position (sequence(1,0) descending-range regression:
+    # 'ab' at max_piece_len=4 used to emit 'ab' five times instead of once)
+    from gensor_spark.operators.unigramlm import _seed_vocab
+
+    wc = [("ab", 3.0), ("a", 2.0), ("abcd", 1.0), ("xyz", 4.0)]
+    words = spark.createDataFrame(wc, "w string, cnt double")
+    max_piece_len = 4
+    want: dict = {}
+    for w, c in wc:
+        for L in range(1, max_piece_len + 1):
+            for i in range(len(w) - L + 1):
+                p = w[i:i + L]
+                want[p] = want.get(p, 0.0) + c
+    got = _seed_vocab(words, n_seed=10_000, max_piece_len=max_piece_len)
+    assert got == want
+    # the advice repro directly: a lone short word seeds itself ONCE
+    got1 = _seed_vocab(
+        spark.createDataFrame([("ab", 1.0)], "w string, cnt double"),
+        n_seed=100, max_piece_len=4)
+    assert got1 == {"ab": 1.0, "a": 1.0, "b": 1.0}
+
+
 def test_em_round_matches_local_replay(spark, docs):
     words = _words(docs, "text")
     wc = [(r["w"], float(r["cnt"])) for r in words.collect()]
