@@ -157,14 +157,24 @@ def train_quality_classifier(
             dense = np.zeros(len(wv), dtype=np.float64)  # per-worker partial
             bias_g = 0.0
             for pdf in batches:
-                for slots, vals, y in zip(pdf["slots"], pdf["vals"],
-                                          pdf["y"]):
-                    s = np.asarray(slots, dtype=np.int64)
-                    v = np.asarray(vals, dtype=np.float64)
-                    margin = bv + (float(wv[s] @ v) if len(s) else 0.0)
-                    r = float(_sigmoid(np.array([margin]))[0]) - float(y)
-                    bias_g += r
-                    np.add.at(dense, s, v * r)
+                # CSR-shaped batch kernel: margins = X @ w + b and the
+                # partial grad = X.T @ r as two bincount segment-sums over
+                # the flattened (cols, data) arrays — O(nnz) numpy, no
+                # per-doc Python loop
+                lens = np.fromiter((len(s) for s in pdf["slots"]),
+                                   dtype=np.int64, count=len(pdf))
+                cols = (np.concatenate(list(pdf["slots"])).astype(np.int64)
+                        if lens.sum() else np.empty(0, np.int64))
+                data = (np.concatenate(list(pdf["vals"]))
+                        .astype(np.float64)
+                        if lens.sum() else np.empty(0, np.float64))
+                seg = np.repeat(np.arange(len(pdf)), lens)
+                margins = bv + np.bincount(
+                    seg, weights=wv[cols] * data, minlength=len(pdf))
+                r = _sigmoid(margins) - pdf["y"].to_numpy(np.float64)
+                bias_g += float(r.sum())
+                dense += np.bincount(
+                    cols, weights=data * r[seg], minlength=len(wv))
             nz = np.nonzero(dense)[0]
             yield pd.DataFrame({
                 "slot": np.concatenate([nz, [-1]]).astype(np.int32),
