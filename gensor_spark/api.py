@@ -104,11 +104,33 @@ class Dataset:
         return popped, self._wrap(
             self.df.filter(~F.coalesce(cond, F.lit(False))))
 
-    def get_locations(self) -> list:
+    def get_locations(self, limit: int = 10_000) -> list:
         """gensor ``Dataset.get_locations`` (core/dataset.py:194): the
-        distinct series ids (small by construction — one row per series)."""
-        return [r.doc_id for r in
-                self.df.select("doc_id").distinct().orderBy("doc_id").collect()]
+        distinct series ids, as a driver-side list (the reference API
+        returns a Python list).
+
+        The result is one entry per series — fine for sensor-fleet
+        cardinalities, but under the engine's 10^12-doc corpus shape a
+        "series" can be a doc_id, and collecting that to the driver is an
+        anti-pattern. ``limit`` guards the materialization: if more than
+        ``limit`` distinct ids exist this raises with guidance instead of
+        silently collecting. For unbounded cardinalities keep the work
+        distributed: ``ds.df.select("doc_id").distinct()``.
+        """
+        if limit is not None and limit > 0:
+            ids = (self.df.select("doc_id").distinct()
+                   .orderBy("doc_id").limit(limit + 1).collect())
+            if len(ids) > limit:
+                raise ValueError(
+                    f"get_locations(): more than {limit} distinct series; "
+                    "collecting them to the driver is unbounded at corpus "
+                    "scale. Raise `limit` explicitly if intended, or use "
+                    'the distributed form `ds.df.select("doc_id")'
+                    ".distinct()`.")
+        else:
+            ids = (self.df.select("doc_id").distinct()
+                   .orderBy("doc_id").collect())
+        return [r.doc_id for r in ids]
 
     def __contains__(self, location: object) -> bool:
         """gensor ``location in dataset`` (core/dataset.py:190)."""

@@ -1059,14 +1059,39 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_active_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlap-merged active time per doc across its sources' spans
     (operators/intervaljoin.interval_union_length) — the uptime/SLA
-    aggregate. Registry entry outside the driver window; the island
-    algebra is engine-vs-engine pinned against a DuckDB window-SQL oracle
-    plus a brute-force sweep reference in tests/test_intervaljoin.py."""
+    aggregate. PROMOTED into the driver's oracle window in r5 (slot freed
+    by the counter_rate fold); the same island algebra is also pinned
+    against a brute-force sweep reference in tests/test_intervaljoin.py."""
     from gensor_spark.operators.intervaljoin import interval_union_length
 
     spans = _points(spark, sf_dir).groupBy("doc_id", "source").agg(
         F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
     return interval_union_length(spans, keys=("doc_id",))
+
+
+SQL_DOC_ACTIVE_SPAN = f"""
+WITH pts AS ({_PTS_SQL}),
+sp AS (SELECT doc_id, source, min(ts) AS start_ts, max(ts) AS end_ts
+       FROM pts GROUP BY 1, 2),
+iv AS (SELECT doc_id, epoch_us(start_ts) AS s, epoch_us(end_ts) AS e
+       FROM sp WHERE end_ts > start_ts),
+o AS (SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv),
+isl AS (SELECT doc_id, s, e,
+               sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS island
+        FROM o),
+agg AS (SELECT doc_id, island, count(*) AS n, max(e) - min(s) AS len
+        FROM isl GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+       count(*) AS n_islands, CAST(sum(len) AS BIGINT) AS covered_us
+FROM agg GROUP BY 1
+"""
 
 
 def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1170,39 +1195,50 @@ def q_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling pairwise correlation over trailing 24 co-observed hourly
-    bins, between the two highest-coverage series (deterministic pick) —
-    the time-resolved companion of series_corr. Rows-only tail (window
-    full); pandas + DuckDB window-SQL oracles in tests/test_seriesstats.py."""
-    from gensor_spark.operators.seriesstats import rolling_corr
-
-    pts = _points(spark, sf_dir)
-    sid = F.concat_ws("|", "doc_id", "source")
-    top = [r.sid_k for r in (
-        pts.groupBy(sid.alias("sid_k")).agg(F.count(F.lit(1)).alias("cov"))
-        .orderBy(F.desc("cov"), "sid_k").limit(2).collect())]
-    out = rolling_corr(pts, pairs=[(top[0], top[1])], window=24, bin="hour")
-    return out.select("sid_a", "sid_b", "bin_ts", "n_window",
-                      _r6(F.col("r")).alias("r"))
-
-
 def q_twa_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted hourly averages over the irregular events table
     (operators/twa.py): LOCF + trapezoidal integrals clipped to bins, the
     `time_weight` semantics plain mean gets wrong on bursty sampling.
-    Rows-only tail (window full); full-strength DuckDB window-SQL oracle +
-    an independent loop-wise integral reference in tests/test_twa.py."""
+    PROMOTED into the driver's oracle window in r5 (slot freed by the
+    dedup_ngram_prefix fold); an independent loop-wise integral reference
+    also pins the kernel in tests/test_twa.py."""
     from gensor_spark.operators.twa import time_weighted_avg
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     out = time_weighted_avg(ev, "1h", keys=("user_id",))
     return out.select(
-        "user_id", "bin_ts",
+        "user_id", F.date_format("bin_ts", TS_FMT_SPARK).alias("bin_ts"),
         _r6(F.col("covered_s")).alias("covered_s"),
         _r6(F.col("twa_locf")).alias("twa_locf"),
         _r6(F.col("twa_linear")).alias("twa_linear"),
     )
+
+
+SQL_TWA_ROLLUP = f"""
+WITH seg AS (
+  SELECT user_id, epoch_us(ts) AS e0, value AS v0,
+         lead(epoch_us(ts)) OVER w AS e1, lead(value) OVER w AS v1
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+ex AS (SELECT *, unnest(generate_series(e0 // 3600000000,
+                                        (e1 - 1) // 3600000000)) AS b
+       FROM seg WHERE e1 IS NOT NULL AND e1 > e0),
+c AS (SELECT user_id, b,
+             greatest(e0, b * 3600000000) AS lo,
+             least(e1, (b + 1) * 3600000000) AS hi,
+             e0, e1, v0, v1
+      FROM ex)
+SELECT user_id,
+       strftime(make_timestamp(b * 3600000000), '{TS_FMT_DUCK}') AS bin_ts,
+       round(sum(hi - lo) / 1e6 + 1e-9, 6) AS covered_s,
+       round(sum(v0 * (hi - lo)) / sum(hi - lo) + 1e-9, 6) AS twa_locf,
+       round(sum(((v0 + (v1 - v0) * (lo - e0) / (e1 - e0))
+                  + (v0 + (v1 - v0) * (hi - e0) / (e1 - e0))) / 2
+                 * (hi - lo))
+             / sum(hi - lo) + 1e-9, 6) AS twa_linear
+FROM c GROUP BY user_id, b
+"""
 
 
 def q_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,8 +1458,14 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       lags 1,2,3,5,10 (``sid_a == sid_b``), pandas ``Series.autocorr``
       semantics — one window Exchange produces every lag column, one
       partial-agg shuffle scores them.
+    - ``method='rollcorr'`` (r5 fold of the former tail-only
+      ``rolling_corr`` row): time-RESOLVED Pearson correlation between the
+      two best-covered series over trailing 24 co-observed hourly bins
+      (``bin_ts`` carries the window end bin; '' on the other methods).
     """
-    from gensor_spark.operators.seriesstats import acf, ccf, series_corr
+    from gensor_spark.operators.seriesstats import (
+        acf, ccf, rolling_corr, series_corr,
+    )
 
     pts = _points(spark, sf_dir)
     sid = F.concat_ws("|", "doc_id", "source")
@@ -1444,6 +1486,7 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_rows = out.select(
         F.lit("pair").alias("method"),
         "sid_a", "sid_b", F.lit(0).alias("lag"),
+        F.lit("").alias("bin_ts"),
         F.col("n_overlap").alias("n"),
         _r6(F.when(~F.isnan(r), r)).alias("r"),
     )
@@ -1454,6 +1497,7 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "doc_id", "source").alias("sid_a"),
         F.concat_ws("|", "doc_id", "source").alias("sid_b"),
         "lag",
+        F.lit("").alias("bin_ts"),
         F.col("n_pairs").alias("n"),
         _r6(F.when(~F.isnan(ar), ar)).alias("r"),
     )
@@ -1462,10 +1506,22 @@ def q_series_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccf_rows = cc.select(
         F.lit("ccf").alias("method"),
         "sid_a", "sid_b", "lag",
+        F.lit("").alias("bin_ts"),
         F.col("n_overlap").alias("n"),
         _r6(F.when(~F.isnan(cr), cr)).alias("r"),
     )
-    return pair_rows.unionByName(acf_rows).unionByName(ccf_rows)
+    top2 = [r_["sid_k"] for r_ in top.limit(2).collect()]
+    rc = rolling_corr(picked, pairs=[(top2[0], top2[1])],
+                      window=24, bin="hour")
+    rc_rows = rc.select(
+        F.lit("rollcorr").alias("method"),
+        "sid_a", "sid_b", F.lit(0).alias("lag"),
+        F.date_format("bin_ts", TS_FMT_SPARK).alias("bin_ts"),
+        F.col("n_window").cast("long").alias("n"),
+        _r6(F.col("r")).alias("r"),
+    )
+    return (pair_rows.unionByName(acf_rows).unionByName(ccf_rows)
+            .unionByName(rc_rows))
 
 
 SQL_SERIES_CORR = f"""
@@ -1490,19 +1546,44 @@ ccfp AS (SELECT a.sid AS sid_a, b.sid AS sid_b, k.lag,
          JOIN binned b
            ON epoch(b.bin_ts)::BIGINT // 86400
               = epoch(a.bin_ts)::BIGINT // 86400 + k.lag
-          AND a.sid < b.sid)
+          AND a.sid < b.sid),
+top2 AS (SELECT sid, row_number() OVER (ORDER BY cov DESC, sid) AS rk
+         FROM cov QUALIFY rk <= 2),
+hb AS (SELECT sid, date_trunc('hour', ts) AS bin_ts, avg(value) AS v
+       FROM base WHERE sid IN (SELECT sid FROM top2) GROUP BY 1, 2),
+rcj AS (SELECT a.bin_ts, a.v AS x, b.v AS y
+        FROM hb a JOIN hb b USING (bin_ts)
+        WHERE a.sid = (SELECT sid FROM top2 WHERE rk = 1)
+          AND b.sid = (SELECT sid FROM top2 WHERE rk = 2)),
+rcw AS (SELECT bin_ts,
+               count(*) OVER win AS n, sum(x) OVER win AS sx,
+               sum(y) OVER win AS sy, sum(x * y) OVER win AS sxy,
+               sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy
+        FROM rcj WINDOW win AS (ORDER BY bin_ts
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
 SELECT 'pair' AS method, a.sid AS sid_a, b.sid AS sid_b, 0 AS lag,
-       count(*) AS n, round(corr(a.v, b.v) + 1e-9, 6) AS r
+       '' AS bin_ts, count(*) AS n, round(corr(a.v, b.v) + 1e-9, 6) AS r
 FROM binned a JOIN binned b ON a.bin_ts = b.bin_ts AND a.sid < b.sid
 GROUP BY 2, 3 HAVING count(*) >= 5
 UNION ALL
 SELECT 'acf' AS method, sid AS sid_a, sid AS sid_b, lag,
-       count(*) AS n, round(corr(v, vlag) + 1e-9, 6) AS r
+       '' AS bin_ts, count(*) AS n, round(corr(v, vlag) + 1e-9, 6) AS r
 FROM acfp GROUP BY sid, lag
 UNION ALL
 SELECT 'ccf' AS method, sid_a, sid_b, lag,
-       count(*) AS n, round(corr(va, vb) + 1e-9, 6) AS r
+       '' AS bin_ts, count(*) AS n, round(corr(va, vb) + 1e-9, 6) AS r
 FROM ccfp GROUP BY sid_a, sid_b, lag HAVING count(*) >= 5
+UNION ALL
+SELECT 'rollcorr' AS method,
+       (SELECT sid FROM top2 WHERE rk = 1) AS sid_a,
+       (SELECT sid FROM top2 WHERE rk = 2) AS sid_b,
+       0 AS lag, strftime(bin_ts, '{TS_FMT_DUCK}') AS bin_ts, n,
+       round(CASE WHEN n >= 3 AND (sxx - sx * sx / n) > 0
+                   AND (syy - sy * sy / n) > 0
+                  THEN (sxy - sx * sy / n)
+                       / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+             END + 1e-9, 6) AS r
+FROM rcw
 """
 
 
@@ -1515,8 +1596,12 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample Kolmogorov-Smirnov drift test between the series' early and late
     halves (pure window algebra; ``stat_i=n1, stat_x=D, stat_y=p_asymp``) —
     the distribution-level change detector the other two are blind to
-    (variance/shape drift with a stable mean)."""
+    (variance/shape drift with a stable mean); ``method='rate'`` — the
+    reset-aware PromQL counter increase/rate primitive (r5 fold of the
+    former standalone ``counter_rate`` row: per-POINT grain, ``n=seq``,
+    ``stat_i=is_reset``, ``stat_x=increase, stat_y=rate``)."""
     from gensor_spark.operators.seriesstats import (
+        counter_rate,
         cusum_changepoint,
         ks_split,
         mann_kendall,
@@ -1545,7 +1630,15 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("ks_d")).alias("stat_x"),
         _r6(F.col("p_asymp")).alias("stat_y"),
     )
-    return cu.unionByName(mk).unionByName(ks)
+    rate = counter_rate(pts, counter=True).select(
+        F.lit("rate").alias("method"),
+        "doc_id", "source",
+        F.col("seq").cast("long").alias("n"),
+        F.col("is_reset").cast("long").alias("stat_i"),
+        _r6(F.col("increase")).alias("stat_x"),
+        _r6(F.col("rate")).alias("stat_y"),
+    )
+    return cu.unionByName(mk).unionByName(ks).unionByName(rate)
 
 
 SQL_CUSUM_CHANGEPOINT = f"""
@@ -1598,7 +1691,12 @@ ksd AS (SELECT doc_id, source, max(m) AS n, max(n1) AS n1,
         FROM kse GROUP BY doc_id, source),
 ks AS (SELECT doc_id, source, n, n1, d,
               d * sqrt(n1 * n2 / (n1 + n2)) AS stat
-       FROM ksd)
+       FROM ksd),
+ratel AS (SELECT doc_id, source, seq, value, ts,
+                 lag(value) OVER w AS pv,
+                 epoch(ts - lag(ts) OVER w) AS dt
+          FROM pts
+          WINDOW w AS (PARTITION BY doc_id, source ORDER BY ts, seq))
 SELECT 'cusum' AS method, doc_id, source, count(*) AS n,
        min(CASE WHEN rn = 1 THEN seq END) AS stat_i,
        round(max(abs(cu)) + 1e-9, 6) AS stat_x,
@@ -1622,42 +1720,19 @@ SELECT 'ks' AS method, doc_id, source, n, n1 AS stat_i,
        round(CASE WHEN stat IS NOT NULL
                   THEN least(1.0, 2 * exp(-2 * stat * stat)) END + 1e-9, 6) AS stat_y
 FROM ks
-"""
-
-
-def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reset-aware counter increase/rate per point (operators/seriesstats.
-    counter_rate): the batch-exact PromQL increase/rate primitive over the
-    point view — the monitoring-rollup verb gensor has no analogue for."""
-    from gensor_spark.operators.seriesstats import counter_rate
-
-    out = counter_rate(_points(spark, sf_dir), counter=True)
-    return out.select(
-        "doc_id", "source", "seq", "is_reset",
-        _r6(F.col("increase")).alias("inc"),
-        _r6(F.col("rate")).alias("rt"),
-    )
-
-
-SQL_COUNTER_RATE = f"""
-WITH pts AS ({_PTS_SQL}),
-l AS (SELECT doc_id, source, seq, value, ts,
-             lag(value) OVER w AS pv,
-             epoch(ts - lag(ts) OVER w) AS dt
-      FROM pts
-      WINDOW w AS (PARTITION BY doc_id, source ORDER BY ts, seq))
-SELECT doc_id, source, seq,
-       coalesce(pv IS NOT NULL AND value IS NOT NULL AND dt > 0
-                AND value < pv,
-                FALSE) AS is_reset,
+UNION ALL
+SELECT 'rate' AS method, doc_id, source, seq AS n,
+       CAST(coalesce(pv IS NOT NULL AND value IS NOT NULL AND dt > 0
+                     AND value < pv,
+                     FALSE) AS BIGINT) AS stat_i,
        round(CASE WHEN pv IS NULL OR value IS NULL OR dt <= 0 THEN NULL
                   WHEN value < pv THEN value
-                  ELSE value - pv END + 1e-9, 6) AS inc,
+                  ELSE value - pv END + 1e-9, 6) AS stat_x,
        round(CASE WHEN pv IS NULL OR value IS NULL OR dt <= 0 THEN NULL
                   WHEN value < pv THEN value / dt
                   ELSE (value - pv) / dt
-             END + 1e-9, 6) AS rt
-FROM l
+             END + 1e-9, 6) AS stat_y
+FROM ratel
 """
 
 
@@ -2100,6 +2175,59 @@ FROM u GROUP BY doc_id, source, bin, ts, value
 # Registry order matters: the driver's correctness gate checks the FIRST 50
 # entries of ``queries()``; every oracle-backed query must therefore precede
 # the no-oracle entries, which sit at the very end.
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (operators/slo.py — the SRE
+    workbook two-window rule) per user over the events stream: error
+    budget burn across 1d/1h trailing RANGE frames, alert only when both
+    exceed the threshold. PROMOTED into the driver's oracle window in r5
+    (slot freed by the ann_ivf fold); incident page/clear behavior is
+    pinned in tests/test_slo.py."""
+    from gensor_spark.operators.slo import multiwindow_burn_alerts
+    from gensor_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.lit("events").alias("source"),
+        "ts",
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    out = multiwindow_burn_alerts(ev, "is_error", slo_target=0.8,
+                                  long_seconds=86_400, short_seconds=3_600,
+                                  threshold=2.0)
+    return out.select(
+        "doc_id", F.date_format("ts", TS_FMT_SPARK).alias("ts"),
+        _r6(F.col("burn_long")).alias("burn_long"),
+        _r6(F.col("burn_short")).alias("burn_short"),
+        "alerting",
+    )
+
+
+SQL_SLO_BURN = f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS doc_id, ts,
+                   (event_type = 'error') AS is_error
+            FROM events),
+b AS (SELECT doc_id, ts,
+             SUM(CAST(is_error AS INT)) OVER wl
+               / CAST(COUNT(*) OVER wl AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) AS burn_long,
+             SUM(CAST(is_error AS INT)) OVER ws
+               / CAST(COUNT(*) OVER ws AS DOUBLE)
+               / (CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE)) AS burn_short
+      FROM ev
+      WINDOW wl AS (PARTITION BY doc_id
+                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW),
+             ws AS (PARTITION BY doc_id
+                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+SELECT doc_id, strftime(ts, '{TS_FMT_DUCK}') AS ts,
+       round(burn_long + 1e-9, 6) AS burn_long,
+       round(burn_short + 1e-9, 6) AS burn_short,
+       (burn_long > 2.0 AND burn_short > 2.0) AS alerting
+FROM b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_tiers": q_rollup_tiers,
     "resample_15min_dense": q_resample_15min_dense,
@@ -2130,15 +2258,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tokens_roundtrip": q_tokens_roundtrip,
     # series-stats extensions promoted into the oracle window in r4 (slots
     # freed by the resample_custom_q90 / lang_id / doc_fingerprint merges)
+    # rolling_corr: merged into series_corr as method='rollcorr' (r5)
     "series_corr": q_series_corr,
+    # counter_rate: merged into cusum_changepoint as method='rate' (r5
+    # slot economy — the freed slot promoted doc_active_span)
     "cusum_changepoint": q_cusum_changepoint,
-    "counter_rate": q_counter_rate,
     "seasonal_anomaly": q_seasonal_anomaly,
 }
 
 from gensor_spark.queries_text import TEXT_ORACLES, TEXT_QUERIES  # noqa: E402
 
 QUERIES.update(TEXT_QUERIES)
+
+# r5 promotions into the driver's 50-entry oracle window (slots freed by
+# the counter_rate / dedup_ngram_prefix / ann_ivf_topk method-folds):
+QUERIES["twa_rollup"] = q_twa_rollup
+QUERIES["doc_active_span"] = q_doc_active_span
+QUERIES["slo_burn"] = q_slo_burn
 
 # no-oracle entries last (outside the driver's oracle window by design;
 # every one is parity-pinned in pytest instead — the LOF/iForest kernels in
@@ -2158,7 +2294,6 @@ QUERIES["dtw_pairs"] = q_dtw_pairs
 QUERIES["sax_words"] = q_sax_words
 QUERIES["cv_folds"] = q_cv_folds
 QUERIES["pelt_changepoints"] = q_pelt_changepoints
-QUERIES["doc_active_span"] = q_doc_active_span
 QUERIES["event_funnel"] = q_event_funnel
 QUERIES["pacf_lags"] = q_pacf_lags
 from gensor_spark.queries_text import (  # noqa: E402 - tail entries
@@ -2177,8 +2312,6 @@ QUERIES["bm25_topk"] = q_bm25_topk
 QUERIES["scrub_pii"] = q_scrub_pii
 QUERIES["dsir_select"] = q_dsir_select
 QUERIES["span_dedup"] = q_span_dedup
-QUERIES["rolling_corr"] = q_rolling_corr
-QUERIES["twa_rollup"] = q_twa_rollup
 QUERIES["c4_filter"] = q_c4_filter
 QUERIES["segmented_trend"] = q_segmented_trend
 QUERIES["rollup_dd"] = q_rollup_dd
@@ -2204,36 +2337,9 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source").orderBy("doc_id")
 
 
-def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-window SLO burn-rate alerting (operators/slo.py — the SRE
-    workbook two-window rule) per user over the events stream: error
-    budget burn across 1d/1h trailing RANGE frames, alert only when both
-    exceed the threshold. Registry tail; the DuckDB RANGE-window oracle +
-    incident page/clear behavior are pinned in tests/test_slo.py."""
-    from gensor_spark.operators.slo import multiwindow_burn_alerts
-    from gensor_spark.sources.tables import load_table
-
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("doc_id"),
-        F.lit("events").alias("source"),
-        "ts",
-        (F.col("event_type") == "error").alias("is_error"),
-    )
-    out = multiwindow_burn_alerts(ev, "is_error", slo_target=0.8,
-                                  long_seconds=86_400, short_seconds=3_600,
-                                  threshold=2.0)
-    return out.select(
-        "doc_id", F.date_format("ts", TS_FMT_SPARK).alias("ts"),
-        _r6(F.col("burn_long")).alias("burn_long"),
-        _r6(F.col("burn_short")).alias("burn_short"),
-        "alerting",
-    )
-
-
 QUERIES["spectral_anomaly"] = q_spectral_anomaly
 QUERIES["rollup_month"] = q_rollup_month
 QUERIES["corpus_prep"] = q_corpus_prep
-QUERIES["slo_burn"] = q_slo_burn
 from gensor_spark.queries_text import (  # noqa: E402 - tail entries
     q_source_overlap,
     q_unigram_tokenizer,
@@ -2272,8 +2378,11 @@ ORACLES: dict[str, str] = {
     "tokens_roundtrip": SQL_TOKENS_ROUNDTRIP,
     "series_corr": SQL_SERIES_CORR,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
-    "counter_rate": SQL_COUNTER_RATE,
     "seasonal_anomaly": SQL_SEASONAL_ANOMALY,
+    # r5 window promotions
+    "twa_rollup": SQL_TWA_ROLLUP,
+    "doc_active_span": SQL_DOC_ACTIVE_SPAN,
+    "slo_burn": SQL_SLO_BURN,
 }
 
 ORACLES.update(TEXT_ORACLES)

@@ -201,16 +201,20 @@ WHERE cnt::DOUBLE / (na.n + nb.n - cnt) >= 0.5
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=_K)
-    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
-
-
-def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-filtered variant — MUST return the exact rows of the all-pairs
-    baseline (the filter is lossless), so it shares that query's oracle."""
-    out = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, k=_K,
-                                prefix_filter=True)
-    return out.select("id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+    """Method-tagged union (r5 slot economy): ``method='exact'`` is the
+    all-pairs n-gram Jaccard baseline; ``method='prefix'`` is the
+    PPJoin-prefix-filtered variant, which MUST return the exact same pair
+    rows (the filter is provably lossless) — so BOTH algorithms execute
+    and value-hash against the one baseline-defined oracle."""
+    docs = _docs(spark, sf_dir)
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.5, k=_K).select(
+        F.lit("exact").alias("method"),
+        "id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+    prefix = D.ngram_jaccard_pairs(docs, threshold=0.5, k=_K,
+                                   prefix_filter=True).select(
+        F.lit("prefix").alias("method"),
+        "id_a", "id_b", _r6(F.col("jaccard")).alias("jaccard"))
+    return exact.unionByName(prefix)
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +258,15 @@ FROM common
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE cnt::DOUBLE / (na.n + nb.n - cnt) >= 0.5
+"""
+
+# method-tagged union form (r5): the prefix-filtered path is lossless, so
+# its oracle IS the baseline's SQL — two tagged copies of the same rows
+SQL_DEDUP_NGRAM_METHODS = f"""
+WITH base AS ({SQL_DEDUP_NGRAM_JACCARD})
+SELECT 'exact' AS method, * FROM base
+UNION ALL
+SELECT 'prefix' AS method, * FROM base
 """
 
 
@@ -437,8 +450,19 @@ FROM cand WHERE {_cos_sql('va', 'vb')} >= 0.45
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = S.brute_topk(_emb(spark, sf_dir), k=5, n_queries=10)
-    return out.select("query_id", "cand_id", "rank", _r6(F.col("sim")).alias("sim"))
+    """Method-tagged union (r5 slot economy): ``method='brute'`` is the
+    exact all-pairs cosine top-k baseline; ``method='ivf'`` is the k-means
+    coarse-quantizer + 4-probe IVF path (the bucketed scale plan) — both
+    algorithms execute and value-hash against their own oracle branches."""
+    emb = _emb(spark, sf_dir)
+    brute = S.brute_topk(emb, k=5, n_queries=10).select(
+        F.lit("brute").alias("method"),
+        "query_id", "cand_id", "rank", _r6(F.col("sim")).alias("sim"))
+    ivf = S.ivf_topk(emb, k=5, n_queries=10,
+                     n_centroids=16, n_probe=4).select(
+        F.lit("ivf").alias("method"),
+        "query_id", "cand_id", "rank", _r6(F.col("sim")).alias("sim"))
+    return brute.unionByName(ivf)
 
 
 SQL_ANN_COSINE_TOPK = f"""
@@ -454,12 +478,6 @@ ranked AS (SELECT query_id, cand_id, sim,
 SELECT query_id, cand_id, rank, round(sim + 1e-9, 6) AS sim
 FROM ranked WHERE rank <= 5
 """
-
-
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = S.ivf_topk(_emb(spark, sf_dir), k=5, n_queries=10,
-                     n_centroids=16, n_probe=4)
-    return out.select("query_id", "cand_id", "rank", _r6(F.col("sim")).alias("sim"))
 
 
 def _sql_kmeans_ctes(n_centroids: int = 16, iters: int = S.KMEANS_ITERS,
@@ -526,6 +544,13 @@ ranked AS (
   FROM scored)
 SELECT query_id, cand_id, rank, round(sim + 1e-9, 6) AS sim
 FROM ranked WHERE rank <= 5
+"""
+
+# method-tagged union form (r5): brute baseline + IVF path in one window row
+SQL_ANN_METHODS = f"""
+SELECT 'brute' AS method, * FROM ({SQL_ANN_COSINE_TOPK})
+UNION ALL
+SELECT 'ivf' AS method, * FROM ({SQL_ANN_IVF_TOPK})
 """
 
 
@@ -1598,8 +1623,10 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # per-doc values stay DuckDB-pinned in tests/test_text_ops.py
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    # dedup_ngram_prefix: merged into dedup_ngram_jaccard (r5 slot
+    # economy) — both the all-pairs baseline and the lossless PPJoin
+    # prefix-filtered path execute and hash, method-tagged
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "dedup_ngram_prefix": q_dedup_ngram_prefix,
     "dup_clusters": q_dup_clusters,
     "pack_chunks": q_pack_chunks,
     "pack_chunk_stats": q_pack_chunk_stats,
@@ -1611,8 +1638,9 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (method column; both algorithms still execute and value-hash)
     "emb_neardup": q_emb_neardup,
     "emb_dup_clusters": q_emb_dup_clusters,
+    # ann_ivf_topk: merged into ann_cosine_topk (r5 slot economy) — the
+    # brute baseline and the IVF probe path execute and hash, method-tagged
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
     # lang_id: merged into doc_quality (same per-doc grain, one scan)
     "doc_quality": q_doc_quality,
     "token_stats": q_token_stats,
@@ -1627,9 +1655,7 @@ TEXT_ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_fingerprint": SQL_DEDUP_FINGERPRINT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
-    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
-    # prefix filtering is lossless: the variant shares the baseline's oracle
-    "dedup_ngram_prefix": SQL_DEDUP_NGRAM_JACCARD,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_METHODS,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "pack_chunks": SQL_PACK_CHUNKS,
     "pack_chunk_stats": SQL_PACK_CHUNK_STATS,
@@ -1639,8 +1665,7 @@ TEXT_ORACLES: dict[str, str] = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "emb_neardup": _sql_emb_neardup(),
     "emb_dup_clusters": _sql_emb_dup_clusters(),
-    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_cosine_topk": SQL_ANN_METHODS,
     "doc_quality": _sql_doc_quality(),
     "token_stats": SQL_TOKEN_STATS,
     "perplexity": SQL_PERPLEXITY,

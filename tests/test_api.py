@@ -221,6 +221,12 @@ def test_locations_contains_one(spark, ds):
     assert len(locs) > 1 and locs == sorted(locs)
     assert locs[0] in ds
     assert "no-such-location" not in ds
+    # the cardinality guard: more distinct series than `limit` must raise
+    # with guidance, not silently collect an unbounded list to the driver
+    with pytest.raises(ValueError, match="distinct series"):
+        ds.get_locations(limit=1)
+    assert ds.get_locations(limit=len(locs)) == locs
+    assert ds.get_locations(limit=None) == locs
     one = ds.one(location=locs[0], variable="click")
     assert one.df.select("doc_id", "source").distinct().count() == 1
     with pytest.raises(ValueError, match="expected exactly 1"):

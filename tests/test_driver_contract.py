@@ -52,6 +52,24 @@ def test_all_oracled_queries_inside_driver_window():
     )
 
 
+def test_registry_releases_predecessor_caches(spark):
+    """External-harness cache hygiene: a registry callable drains the
+    pooled caches its PREDECESSOR registered (the driver has no release
+    hook of its own), so a sequential sweep never accumulates executor
+    storage beyond one query's pools."""
+    from gensor_spark.plans import caching
+
+    qs = _entry_mod.queries()
+    # series_corr pools the picked-series cache; run it as the driver
+    # would (build + action), leaving its pool entries behind
+    qs["series_corr"](spark, SF).write.format("noop").mode(
+        "overwrite").save()
+    assert len(caching._POOL) > 0
+    # building ANY next registry query must drain the predecessor's pool
+    qs["mask_where"](spark, SF)
+    assert len(caching._POOL) == 0
+
+
 @pytest.mark.parametrize("name", _query_names())
 def test_query_matches_oracle(spark, name):
     qs, oracles = _entry_mod.queries(), _entry_mod.oracle_sql()

@@ -74,7 +74,7 @@ def test_catalog_select_broadcast_semi_join(spark, queries):
 def test_ivf_kmeans_all_joins_broadcast(spark, queries):
     """Every join in the IVF path (centroid assignment, Lloyd mean merge,
     probe join) has an n_centroids-row side — none may fall to sort-merge."""
-    plan = _plan(queries["ann_ivf_topk"](spark, SF))
+    plan = _plan(queries["ann_cosine_topk"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
 

@@ -168,6 +168,66 @@ def test_stream_ewma_halflife_equals_batch(spark, unique_ts_points,
                                rtol=1e-9, equal_nan=True)
 
 
+def test_stream_ewma_halflife_restart_across_idle_gap(spark, tmp_path):
+    """Checkpoint-restart mid-series across a 3-day idle gap — the risky
+    path the (num, den, last_event_us) state triple exists for: the
+    restarted query must reload the state store and age it by the REAL
+    elapsed event time (72h ≈ 72 half-lives), not by a per-batch cadence,
+    and a NaN immediately before the gap must have aged-without-
+    contributing. Pinned equal to the batch operator at 1e-9."""
+    from gensor_spark.operators.seriesstats import ewma_halflife
+    from gensor_spark.streaming.smooth_stream import streaming_ewma_halflife
+
+    hl = 3600.0
+    ts1 = pd.date_range("2024-01-01", periods=5, freq="90s", tz="UTC")
+    ts2 = pd.date_range("2024-01-04", periods=5, freq="45s", tz="UTC")
+    vals1 = [2.0, None, 5.0, 7.0, None]   # NaN as the last pre-gap row
+    vals2 = [9.0, 1.0, None, 4.0, 6.0]
+    frames = [
+        pd.DataFrame({"doc_id": "d", "source": "s", "ts": t,
+                      "value": pd.array(v, dtype=float)})
+        for t, v in ((ts1, vals1), (ts2, vals2))
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # pyarrow defaults to TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects — coerce to microseconds
+    frames[0].to_parquet(in_dir / "0_epoch.parquet", index=False,
+                         coerce_timestamps="us")
+    ckpt = str(tmp_path / "ckpt_restart")
+    out_dir = str(tmp_path / "out_restart")
+    schema = spark.read.parquet(str(in_dir)).schema
+
+    def run_epoch():
+        # durable (parquet) sink: the memory sink refuses checkpoint
+        # recovery, and recovery is exactly what this test exercises
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(in_dir)))
+        q = (streaming_ewma_halflife(stream, halflife_seconds=hl)
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).toPandas()
+
+    part1 = run_epoch()                    # query STOPS after epoch 1
+    assert len(part1) == 5
+    frames[1].to_parquet(in_dir / "1_epoch.parquet", index=False,
+                         coerce_timestamps="us")
+    got = _sorted(run_epoch())             # fresh query, same checkpoint
+    assert len(got) == 10                  # 5 recovered-state + 5 new rows
+
+    batch_in = spark.createDataFrame(
+        pd.concat(frames, ignore_index=True)).withColumn("seq", F.lit(0))
+    want = _sorted(
+        ewma_halflife(batch_in, halflife_seconds=hl)
+        .select("doc_id", "source", "ts", "value", "ewma_t").toPandas())
+    np.testing.assert_allclose(got["ewma_t"].to_numpy(),
+                               want["ewma_t"].to_numpy(),
+                               rtol=1e-9, equal_nan=True)
+
+
 def test_stream_ewma_halflife_rejects_bad_halflife(spark):
     import datetime
 
