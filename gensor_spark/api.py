@@ -169,7 +169,20 @@ class Dataset:
         semantics: positional on the CURRENT view (a fresh per-series
         row_number, not the original ``seq``, so indexing stays correct
         after filter/mask verbs) and negative indices count from the end
-        (``iloc(-1)`` = last point of each series)."""
+        (``iloc(-1)`` = last point of each series).
+
+        DIVERGENCE: gensor's indexer also supports scalar ASSIGNMENT
+        (``ts.iloc[i] = v``, core/indexer.py:20-32 setter path). Spark
+        DataFrames are immutable, so this facade exposes getters only; the
+        equivalent update is a conditional projection over the same
+        positional window::
+
+            pos = F.row_number().over(w) - 1   # w = per-series (ts, seq)
+            df.withColumn("value",
+                          F.when(pos == i, F.lit(v))
+                           .otherwise(F.col("value")))
+
+        (no reference *test* requires the setter on a Dataset pipeline)."""
         i = int(i)
         w = Window.partitionBy(*self.keys).orderBy("ts", "seq")
         pos = F.row_number().over(w) - 1

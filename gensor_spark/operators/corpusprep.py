@@ -54,10 +54,22 @@ def corpus_prep(
     text_col: str = "text",
     id_col: str = "doc_id",
     report: bool = False,
+    cache_intermediate: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the composed preparation over ``docs`` (``doc_id, text, source``
     at minimum). Stages toggle independently; disabled stages cost
-    nothing. ``rates`` and ``temperature`` are exclusive mixing modes."""
+    nothing. ``rates`` and ``temperature`` are exclusive mixing modes.
+
+    ``cache_intermediate`` pools a cache (``plans.caching.pooled_cache``;
+    the CALLER releases after its action) on the post-gate/scrub frame and
+    on the post-exact-dedup frame: both are consumed by MULTIPLE
+    downstream branches (the exact-dedup digest agg + its anti-join left
+    side; the minhash signature chain, the representative quality table
+    and the mixing counts), and without materialization Spark re-executes
+    the scan + row-local stages — including the regex-heavy PII scrub —
+    once per branch (r5 profiling: 4 scan+scrub replays in this very
+    composition's plan)."""
+    from gensor_spark.plans.caching import pooled_cache
     from gensor_spark.streaming.ingest_stream import quality_gate
 
     if rates is not None and temperature is not None:
@@ -89,9 +101,13 @@ def corpus_prep(
 
     from gensor_spark.operators.dedup import exact_dedup
 
+    if cache_intermediate:
+        out = pooled_cache(out)
     dups = exact_dedup(out, text_col=text_col, id_col=id_col)
     out = note("exact_dedup", out.join(
         dups.select(F.col("dup_id").alias(id_col)), id_col, "anti"))
+    if cache_intermediate and near_dedup:
+        out = pooled_cache(out)
 
     if near_dedup:
         from gensor_spark.operators.dedup import (

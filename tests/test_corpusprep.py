@@ -69,6 +69,23 @@ def test_prep_equals_hand_rolled_stages(spark, docs):
     assert want.exceptAll(out).count() == 0
 
 
+def test_cache_intermediate_is_semantically_transparent(spark, docs):
+    """cache_intermediate (the r5 measured ~1.9x fix: the scan+scrub
+    projection was re-executed once per downstream branch) must not change
+    a single output row, in the heaviest configuration."""
+    from gensor_spark.plans.caching import release_caches
+
+    kw = dict(scrub=True, near_dedup=True, minhash_threshold=0.6,
+              temperature=0.7)
+    a, _ = corpus_prep(docs, cache_intermediate=True, **kw)
+    b, _ = corpus_prep(docs, cache_intermediate=False, **kw)
+    try:
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    finally:
+        release_caches()
+
+
 def test_packing_stage_invariant(spark, docs):
     out, rep = corpus_prep(docs, seq_len=128, report=True)
     assert "pack" in rep and rep["pack"] >= rep["exact_dedup"] > 0
