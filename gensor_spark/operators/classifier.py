@@ -218,15 +218,17 @@ def score_quality(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         wv, bv = bc.value
         for pdf in batches:
-            logits = np.fromiter(
-                (
-                    bv + float(wv[np.asarray(s, dtype=np.int64)]
-                               @ np.asarray(v, dtype=np.float64))
-                    if len(s) else bv
-                    for s, v in zip(pdf["slots"], pdf["vals"])
-                ),
-                dtype=np.float64, count=len(pdf),
-            )
+            # same CSR-shaped kernel as the trainer: one bincount
+            # segment-sum over the flattened arrays, no per-doc Python
+            lens = np.fromiter((len(s) for s in pdf["slots"]),
+                               dtype=np.int64, count=len(pdf))
+            cols = (np.concatenate(list(pdf["slots"])).astype(np.int64)
+                    if lens.sum() else np.empty(0, np.int64))
+            data = (np.concatenate(list(pdf["vals"])).astype(np.float64)
+                    if lens.sum() else np.empty(0, np.float64))
+            seg = np.repeat(np.arange(len(pdf)), lens)
+            logits = bv + np.bincount(
+                seg, weights=wv[cols] * data, minlength=len(pdf))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].values,
                 "logit": logits,
