@@ -43,6 +43,11 @@ MERGES = {
     "doc_quality": ("doc_quality", "lang_id"),
     "coverage_info": ("coverage_info", "trend_ols"),
     "emb_neardup": ("emb_neardup_brute", "emb_neardup_lsh"),
+    # r5 method-folds (oracle-window slot economy)
+    "cusum_changepoint": ("cusum_changepoint", "counter_rate"),
+    "dedup_ngram_jaccard": ("dedup_ngram_jaccard", "dedup_ngram_prefix"),
+    "ann_cosine_topk": ("ann_cosine_topk", "ann_ivf_topk"),
+    "series_corr": ("series_corr", "rolling_corr"),
 }
 
 # r4-late slots that gained NEW work (not an absorbed old query, so no old

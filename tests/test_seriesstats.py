@@ -255,10 +255,13 @@ def test_cusum_plan_stays_jvm_side(spark, sensor_points):
 
 def test_registry_series_corr_matches_duckdb(spark):
     """q_series_corr (method-tagged union: top-100 day-bin pair corr +
-    per-series ACF at lags 1,2,3,5,10) vs the registry's own DuckDB oracle."""
+    per-series ACF at lags 1,2,3,5,10 + rolling corr of the top-2 pair)
+    vs the registry's own DuckDB oracle."""
     from gensor_spark.queries import ORACLES, q_series_corr
 
-    order = ["method", "sid_a", "sid_b", "lag"]
+    # bin_ts is needed for a total order: rollcorr rows share
+    # (method, sid_a, sid_b, lag) and differ only by window end bin
+    order = ["method", "sid_a", "sid_b", "lag", "bin_ts"]
     got = (
         q_series_corr(spark, SF).toPandas()
         .sort_values(order).reset_index(drop=True)
@@ -272,9 +275,9 @@ def test_registry_series_corr_matches_duckdb(spark):
         .sort_values(order).reset_index(drop=True)
     )
     assert len(got) == len(want) > 0
-    for m in ("pair", "acf", "ccf"):
+    for m in ("pair", "acf", "ccf", "rollcorr"):
         assert (got["method"] == m).any(), m
-    for c in ("method", "sid_a", "sid_b", "lag"):
+    for c in ("method", "sid_a", "sid_b", "lag", "bin_ts"):
         np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy())
     np.testing.assert_array_equal(
         got["n"].to_numpy(dtype=np.int64), want["n"].to_numpy(dtype=np.int64))
@@ -368,7 +371,7 @@ def test_registry_ewma_and_cusum_smoke(spark):
     assert c.columns == [
         "method", "doc_id", "source", "n", "stat_i", "stat_x", "stat_y"]
     cm = {r[0] for r in c.select("method").distinct().collect()}
-    assert cm == {"cusum", "mk", "ks"}
+    assert cm == {"cusum", "mk", "ks", "rate"}
     assert e.count() > 0 and c.count() > 0
 
 
