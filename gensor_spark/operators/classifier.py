@@ -138,9 +138,19 @@ def train_quality_classifier(
     O(n_features) driver update. Loss = mean log-loss + (l2/2)·‖w‖².
     """
     spark = feats.sparkSession
+    # size the cached seed set's partitioning to the LABEL count, not the
+    # corpus: the training loop launches one job per iteration over this
+    # frame, and inheriting the corpus partitioning means (corpus
+    # partitions) near-empty tasks AND that many dense per-worker gradient
+    # partials per iteration — pure scheduling + shuffle overhead. ~20k
+    # seed docs per partition keeps a CCNet-sized (10^5-10^6) seed set
+    # parallel while a bench-sized one trains in single-task iterations.
+    n_labels = labels.count()
+    n_parts = max(1, -(-n_labels // 20_000))
     train = (
         feats.join(F.broadcast(labels.select("doc_id", label_col)), "doc_id")
         .select("slots", "vals", F.col(label_col).cast("double").alias("y"))
+        .repartition(n_parts)
         .cache()
     )
     n_docs = train.count()  # materializes the cache; also the 1/n factor
